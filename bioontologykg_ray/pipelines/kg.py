@@ -1,0 +1,284 @@
+"""The flagship KG-construction DAG (SURVEY.md §7.1).
+
+read_parquet(transcript shards)
+  → stable ordering (sort by conv_id, turn_idx)
+  → triple extraction (actor-pool map_batches, Arrow)
+  → entity linking (actor pool + broadcast alias index/embeddings)
+  → same-as graph (text SAME_AS triples ∪ ontology alt_ids)
+  → canonicalization (distributed union-find → broadcast rewrite)
+  → symmetric-edge canonical order + skew-safe dedup/count
+  → nodes.parquet + edges.parquet (+ dead-letter + manifests)
+
+Re-expresses the reference's richest lifecycle
+(`src/CancerPublicationsKG/import/neo4j_cancerkg_builder.py:611-707`:
+per-doc extract → stateful embed → link → edge emit → dedup →
+materialize) as one streaming Ray Data DAG.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from bioontologykg_ray.config import DEFAULT_CONFIG, PipelineConfig
+from bioontologykg_ray.pipelines import manifest as mf
+from bioontologykg_ray.stages.canonicalize import (
+    canonicalize_triples,
+    connected_components,
+    mapping_dict,
+)
+from bioontologykg_ray.stages.dedup import (
+    canonicalize_symmetric,
+    count_triples,
+    distinct_values,
+)
+from bioontologykg_ray.stages.extract import extract_triples
+from bioontologykg_ray.stages.linker import build_alias_index, link_triples, split_linked
+from bioontologykg_ray.stages.ordering import order_conversations
+
+
+def load_ontology(ontology_path: str) -> pa.Table:
+    """Ontology tables are small dimension inputs (reference parses whole
+    OBO files driver-side, `import_go_obo.py:64-73`); read once, broadcast."""
+    return pq.read_table(ontology_path)
+
+
+def ontology_same_as_pairs(ontology: pa.Table) -> pa.Table:
+    """alt_ids → (a, b) equivalence pairs (FIXTURES.md F2)."""
+    a, b = [], []
+    for tid, alts in zip(
+        ontology["term_id"].to_pylist(), ontology["alt_ids"].to_pylist()
+    ):
+        for alt in alts or []:
+            a.append(tid)
+            b.append(alt)
+    return pa.table({"a": pa.array(a, pa.string()), "b": pa.array(b, pa.string())})
+
+
+def run_kg_pipeline(
+    transcripts_path: str | list[str],
+    ontology_path: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+):
+    """Run the full DAG; returns a dict of result Datasets.
+
+    The heavy corpus path (transcripts → linked triples) streams; only
+    entity-level intermediates (same-as graph, labels, mapping) are
+    materialized/collected — they are O(#entities), not O(#turns).
+    """
+    ontology = load_ontology(ontology_path)
+    index_ref = ray.put(build_alias_index(ontology, drop_obsolete=cfg.drop_obsolete))
+
+    ds = ray.data.read_parquet(transcripts_path)
+    ordered = order_conversations(ds)
+    raw = extract_triples(
+        ordered, dim=cfg.embedding_dim, batch_size=cfg.extract_batch_size
+    )
+    linked_flagged = link_triples(
+        raw, index_ref, batch_size=cfg.link_batch_size, concurrency=cfg.link_concurrency
+    )
+    linked, dead = split_linked(linked_flagged)
+
+    # --- same-as graph: text-level SAME_AS triples ∪ ontology alt pairs.
+    # Entity-level and small; the distinct() here also collapses repeats.
+    sameas_text = linked.filter(expr="pred == 'SAME_AS'").map_batches(
+        lambda t: pa.table({"a": t["subj"], "b": t["obj"]}), batch_format="pyarrow"
+    )
+    sameas_ont = ray.data.from_arrow(ontology_same_as_pairs(ontology))
+    same_as = sameas_text.union(sameas_ont)
+
+    labels = connected_components(
+        same_as, max_iters=cfg.union_find_max_iters, salt=min(cfg.salt_buckets, 4)
+    )
+    mapping_ref = ray.put(mapping_dict(labels))
+
+    canon = canonicalize_triples(linked, mapping_ref, batch_size=cfg.link_batch_size)
+    # after canonicalization SAME_AS triples are self-loops — drop them
+    # (D3 semantics: the redundant node is gone, not self-referential)
+    facts = canon.filter(expr="pred != 'SAME_AS'")
+    facts = canonicalize_symmetric(facts, cfg.symmetric_predicates)
+    edges = count_triples(facts)
+
+    nodes = build_nodes(edges, ontology, cfg)
+    return {
+        "ordered": ordered,
+        "linked": linked,
+        "dead_letter": dead,
+        "labels": labels,
+        "edges": edges,
+        "nodes": nodes,
+    }
+
+
+def build_nodes(edges: ray.data.Dataset, ontology: pa.Table, cfg: PipelineConfig):
+    """Distinct edge endpoints → node table with term props + embedding.
+
+    The ontology side is broadcast (ray.put once, read per actor) — a
+    small-side lookup join, never a shuffle (SURVEY.md §2.5 J1)."""
+    tids = ontology["term_id"].to_pylist()
+    names = ontology["name"].to_pylist()
+    namespaces = ontology["namespace"].to_pylist()
+    defs = ontology["definition"].to_pylist()
+    emb = np.asarray(ontology["embedding"].combine_chunks().flatten(), dtype=np.float32)
+    dim = cfg.embedding_dim
+    emb = emb.reshape(len(tids), dim)
+    info = {
+        t: (names[i], namespaces[i], defs[i], i) for i, t in enumerate(tids)
+    }
+    info_ref = ray.put({"info": info, "emb": emb})
+
+    endpoints = edges.map_batches(
+        lambda t: pa.table(
+            {"node_id": pa.concat_arrays([t["src"].combine_chunks(), t["dst"].combine_chunks()])}
+        ),
+        batch_format="pyarrow",
+    )
+    uniq = distinct_values(endpoints, "node_id")
+
+    class NodeBuilder:
+        def __init__(self, ref):
+            payload = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.info = payload["info"]
+            self.emb = payload["emb"]
+            self.dim = self.emb.shape[1]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["node_id"].to_pylist()
+            name_a, label_a, props_a = [], [], []
+            emb_rows = np.zeros((len(ids), self.dim), dtype=np.float32)
+            for r, nid in enumerate(ids):
+                hit = self.info.get(nid)
+                if hit is None:
+                    # placeholder-node semantics (K2: endpoint stubs,
+                    # neo4j_citation_relationship_builder.py:130-146)
+                    name_a.append(nid)
+                    label_a.append("stub")
+                    props_a.append(json.dumps({"createdBy": "edge_builder"}))
+                else:
+                    nm, ns, df_, row = hit
+                    name_a.append(nm)
+                    label_a.append(ns)
+                    props_a.append(json.dumps({"definition": df_}, sort_keys=True))
+                    emb_rows[r] = self.emb[row]
+            return pa.table(
+                {
+                    "node_id": pa.array(ids, pa.string()),
+                    "label": pa.array(label_a, pa.string()),
+                    "name": pa.array(name_a, pa.string()),
+                    "props": pa.array(props_a, pa.string()),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(emb_rows.ravel()), self.dim
+                    ),
+                }
+            )
+
+    return uniq.map_batches(
+        NodeBuilder,
+        fn_constructor_kwargs={"ref": info_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned, resumable execution (north rule: checkpoint per partition
+# with lineage + metrics; kill-and-resume yields identical outputs).
+# ---------------------------------------------------------------------------
+
+def run_partitioned(
+    transcripts_dir: str,
+    ontology_path: str,
+    out_dir: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    n_parts: int | None = None,
+):
+    """Phase 1 per input-shard partition (embarrassingly parallel,
+    resumable): order+extract+link → linked/dead parquet + manifest.
+    Phase 2 global (entity-level, small): union-find → canonical rewrite
+    → dedup → nodes/edges. Rerun skips finished phase-1 partitions.
+    """
+    files = sorted(glob.glob(os.path.join(transcripts_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(transcripts_dir)
+    n_parts = n_parts or len(files)
+    groups: list[list[str]] = [[] for _ in range(n_parts)]
+    for i, f in enumerate(files):
+        groups[i % n_parts].append(f)
+    groups = [g for g in groups if g]
+
+    ontology = load_ontology(ontology_path)
+    index_ref = ray.put(build_alias_index(ontology, drop_obsolete=cfg.drop_obsolete))
+    phase1 = os.path.join(out_dir, "phase1")
+
+    for pid in mf.pending_partitions(phase1, len(groups)):
+        ds = ray.data.read_parquet(groups[pid])
+        ordered = order_conversations(ds)
+        raw = extract_triples(ordered, dim=cfg.embedding_dim,
+                              batch_size=cfg.extract_batch_size)
+        flagged = link_triples(raw, index_ref, batch_size=cfg.link_batch_size,
+                               concurrency=cfg.link_concurrency)
+        linked, dead = split_linked(flagged)
+
+        counts = {}
+
+        def write(tmp: str, linked=linked, dead=dead, counts=counts):
+            linked.write_parquet(os.path.join(tmp, "linked"))
+            dead.write_parquet(os.path.join(tmp, "dead"))
+            # row counts from parquet footers — no pipeline re-execution
+            for name in ("linked", "dead"):
+                counts[name] = sum(
+                    pq.read_metadata(f).num_rows
+                    for f in glob.glob(os.path.join(tmp, name, "*.parquet"))
+                )
+
+        mf.write_partition(
+            phase1,
+            pid,
+            write,
+            lineage={"inputs": groups[pid], "ontology": ontology_path},
+            metrics=lambda: {
+                "rows_linked": counts.get("linked", -1),
+                "rows_dead": counts.get("dead", -1),
+            },
+        )
+
+    # phase 2 — global consolidation over all phase-1 outputs
+    linked_all = ray.data.read_parquet(
+        sorted(glob.glob(os.path.join(phase1, "part-*", "linked")))
+    )
+    sameas_text = linked_all.filter(expr="pred == 'SAME_AS'").map_batches(
+        lambda t: pa.table({"a": t["subj"], "b": t["obj"]}), batch_format="pyarrow"
+    )
+    same_as = sameas_text.union(ray.data.from_arrow(ontology_same_as_pairs(ontology)))
+    labels = connected_components(same_as, max_iters=cfg.union_find_max_iters,
+                                  salt=min(cfg.salt_buckets, 4))
+    mapping_ref = ray.put(mapping_dict(labels))
+    canon = canonicalize_triples(linked_all, mapping_ref, batch_size=cfg.link_batch_size)
+    facts = canon.filter(expr="pred != 'SAME_AS'")
+    facts = canonicalize_symmetric(facts, cfg.symmetric_predicates)
+    edges = count_triples(facts)
+    nodes = build_nodes(edges, ontology, cfg)
+
+    final = os.path.join(out_dir, "graph")
+    edges.write_parquet(os.path.join(final, "edges"))
+    nodes.write_parquet(os.path.join(final, "nodes"))
+    with open(os.path.join(final, "manifest.json"), "w") as f:
+        json.dump(
+            {
+                "edges": edges.count(),
+                "nodes": nodes.count(),
+                "phase1_partitions": len(groups),
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    return {"edges": edges, "nodes": nodes, "labels": labels}

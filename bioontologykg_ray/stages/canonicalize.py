@@ -1,0 +1,270 @@
+"""Canonicalization: distributed union-find over same-as edges.
+
+Reference precedent: node consolidation across label spaces
+(`cql/remediation/remediate_gene_node.cql:5-52` — copy props, re-point
+relationships, delete redundant node) and duplicate-group cleanup
+(`cql/remediation/remediate_duplicate_pubmed_ids.cql:1-13`). Our inputs
+are entity-equivalence edges from (a) ontology ``alt_ids`` and (b)
+text-extracted SAME_AS triples; the output maps every touched node to
+its component's minimum id (the canonical root).
+
+Algorithm — iterative min-label propagation + pointer jumping, all in
+Ray Data shuffles (no driver-side graph):
+
+  labels ← {node → node}
+  repeat:
+    (A) neighbor-min : root[x] ← min(root[x], min over edges (x,y) of root[y])
+        implemented as a reduce-side join: label rows and edge rows
+        co-grouped on the endpoint key, then ``groupby(node).min``.
+    (B) pointer jump : root[x] ← root[root[x]]  (path-halving; makes
+        convergence O(log diameter) instead of O(diameter))
+  until the label checksum is stable (fixpoint) or max_iters.
+
+Skew (the "TP53 problem", SURVEY.md §7.5): hub nodes with huge degree
+would create one giant co-group. Both co-group passes therefore SALT the
+key — edge/probe rows go to ``node#(crc32(partner) % S)`` and each label
+row is replicated to all S salt buckets — so a hub's fan-in spreads over
+S groups. The follow-up ``min`` aggregation is associative and uses Ray's
+partial per-block combining, so it is skew-safe by construction.
+
+Labels are materialized per iteration (they are the small entity-level
+set, NOT the corpus) to truncate lineage; at 100 TB the corpus never
+enters this loop — only distinct equivalence edges do.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _crc(s: str) -> int:
+    return zlib.crc32(s.encode("utf-8"))
+
+
+def _distinct_nodes(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct endpoints of the edge set → (node) dataset.
+
+    Per-batch unique first (partial combine), then a global groupby —
+    the pre-aggregate-before-shuffle pattern (SURVEY.md §4.2)."""
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        return pa.table({"node": pc.unique(both)})
+
+    nodes = edges.map_batches(per_batch, batch_format="pyarrow")
+    return nodes.groupby("node").count().select_columns(["node"])
+
+
+def _label_checksum(labels: ray.data.Dataset) -> int:
+    def per_batch(t: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (
+                _crc(f"{n}\x1f{r}")
+                for n, r in zip(t["node"].to_pylist(), t["root"].to_pylist())
+            ),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        return pa.table({"h": pa.array([int(h.sum())], pa.int64())})
+
+    res = labels.map_batches(per_batch, batch_format="pyarrow").sum("h")
+    return int(res) if res is not None else 0
+
+
+def _expand_labels(labels: ray.data.Dataset, salt: int) -> ray.data.Dataset:
+    """Replicate each label row into every salt bucket: key = node#s."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        nodes = t["node"].to_pylist()
+        roots = t["root"].to_pylist()
+        keys, rts = [], []
+        for n, r in zip(nodes, roots):
+            for s in range(salt):
+                keys.append(f"{n}#{s}")
+                rts.append(r)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "root": pa.array(rts, pa.string()),
+                "partner": pa.array([None] * len(keys), pa.string()),
+            }
+        )
+
+    return labels.map_batches(fn, batch_format="pyarrow")
+
+
+def _expand_edges(edges: ray.data.Dataset, salt: int) -> ray.data.Dataset:
+    """Each undirected edge (a,b) → two keyed rows, salted by partner."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        keys, partners = [], []
+        for x, y in zip(a, b):
+            keys.append(f"{x}#{_crc(y) % salt}")
+            partners.append(y)
+            keys.append(f"{y}#{_crc(x) % salt}")
+            partners.append(x)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "root": pa.array([None] * len(keys), pa.string()),
+                "partner": pa.array(partners, pa.string()),
+            }
+        )
+
+    return edges.map_batches(fn, batch_format="pyarrow")
+
+
+def _cast_pair(t: pa.Table, names: list[str]) -> pa.Table:
+    """Force both columns to string (empty pandas group outputs can
+    arrive as null-typed arrow blocks; null→string casts are safe)."""
+    return pa.table(
+        {names[0]: t.column(0).cast(pa.string()), names[1]: t.column(1).cast(pa.string())}
+    )
+
+
+def _cogroup_emit(g: pd.DataFrame) -> pd.DataFrame:
+    """One co-group = exactly one label row (root of this key's node) +
+    the edge rows salted here. Emit (partner, candidate_root)."""
+    root_rows = g["root"].dropna()
+    if root_rows.empty:  # no label for this key (cannot happen after init)
+        return pd.DataFrame({"node": [], "cand": []})
+    root = root_rows.iloc[0]
+    partners = g["partner"].dropna()
+    if partners.empty:
+        return pd.DataFrame({"node": [], "cand": []})
+    return pd.DataFrame({"node": partners.to_numpy(), "cand": root})
+
+
+def _neighbor_min(
+    labels: ray.data.Dataset, edges: ray.data.Dataset, salt: int
+) -> ray.data.Dataset:
+    proposals = (
+        _expand_labels(labels, salt)
+        .union(_expand_edges(edges, salt))
+        .groupby("key")
+        .map_groups(_cogroup_emit, batch_format="pandas")
+        .map_batches(lambda t: _cast_pair(t, ["node", "cand"]), batch_format="pyarrow")
+    )
+    own = labels.map_batches(
+        lambda t: _cast_pair(t, ["node", "cand"]), batch_format="pyarrow"
+    )
+    merged = proposals.union(own).groupby("node").min("cand")
+    return merged.map_batches(
+        lambda t: _cast_pair(t, ["node", "root"]), batch_format="pyarrow"
+    )
+
+
+def _pointer_jump(labels: ray.data.Dataset, salt: int) -> ray.data.Dataset:
+    """root[x] ← root[root[x]] via a salted co-group on the root key."""
+
+    def probes(t: pa.Table) -> pa.Table:
+        nodes = t["node"].to_pylist()
+        roots = t["root"].to_pylist()
+        return pa.table(
+            {
+                "key": pa.array(
+                    [f"{r}#{_crc(n) % salt}" for n, r in zip(nodes, roots)],
+                    pa.string(),
+                ),
+                "root": pa.array([None] * len(nodes), pa.string()),
+                "partner": pa.array(nodes, pa.string()),
+            }
+        )
+
+    jumped = (
+        _expand_labels(labels, salt)
+        .union(labels.map_batches(probes, batch_format="pyarrow"))
+        .groupby("key")
+        .map_groups(_cogroup_emit, batch_format="pandas")
+    )
+    return jumped.map_batches(
+        lambda t: _cast_pair(t, ["node", "root"]), batch_format="pyarrow"
+    )
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    max_iters: int = 12,
+    salt: int = 4,
+) -> ray.data.Dataset:
+    """Same-as edges (a, b) → labels (node, root=min id of component).
+
+    Fixpoint-checked; converges in O(log diameter) iterations thanks to
+    the pointer-jump pass. ``edges`` should be the (small) distinct
+    entity-equivalence set, never the full corpus.
+    """
+    edges = edges.materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.string()), "root": pa.array([], pa.string())})
+        )
+    labels = _distinct_nodes(edges).map_batches(
+        lambda t: t.append_column("root", t["node"]), batch_format="pyarrow"
+    ).materialize()
+
+    prev = _label_checksum(labels)
+    for _ in range(max_iters):
+        # materialize after EACH pass: the pass outputs feed two consumers
+        # (next pass reads labels twice) — without a barrier the lazy plan
+        # would re-execute the whole pass per consumer, compounding per
+        # iteration. Labels are entity-level (small), so the barrier is
+        # cheap; repartition keeps the tiny block count bounded.
+        labels = _neighbor_min(labels, edges, salt).repartition(4).materialize()
+        labels = _pointer_jump(labels, salt).repartition(4).materialize()
+        cur = _label_checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+def mapping_dict(labels: ray.data.Dataset) -> dict[str, str]:
+    """Non-identity entries of the canonical mapping as a broadcastable
+    dict. The mapping is entity-level (≪ corpus); at even larger scale
+    keep it a Dataset and apply via a partitioned hash join instead."""
+    df = labels.to_pandas()
+    return {n: r for n, r in zip(df["node"], df["root"]) if n != r}
+
+
+class CanonicalRewriter:
+    """map_batches actor fn: re-point triple endpoints to canonical roots
+    (reference D3 'migrate relationships to canonical node')."""
+
+    def __init__(self, mapping_ref):
+        import ray as _ray
+
+        self.mapping = (
+            _ray.get(mapping_ref)
+            if isinstance(mapping_ref, _ray.ObjectRef)
+            else mapping_ref
+        )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.mapping:
+            batch["subj"] = batch["subj"].map(self.mapping).fillna(batch["subj"])
+            batch["obj"] = batch["obj"].map(self.mapping).fillna(batch["obj"])
+        return batch
+
+
+def canonicalize_triples(
+    linked: ray.data.Dataset, mapping_ref, batch_size: int = 8192,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    return linked.map_batches(
+        CanonicalRewriter,
+        fn_constructor_kwargs={"mapping_ref": mapping_ref},
+        batch_format="pandas",
+        batch_size=batch_size,
+        # autoscaling pool: min 1 so the stage never starves task stages
+        concurrency=(1, max(1, concurrency)),
+    )

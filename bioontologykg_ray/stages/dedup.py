@@ -1,0 +1,113 @@
+"""Exact dedup + edge canonicalization + skew-safe counting.
+
+Reference precedents:
+- D1 MERGE-on-key idempotent upsert (every importer) → hash-partition by
+  key + per-group first/merge;
+- D2 duplicate-group cleanup keep-first
+  (`cql/remediation/remediate_duplicate_pubmed_ids.cql:1-13`);
+- D4/J6 symmetric-pair dedup — canonical (lo, hi) endpoint order
+  (`cql/import/uniprot/uniprot_intact.cql:31-40`,
+  `cql/import/cosmic/import_cosmic_gene_census.cql:59-68`).
+
+Scale pattern: every global groupby here is preceded by a per-batch
+partial combine inside ``map_batches`` (emit one row per key per batch),
+so the shuffle moves keys, not rows — the two-phase aggregation the
+head-entity skew requires (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+SEP = "\x1f"  # unit separator — never occurs in ids/predicates
+
+
+def canonicalize_symmetric(
+    ds: ray.data.Dataset, symmetric_predicates: tuple
+) -> ray.data.Dataset:
+    """For symmetric predicates, order endpoints (lo, hi) so A-r-B and
+    B-r-A dedup to one edge (J6 ``id(u1) < id(u2)`` analogue)."""
+    preds = list(symmetric_predicates)
+
+    def fn(t: pa.Table) -> pa.Table:
+        is_sym = pc.is_in(t["pred"], value_set=pa.array(preds, pa.string()))
+        flip = pc.and_(is_sym, pc.greater(t["subj"], t["obj"]))
+        subj = pc.if_else(flip, t["obj"], t["subj"])
+        obj = pc.if_else(flip, t["subj"], t["obj"])
+        return t.set_column(t.schema.get_field_index("subj"), "subj", subj).set_column(
+            t.schema.get_field_index("obj"), "obj", obj
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def count_triples(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(subj, pred, obj) → distinct edges with mention counts.
+
+    Phase 1 (map side): per-batch value_counts — one row per key per
+    batch. Phase 2: groupby the composite key, Sum the partials. The
+    composite key keeps the groupby single-column; split back after."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t["subj"], t["pred"], t["obj"], SEP)
+        vc = pc.value_counts(key)
+        return pa.table(
+            {"key": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    summed = partials.groupby("key").sum("n")
+
+    def split(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["key"], SEP)
+        return pa.table(
+            {
+                "src": pc.list_element(parts, 0),
+                "predicate": pc.list_element(parts, 1),
+                "dst": pc.list_element(parts, 2),
+                "n_mentions": t.column(1).cast(pa.int64()),
+            }
+        )
+
+    return summed.map_batches(split, batch_format="pyarrow")
+
+
+def dedup_first_by_key(
+    ds: ray.data.Dataset, key_cols: list[str], order_cols: list[str]
+) -> ray.data.Dataset:
+    """Keep-first dedup (D2): per-batch partial keep-first, then a global
+    groupby keep-first, ordering by ``order_cols`` (deterministic under
+    any batch/actor assignment)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_cols, kind="mergesort").drop_duplicates(
+            key_cols, keep="first"
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_cols, kind="mergesort").head(1)
+
+    pre = ds.map_batches(partial, batch_format="pandas")
+    if len(key_cols) == 1:
+        return pre.groupby(key_cols[0]).map_groups(final, batch_format="pandas")
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__key"] = df[key_cols].astype(str).agg(SEP.join, axis=1)
+        return df
+
+    keyed = pre.map_batches(add_key, batch_format="pandas")
+    out = keyed.groupby("__key").map_groups(final, batch_format="pandas")
+    return out.drop_columns(["__key"])
+
+
+def distinct_values(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    """Distinct values of one column: per-batch unique → tiny groupby."""
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        return pa.table({col: pc.unique(t[col].combine_chunks())})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow").groupby(col).count().select_columns([col])

@@ -1,0 +1,261 @@
+"""Deterministic synthetic corpus generator (FIXTURES.md F1/F2).
+
+Produces, for a scale factor ``sf``:
+
+- ``transcripts`` — the primary pipeline input per BASELINE.json
+  ``input_hint``: (conv_id, turn_idx, role, text, tool, ts). Turn text
+  carries seeded entity mentions and relation phrases; rows are shuffled
+  on disk so the stable-ordering stage is exercised; a small set of
+  "head" entities appears in a large fraction of turns (skew knob).
+- ``ontology_terms`` — the linker dictionary (mirrors GOTerm,
+  reference `src/BioOntologyKG/importers/import_go_obo.py:22-39`):
+  canonical names, synonyms, misspelling variants, ambiguous aliases
+  resolvable only by context embedding, alt_ids (same-as inputs),
+  obsolete terms that must not link.
+
+Everything is seed-stable and wall-clock-free: same (sf, seed) →
+byte-identical tables in any process.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from datetime import datetime, timedelta
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from bioontologykg_ray.functions.embedding import embed_text
+from bioontologykg_ray import schemas
+
+# Relation phrase → predicate (upper-cased on materialize, reference
+# import_go_obo.py:256). INTERACTS_WITH / SAME_AS are symmetric
+# (uniprot_intact.cql:31-40 precedent).
+REL_PHRASES = {
+    "is a": "IS_A",
+    "is part of": "PART_OF",
+    "regulates": "REGULATES",
+    "interacts with": "INTERACTS_WITH",
+    "is the same as": "SAME_AS",
+}
+
+# Surface-word pool: alias surfaces are `word(-word)*-<digits>`.
+WORDS = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta", "kappa",
+    "lambda", "sigma", "omega", "helix", "kinase", "ligand", "domain",
+    "motif", "operon", "codon", "exon", "intron", "promoter", "enhancer",
+    "receptor", "channel", "pathway",
+]
+
+# Filler vocab: plain words, no digits/dashes, and none of the relation
+# phrase tokens (is/a/part/of/with/same/as) so no accidental triples.
+FILLER = [
+    "meanwhile", "please", "check", "report", "shows", "we", "observed",
+    "notable", "results", "today", "thanks", "ok", "running", "output",
+    "complete", "summary", "update", "context", "window", "details",
+    "pending", "confirmed", "earlier", "finally",
+]
+
+# Regular facts never use SAME_AS — equivalences are generated ONLY by
+# the deliberate chain rule below, so components stay small and
+# meaningful (a random SAME_AS mix would create one giant component).
+FACT_PHRASES = [p for p, pred in REL_PHRASES.items() if pred != "SAME_AS"]
+
+NAMESPACES = ["entity_class_a", "entity_class_b", "entity_class_c"]
+GENERATOR_VERSION = 2
+BASE_TS = datetime(2025, 1, 1, 0, 0, 0)
+
+# Structural constants (period choices are co-prime so features overlap)
+OBSOLETE_EVERY = 29
+ALT_ID_EVERY = 7
+AMBIG_EVERY = 11
+SAMEAS_CHAIN_EVERY = 13
+
+
+def n_terms_for_sf(sf: float) -> int:
+    return max(200, int(sf * 20_000))
+
+
+def n_convs_for_sf(sf: float) -> int:
+    return max(100, int(sf * 300_000))
+
+
+def _term_name(i: int) -> str:
+    return f"{WORDS[i % len(WORDS)]}-{i}"
+
+
+def _term_synonym(i: int) -> str:
+    return f"syn-{WORDS[(i * 3 + 1) % len(WORDS)]}-{i}"
+
+
+def _term_misspelling(i: int) -> str:
+    w = WORDS[i % len(WORDS)]
+    return f"{w[0]}{w}-{i}"
+
+
+def _ambig_alias(i: int, n_terms: int) -> str | None:
+    """Every AMBIG_EVERY-th term shares an alias from a small pool."""
+    if i % AMBIG_EVERY != 0:
+        return None
+    pool = max(5, n_terms // 50)
+    return f"amb-{(i // AMBIG_EVERY) % pool}"
+
+
+def make_ontology(sf: float, seed: int = 42, dim: int = schemas.EMBED_DIM) -> pa.Table:
+    n = n_terms_for_sf(sf)
+    term_ids, names, namespaces, definitions = [], [], [], []
+    synonyms, xrefs, alt_ids, obsolete, embeddings = [], [], [], [], []
+    for i in range(n):
+        tid = f"ONT:{i:07d}"
+        name = _term_name(i)
+        # ctx-<i> is the disambiguation token: it appears in this term's
+        # definition and in turns that mention this term via an ambiguous
+        # alias, so embedding cosine resolves the alias (reference T6
+        # kNN-resolution analogue).
+        definition = f"definition ctx-{i} {WORDS[(i * 5 + 2) % len(WORDS)]} concept"
+        syns = [_term_synonym(i), _term_misspelling(i)]
+        amb = _ambig_alias(i, n)
+        if amb is not None:
+            syns.append(amb)
+        term_ids.append(tid)
+        names.append(name)
+        namespaces.append(NAMESPACES[i % len(NAMESPACES)])
+        definitions.append(definition)
+        synonyms.append(syns)
+        xrefs.append([f"XR:{i:05d}"])
+        # alt_ids reference OTHER term ids → genuine same-as inputs for
+        # canonicalization (FIXTURES.md F2). Pairs only (no long chains):
+        # deep components come from text-level SAME_AS sentences instead.
+        if i % ALT_ID_EVERY == 0 and i >= ALT_ID_EVERY and (i // ALT_ID_EVERY) % 2 == 1:
+            alt_ids.append([f"ONT:{i - ALT_ID_EVERY:07d}"])
+        else:
+            alt_ids.append([])
+        obsolete.append(i % OBSOLETE_EVERY == 0 and i > 0)
+        embeddings.append(embed_text(f"{name} {definition}", dim))
+    emb_arr = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.concatenate(embeddings).astype(np.float32)), dim
+    )
+    return pa.table(
+        {
+            "term_id": pa.array(term_ids, pa.string()),
+            "name": pa.array(names, pa.string()),
+            "namespace": pa.array(namespaces, pa.string()),
+            "definition": pa.array(definitions, pa.string()),
+            "synonyms": pa.array(synonyms, pa.list_(pa.string())),
+            "xrefs": pa.array(xrefs, pa.list_(pa.string())),
+            "alt_ids": pa.array(alt_ids, pa.list_(pa.string())),
+            "is_obsolete": pa.array(obsolete, pa.bool_()),
+            "embedding": emb_arr,
+        }
+    )
+
+
+def _pick_surface(rng: random.Random, i: int, n_terms: int) -> tuple[str, bool]:
+    """Choose a surface form for term i. Returns (surface, needs_ctx)."""
+    r = rng.random()
+    amb = _ambig_alias(i, n_terms)
+    if amb is not None and r < 0.25:
+        return amb, True
+    if r < 0.50:
+        return _term_name(i), False
+    if r < 0.75:
+        return _term_synonym(i), False
+    return _term_misspelling(i), False
+
+
+def _pick_term(rng: random.Random, n_terms: int) -> int:
+    """Head-entity skew: terms 0..4 carry ~20% of all mentions."""
+    if rng.random() < 0.20:
+        return rng.randrange(0, min(5, n_terms))
+    return rng.randrange(0, n_terms)
+
+
+def make_transcripts(sf: float, seed: int = 42) -> pa.Table:
+    n_convs = n_convs_for_sf(sf)
+    n_terms = n_terms_for_sf(sf)
+    rng = random.Random(seed)
+
+    conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
+    for c in range(n_convs):
+        conv_id = f"conv-{c:08d}"
+        n_turns = 6 + (c % 5)
+        conv_start = BASE_TS + timedelta(minutes=c)
+        for t in range(n_turns):
+            role = ("user", "assistant", "tool")[t % 3]
+            parts = [rng.choice(FILLER) for _ in range(rng.randrange(2, 6))]
+            n_facts = rng.choice((0, 1, 1, 2))
+            for _ in range(n_facts):
+                i = _pick_term(rng, n_terms)
+                j = _pick_term(rng, n_terms)
+                phrase = rng.choice(FACT_PHRASES)
+                s_surf, s_ctx = _pick_surface(rng, i, n_terms)
+                o_surf, o_ctx = _pick_surface(rng, j, n_terms)
+                sent = f"{s_surf} {phrase} {o_surf}."
+                parts.append(sent)
+                # disambiguation context tokens for ambiguous aliases
+                if s_ctx:
+                    parts.append(f"ctx-{i}")
+                if o_ctx:
+                    parts.append(f"ctx-{j}")
+                parts.append(rng.choice(FILLER))
+            # same-as chains: link term k and k+1 explicitly in text
+            if rng.random() < 0.05:
+                k = rng.randrange(0, max(1, n_terms // SAMEAS_CHAIN_EVERY)) * SAMEAS_CHAIN_EVERY
+                if k + 1 < n_terms:
+                    parts.append(f"{_term_name(k)} is the same as {_term_name(k + 1)}.")
+            # occasional obsolete-term mention → must NOT link (dead-letter)
+            if rng.random() < 0.04 and n_terms > OBSOLETE_EVERY:
+                ob = rng.randrange(1, n_terms // OBSOLETE_EVERY) * OBSOLETE_EVERY
+                parts.append(f"{_term_name(ob)} regulates {_term_name(_pick_term(rng, n_terms))}.")
+            conv_ids.append(conv_id)
+            turn_idxs.append(t)
+            roles.append(role)
+            texts.append(" ".join(parts))
+            tools.append("search" if role == "tool" else "")
+            tss.append(conv_start + timedelta(seconds=t * 30))
+
+    # shuffle rows on disk so ordering is NOT pre-sorted (FIXTURES.md F1)
+    n = len(conv_ids)
+    perm = np.random.RandomState(seed).permutation(n)
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(conv_ids, pa.string()),
+            "turn_idx": pa.array(turn_idxs, pa.int32()),
+            "role": pa.array(roles, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "tool": pa.array(tools, pa.string()),
+            "ts": pa.array(tss, pa.timestamp("us")),
+        }
+    )
+    return tbl.take(pa.array(perm))
+
+
+def synth_dir(sf: float, root: str = "/tmp/bioontologykg_ray/synth") -> str:
+    return os.path.join(root, f"v{GENERATOR_VERSION}-sf{sf}")
+
+
+def ensure_synth(sf: float, seed: int = 42, root: str = "/tmp/bioontologykg_ray/synth",
+                 n_shards: int = 8) -> str:
+    """Write (once, idempotently) the synthetic corpus for ``sf``.
+
+    Transcripts are sharded into ``n_shards`` parquet files so
+    ``read_parquet`` parallelizes; a _DONE marker makes this re-entrant.
+    """
+    d = synth_dir(sf, root)
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    os.makedirs(os.path.join(d, "transcripts"), exist_ok=True)
+    tbl = make_transcripts(sf, seed)
+    shard = max(1, tbl.num_rows // n_shards + 1)
+    for s in range(n_shards):
+        sl = tbl.slice(s * shard, shard)
+        if sl.num_rows == 0:
+            break
+        pq.write_table(sl, os.path.join(d, "transcripts", f"part-{s:04d}.parquet"))
+    pq.write_table(make_ontology(sf, seed), os.path.join(d, "ontology_terms.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return d

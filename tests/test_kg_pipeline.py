@@ -1,0 +1,127 @@
+"""End-to-end conformance of the KG pipeline vs the single-process oracle
+(FIXTURES.md F4 invariants 1-3)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from bioontologykg_ray import synth
+from bioontologykg_ray.config import PipelineConfig
+from bioontologykg_ray.oracle import oracle_triples, precision_recall
+from bioontologykg_ray.pipelines.kg import run_kg_pipeline
+from bioontologykg_ray.stages.ordering import order_conversations
+
+SF = 0.001
+CFG = PipelineConfig(link_concurrency=2, extract_batch_size=512, link_batch_size=512)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = synth.ensure_synth(SF)
+    return {
+        "transcripts": os.path.join(d, "transcripts"),
+        "ontology": os.path.join(d, "ontology_terms.parquet"),
+    }
+
+
+@pytest.fixture(scope="module")
+def gold(corpus):
+    import pyarrow.parquet as pq
+    import glob
+
+    tbl = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(corpus["transcripts"] + "/*.parquet"))]
+    )
+    ont = pq.read_table(corpus["ontology"])
+    return oracle_triples(tbl, ont, dim=CFG.embedding_dim)
+
+
+@pytest.fixture(scope="module")
+def result(corpus):
+    return run_kg_pipeline(corpus["transcripts"], corpus["ontology"], CFG)
+
+
+def test_per_turn_text_equality(corpus):
+    """Invariant 2: re-emitting (conv_id, turn_idx, text) after the
+    ordering stage matches the input exactly (north-star invariant)."""
+    ds = ray.data.read_parquet(corpus["transcripts"])
+    ordered = order_conversations(ds).select_columns(["conv_id", "turn_idx", "text"])
+    got = ordered.to_pandas()
+    want = (
+        ray.data.read_parquet(corpus["transcripts"])
+        .select_columns(["conv_id", "turn_idx", "text"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    # ordered output must already BE in (conv_id, turn_idx) order
+    assert got["conv_id"].is_monotonic_increasing or (
+        got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True).equals(got)
+    )
+    assert got.reset_index(drop=True).equals(want)
+
+
+def test_linked_triples_match_oracle(result, gold):
+    sys_rows = set(
+        map(
+            tuple,
+            result["linked"]
+            .to_pandas()[["subj", "pred", "obj", "conv_id", "turn_idx"]]
+            .itertuples(index=False),
+        )
+    )
+    gold_rows = set(gold["linked"])
+    p, r = precision_recall(sys_rows, gold_rows)
+    assert p >= 0.95 and r >= 0.95, (p, r, len(sys_rows), len(gold_rows))
+    # in fact the pipelines are exactly equivalent:
+    assert sys_rows == gold_rows
+
+
+def test_canonical_edges_match_oracle(result, gold):
+    df = result["edges"].to_pandas()
+    sys_edges = {
+        (s, p, d): n
+        for s, p, d, n in df[["src", "predicate", "dst", "n_mentions"]].itertuples(
+            index=False
+        )
+    }
+    p, r = precision_recall(set(sys_edges), set(gold["edges"]))
+    assert p >= 0.95 and r >= 0.95, (p, r)
+    assert sys_edges == gold["edges"]
+
+
+def test_nodes_unique_and_match(result, gold):
+    df = result["nodes"].to_pandas()
+    assert df["node_id"].is_unique  # invariant 3: key uniqueness (D1)
+    assert set(df["node_id"]) == gold["nodes"]
+
+
+def test_no_reciprocal_symmetric_duplicates(result):
+    """Invariant 3: zero reciprocal duplicates for symmetric predicates
+    (mirrors uniprot_intact.cql:55-58)."""
+    df = result["edges"].to_pandas()
+    sym = df[df["predicate"].isin(["INTERACTS_WITH", "SAME_AS"])]
+    keys = set(map(tuple, sym[["src", "predicate", "dst"]].itertuples(index=False)))
+    for s, p, d in keys:
+        assert (d, p, s) not in keys or s == d
+    # canonical order enforced
+    assert (sym["src"] <= sym["dst"]).all()
+
+
+def test_obsolete_terms_never_link(result, corpus):
+    import pyarrow.parquet as pq
+
+    ont = pq.read_table(corpus["ontology"])
+    obsolete = {
+        t
+        for t, o in zip(ont["term_id"].to_pylist(), ont["is_obsolete"].to_pylist())
+        if o
+    }
+    df = result["linked"].to_pandas()
+    assert not (set(df["subj"]) | set(df["obj"])) & obsolete
+
+
+def test_dead_letter_present(result, gold):
+    assert result["dead_letter"].count() == gold["dead"]
