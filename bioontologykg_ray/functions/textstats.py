@@ -1,0 +1,125 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+These extend the reference's text-normalization family (SURVEY.md §2.3)
+with the large-scale corpus operations a training-data pipeline needs.
+Every rule here is deliberately expressible in ANSI SQL so the driver's
+DuckDB oracle can verify it bit-for-bit: token = maximal non-whitespace
+run; ratios are exact integer-over-integer IEEE divisions; tie-breaks
+are alphabetical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+_WS = re.compile(r"\s+")
+_PUNCT = re.compile(r"[.,!?;]")
+
+# per-language stopword token sets (alphabetical language order is the
+# tie-break: de < en < es < fr)
+LANG_STOPWORDS = {
+    "de": ("der", "und", "die"),
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "et", "les"),
+}
+ALL_STOPWORDS = frozenset(w for ws in LANG_STOPWORDS.values() for w in ws)
+
+
+def tokens(text: str) -> list[str]:
+    return [t for t in _WS.split(text) if t]
+
+
+def token_count(text: str) -> int:
+    return len(tokens(text))
+
+
+def lang_scores(text: str) -> dict[str, int]:
+    toks = tokens(text)
+    return {
+        lang: sum(1 for t in toks if t in ws) for lang, ws in LANG_STOPWORDS.items()
+    }
+
+
+def predict_lang(text: str) -> str:
+    """argmax stopword hits; zero hits → 'und'; ties → alphabetical."""
+    scores = lang_scores(text)
+    mx = max(scores.values())
+    if mx == 0:
+        return "und"
+    for lang in sorted(scores):  # de, en, es, fr
+        if scores[lang] == mx:
+            return lang
+    raise AssertionError
+
+
+def quality_stats(text: str) -> dict:
+    toks = tokens(text)
+    n_tok = len(toks)
+    n_chars = len(text)
+    total_tok_len = sum(len(t) for t in toks)
+    stop_hits = sum(1 for t in toks if t in ALL_STOPWORDS)
+    punct = len(_PUNCT.findall(text))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "mean_token_len": (total_tok_len / n_tok) if n_tok else 0.0,
+        "stopword_ratio": (stop_hits / n_tok) if n_tok else 0.0,
+        "punct_count": punct,
+    }
+
+
+def quality_label(n_tokens: int, stopword_ratio: float) -> str:
+    if n_tokens < 20:
+        return "too_short"
+    if stopword_ratio <= 0.01:
+        return "low_stopword"
+    return "ok"
+
+
+def md5_hex(text: str) -> str:
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+# --- rolling-hash fingerprint (vectorized polynomial hash) -----------------
+
+_FP_BASE = np.uint64(257)
+_FP_MOD = np.uint64(2**31 - 1)
+
+
+def rolling_min_hash(text: str, k: int = 16) -> int:
+    """Minimum polynomial rolling hash over all k-char windows — a
+    content-defined fingerprint robust to local edits (winnowing-style).
+    O(n) vectorized; returns an int in [0, 2^31)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    if n == 0:
+        return 0
+    if n <= k:
+        h = np.uint64(0)
+        for c in b:
+            h = (h * _FP_BASE + c) % _FP_MOD
+        return int(h)
+    # prefix hashes H[i] = hash(text[:i]); window = (H[i+k] - H[i]*B^k) mod M
+    H = np.zeros(n + 1, dtype=np.uint64)
+    for i in range(n):  # scalar mod-loop; acceptable (cheap vs regex work)
+        H[i + 1] = (H[i] * _FP_BASE + b[i]) % _FP_MOD
+    Bk = np.uint64(pow(int(_FP_BASE), k, int(_FP_MOD)))
+    win = (H[k:] + (_FP_MOD * _FP_MOD - (H[:-k] * Bk) % _FP_MOD)) % _FP_MOD
+    return int(win.min())
+
+
+def doc_stats_frame(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Batch helper for map_batches(batch_format='pandas')."""
+    rows = [quality_stats(t) for t in df[text_col]]
+    out = pd.DataFrame(rows, index=df.index)
+    out["lang_pred"] = [predict_lang(t) for t in df[text_col]]
+    out["quality"] = [
+        quality_label(r["n_tokens"], r["stopword_ratio"]) for r in rows
+    ]
+    return out

@@ -1,0 +1,1014 @@
+"""Driver-facing query registry: every SURVEY.md §2 operator family as a
+named pipeline over the driver's parquet tables, each with a matching
+DuckDB oracle SQL string (same column names, same dtypes, floats rounded
+identically on both sides so value-hashes agree).
+
+Layout: one function per query (sf_dir -> Dataset | DataFrame), plus the
+QUERIES / ORACLE dicts consumed by __ray_entry__.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from bioontologykg_ray.functions import textstats as TS
+from bioontologykg_ray.stages import joins as J
+from bioontologykg_ray.stages import neardup as ND
+from bioontologykg_ray.stages import windows as W
+from bioontologykg_ray.stages.dedup import dedup_first_by_key
+from bioontologykg_ray.stages import ann as ANN
+from bioontologykg_ray.stages import multimodal as MM
+
+
+def _p(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.01
+
+
+# =========================================================================
+# relational core (S1 read · M13 filters · A1/A2/A4 aggregates · J1/J2/J5
+# joins · O1-O4 sort/limit/pagination · D2/D4 dedup)
+# =========================================================================
+
+def q_pricing_summary(sf_dir: str):
+    """A1/A2-style grouped aggregate (TPC-H Q1 shape). Column pruning at
+    the read (S1); grouped sums via Ray's distributed aggregate."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    ds = ds.map_batches(add_rev, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("revenue", alias_name="revenue"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="n"),
+    ).to_pandas()
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["revenue"] = out["revenue"].round(2)
+    out["avg_disc"] = out["avg_disc"].round(6)
+    return out
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_segment(sf_dir: str):
+    """J1/J2 two-hop FK stitch via broadcast lookups (orders and customer
+    are dimension-sized next to lineitem — no shuffle join)."""
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]).to_pandas()
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    o2c = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
+    c2s = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    li = J.broadcast_lookup(li, o2c, "l_orderkey", "custkey")
+    li = J.broadcast_lookup(li, c2s, "custkey", "segment")
+
+    def add_rev(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df[["segment", "revenue"]]
+
+    out = (
+        li.map_batches(add_rev, batch_format="pandas")
+        .groupby("segment")
+        .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+SQL_REVENUE_SEGMENT = """
+SELECT c.c_mktsegment AS segment,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_top10_orders(sf_dir: str):
+    """O2 top-N by value with deterministic tie-break."""
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return out.to_pandas()
+
+
+SQL_TOP10_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_customers_per_region(sf_dir: str):
+    """J8 two-hop bridge join (customer→nation→region), dimensions
+    broadcast."""
+    nation = rd.read_parquet(_p(sf_dir, "nation")).to_pandas()
+    region = rd.read_parquet(_p(sf_dir, "region")).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    cust = J.broadcast_lookup(cust, n2r, "c_nationkey", "regionkey")
+    cust = J.broadcast_lookup(cust, r2name, "regionkey", "r_name")
+    return cust.groupby("r_name").aggregate(Count(alias_name="n_customers")).to_pandas()
+
+
+SQL_CUSTOMERS_PER_REGION = """
+SELECT r.r_name, count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def q_orders_per_status(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderstatus"])
+    return ds.groupby("o_orderstatus").aggregate(Count(alias_name="n")).to_pandas()
+
+
+SQL_ORDERS_PER_STATUS = "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus"
+
+
+def q_lineitem_stats(sf_dir: str):
+    """A1 global stats; timestamps compared as epoch microseconds."""
+    ds = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_quantity", "l_shipdate"])
+    agg = ds.aggregate(
+        Count(alias_name="n"),
+        Sum("l_quantity", alias_name="sum_qty"),
+        Min("l_shipdate", alias_name="min_ship"),
+        Max("l_shipdate", alias_name="max_ship"),
+    )
+    return pd.DataFrame(
+        {
+            "n": [np.int64(agg["n"])],
+            "sum_qty": [round(float(agg["sum_qty"]), 2)],
+            "min_ship_us": [np.int64(pd.Timestamp(agg["min_ship"]).value // 1000)],
+            "max_ship_us": [np.int64(pd.Timestamp(agg["max_ship"]).value // 1000)],
+        }
+    )
+
+
+SQL_LINEITEM_STATS = """
+SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+       epoch_us(min(l_shipdate)) AS min_ship_us,
+       epoch_us(max(l_shipdate)) AS max_ship_us
+FROM lineitem
+"""
+
+
+def q_early_shipments(sf_dir: str):
+    """M13 predicate + S1 filter pushdown at the parquet read."""
+    import pyarrow.dataset as pads
+
+    cutoff = pd.Timestamp("1995-06-01")
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_shipdate"],
+        filter=(pc.field("l_shipdate") < pa.scalar(cutoff)),
+    )
+    out = ds.groupby("l_returnflag").aggregate(
+        Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty")
+    ).to_pandas()
+    out["sum_qty"] = out["sum_qty"].round(2)
+    return out
+
+
+SQL_EARLY_SHIPMENTS = """
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'
+GROUP BY l_returnflag
+"""
+
+
+def q_event_type_stats(sf_dir: str):
+    """A4 conditional aggregate + distinct-count per group."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id", "value"])
+    base = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="value_sum")
+    ).to_pandas()
+    uq = (
+        ds.map_batches(
+            lambda df: df[["event_type", "user_id"]].drop_duplicates(),
+            batch_format="pandas",
+        )
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="c"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    out = base.merge(uq, on="event_type")
+    out["value_sum"] = out["value_sum"].round(3)
+    return out
+
+
+SQL_EVENT_TYPE_STATS = """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 3) AS value_sum,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_top3_event_types(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type"])
+    out = (
+        ds.groupby("event_type").aggregate(Count(alias_name="n"))
+        .sort(["n", "event_type"], descending=[True, False])
+        .limit(3)
+    )
+    return out.to_pandas()
+
+
+SQL_TOP3_EVENT_TYPES = """
+SELECT event_type, count(*) AS n FROM events
+GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3
+"""
+
+
+def q_active_users(sf_dir: str):
+    """A6 threshold filter on an aggregated metric (HAVING)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id"])
+    out = ds.groupby("user_id").aggregate(Count(alias_name="n")).to_pandas()
+    return out[out["n"] >= 20].reset_index(drop=True)
+
+
+SQL_ACTIVE_USERS = """
+SELECT user_id, count(*) AS n FROM events GROUP BY user_id HAVING count(*) >= 20
+"""
+
+
+def q_building_orders(sf_dir: str):
+    """J5 semi-join: orders of BUILDING-segment customers (broadcast key
+    set, no shuffle)."""
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    sel = J.semi_join(orders, keys, "o_custkey")
+    agg = sel.aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="total"))
+    return pd.DataFrame({"n": [np.int64(agg["n"])], "total": [round(float(agg["total"]), 2)]})
+
+
+SQL_BUILDING_ORDERS = """
+SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders o WHERE o.o_custkey IN
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def q_customers_without_orders(sf_dir: str):
+    """J5 anti-join (existence): customers never seen in orders."""
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"]).to_pandas()
+    have = set(orders["o_custkey"])
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey"])
+    out = J.anti_join(cust, have, "c_custkey").to_pandas()
+    if out.empty:  # empty Ray datasets drop their schema in to_pandas
+        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64")})
+    return out
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_orders_page2(sf_dir: str):
+    """O3 deterministic pagination ORDER BY key SKIP/LIMIT
+    (`neo4j_citation_relationship_builder.py:86-95`)."""
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    page = ds.sort("o_orderkey").limit(200).to_pandas().iloc[100:200]
+    return page.reset_index(drop=True)
+
+
+SQL_ORDERS_PAGE2 = """
+SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 100
+"""
+
+
+def q_distinct_segments(sf_dir: str):
+    """A1 distinct values (D7 set-dedup)."""
+    ds = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": vals})
+
+
+SQL_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def q_signup_or_error_users(sf_dir: str):
+    """A7 set-union of two sources + distinct."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id"])
+    a = ds.filter(expr="event_type == 'signup'")
+    b = ds.filter(expr="event_type == 'error'")
+    u = a.union(b).unique("user_id")
+    return pd.DataFrame({"user_id": sorted(u)})
+
+
+SQL_SIGNUP_OR_ERROR_USERS = """
+SELECT DISTINCT user_id FROM events WHERE event_type IN ('signup', 'error')
+"""
+
+
+def q_part_supp_pairs(sf_dir: str):
+    """D4/J6 symmetric-pair canonical dedup: distinct (lo, hi) endpoint
+    pairs from lineitem's (partkey, suppkey)."""
+    ds = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"])
+
+    def canon(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t["l_partkey"], t["l_suppkey"])
+        hi = pc.max_element_wise(t["l_partkey"], t["l_suppkey"])
+        return pa.table({"lo": lo, "hi": hi})
+
+    pairs = ds.map_batches(canon, batch_format="pyarrow")
+    out = (
+        pairs.map_batches(
+            lambda df: df.drop_duplicates(), batch_format="pandas"
+        )  # map-side partial distinct
+        .groupby(["lo", "hi"])
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()[["lo", "hi"]]
+    )
+    return out
+
+
+SQL_PART_SUPP_PAIRS = """
+SELECT DISTINCT least(l_partkey, l_suppkey) AS lo,
+                greatest(l_partkey, l_suppkey) AS hi
+FROM lineitem
+"""
+
+
+def q_user_sessions(sf_dir: str):
+    """Session windows (gap 1800 s) per user — ordered map_groups."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+    return W.session_counts(ds, gap_s=1800).to_pandas()
+
+
+SQL_USER_SESSIONS = """
+WITH d AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > 1800 * 1000000 THEN 1 ELSE 0 END AS g
+  FROM events)
+SELECT user_id, count(*) AS n_events, CAST(1 + sum(g) AS BIGINT) AS n_sessions
+FROM d GROUP BY user_id
+"""
+
+
+def q_hourly_windows(sf_dir: str):
+    """Tumbling 1-hour windows per user (map-side bucketing, pre-agg)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    return W.tumbling_window_agg(ds, width_s=3600).to_pandas()
+
+
+SQL_HOURLY_WINDOWS = """
+SELECT user_id, epoch_us(ts) // 3600000000 AS window,
+       count(*) AS n, round(sum(value), 3) AS value_sum
+FROM events GROUP BY user_id, epoch_us(ts) // 3600000000
+"""
+
+
+def q_first_event_per_user(sf_dir: str):
+    """D2 keep-first dedup with explicit ordering."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+    out = dedup_first_by_key(ds, ["user_id"], ["ts", "event_id"]).to_pandas()
+    out["ts_us"] = out["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    return out[["user_id", "event_id", "ts_us"]]
+
+
+SQL_FIRST_EVENT_PER_USER = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+"""
+
+
+def q_props_k_stats(sf_dir: str):
+    """M8-style typed extraction from a JSON string column + grouped
+    stats (regexp on both sides)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "props"])
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k": (\d+)', expand=False).astype("int64")
+        return pd.DataFrame({"event_type": df["event_type"], "k": k})
+
+    out = (
+        ds.map_batches(extract, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Mean("k", alias_name="k_avg"), Max("k", alias_name="k_max"),
+                   Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["k_avg"] = out["k_avg"].round(6)
+    return out
+
+
+SQL_PROPS_K_STATS = """
+SELECT event_type,
+       round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)), 6) AS k_avg,
+       max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS k_max,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# =========================================================================
+# text analysis (langid · quality · token counts · fingerprints)
+# =========================================================================
+
+_TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+_ALL_STOPS_SQL = "('der','und','die','the','and','of','el','la','de','le','et','les')"
+
+
+def q_doc_stats(sf_dir: str):
+    """Per-document token/quality/language stats (vectorized per batch;
+    the rule-set is SQL-mirrorable by construction)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        out = TS.doc_stats_frame(df)
+        out.insert(0, "doc_id", df["doc_id"].values)
+        out["mean_token_len"] = out["mean_token_len"].round(6)
+        out["stopword_ratio"] = out["stopword_ratio"].round(6)
+        for c in ("n_chars", "n_tokens", "punct_count"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+SQL_DOC_STATS = f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  round(CASE WHEN len(t) > 0 THEN CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE) / len(t) ELSE 0 END, 6) AS mean_token_len,
+  round(CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN {_ALL_STOPS_SQL})) AS DOUBLE) / len(t) ELSE 0 END, 6) AS stopword_ratio,
+  CAST(length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')) AS BIGINT) AS punct_count,
+  CASE WHEN greatest(
+         len(list_filter(t, x -> x IN ('der','und','die'))),
+         len(list_filter(t, x -> x IN ('the','and','of'))),
+         len(list_filter(t, x -> x IN ('el','la','de'))),
+         len(list_filter(t, x -> x IN ('le','et','les')))) = 0 THEN 'und'
+       WHEN len(list_filter(t, x -> x IN ('der','und','die'))) = greatest(
+         len(list_filter(t, x -> x IN ('der','und','die'))),
+         len(list_filter(t, x -> x IN ('the','and','of'))),
+         len(list_filter(t, x -> x IN ('el','la','de'))),
+         len(list_filter(t, x -> x IN ('le','et','les')))) THEN 'de'
+       WHEN len(list_filter(t, x -> x IN ('the','and','of'))) = greatest(
+         len(list_filter(t, x -> x IN ('der','und','die'))),
+         len(list_filter(t, x -> x IN ('the','and','of'))),
+         len(list_filter(t, x -> x IN ('el','la','de'))),
+         len(list_filter(t, x -> x IN ('le','et','les')))) THEN 'en'
+       WHEN len(list_filter(t, x -> x IN ('el','la','de'))) = greatest(
+         len(list_filter(t, x -> x IN ('der','und','die'))),
+         len(list_filter(t, x -> x IN ('the','and','of'))),
+         len(list_filter(t, x -> x IN ('el','la','de'))),
+         len(list_filter(t, x -> x IN ('le','et','les')))) THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  CASE WHEN len(t) < 20 THEN 'too_short'
+       WHEN CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> x IN {_ALL_STOPS_SQL})) AS DOUBLE) / len(t) ELSE 0 END <= 0.01 THEN 'low_stopword'
+       ELSE 'ok' END AS quality
+FROM toks
+"""
+
+
+def q_lang_counts(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    def pred(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang_pred": [TS.predict_lang(t) for t in df["text"]]})
+
+    return (
+        ds.map_batches(pred, batch_format="pandas")
+        .groupby("lang_pred")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_LANG_COUNTS = f"""
+WITH toks AS (SELECT {_TOKS_SQL} AS t FROM documents),
+c AS (SELECT
+  len(list_filter(t, x -> x IN ('der','und','die'))) AS de,
+  len(list_filter(t, x -> x IN ('the','and','of'))) AS en,
+  len(list_filter(t, x -> x IN ('el','la','de'))) AS es,
+  len(list_filter(t, x -> x IN ('le','et','les'))) AS fr
+ FROM toks)
+SELECT lang_pred, count(*) AS n FROM (
+  SELECT CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+              WHEN de = greatest(de, en, es, fr) THEN 'de'
+              WHEN en = greatest(de, en, es, fr) THEN 'en'
+              WHEN es = greatest(de, en, es, fr) THEN 'es'
+              ELSE 'fr' END AS lang_pred FROM c)
+GROUP BY lang_pred
+"""
+
+
+def q_doc_fingerprints(sf_dir: str):
+    """M12 truncation + content hash (md5 of the first 100 chars)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "fp": [TS.md5_hex(t[:100]) for t in df["text"]],
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pandas")
+
+
+SQL_DOC_FINGERPRINTS = "SELECT doc_id, md5(substr(text, 1, 100)) AS fp FROM documents"
+
+
+def q_rolling_fingerprints(sf_dir: str):
+    """Rolling-hash winnowing fingerprint (content-defined; no SQL
+    equivalent — rows-only check)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "fp_roll": [np.int64(TS.rolling_min_hash(t)) for t in df["text"]],
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pandas")
+
+
+# =========================================================================
+# dedup family (exact · n-gram Jaccard · MinHash LSH · SimHash · embedding)
+# =========================================================================
+
+def _docs_plus_exact_copies(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def dup(t: pa.Table) -> pa.Table:
+        shifted = pc.add(t["doc_id"], 1_000_000)
+        return pa.concat_tables(
+            [
+                pa.table({"doc_id": t["doc_id"], "text": t["text"]}),
+                pa.table({"doc_id": shifted, "text": t["text"]}),
+            ]
+        )
+
+    return ds.map_batches(dup, batch_format="pyarrow")
+
+
+def _docs_plus_truncated_copies(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def dup(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        trunc = [s[: (4 * len(s)) // 5] for s in texts]
+        shifted = pc.add(t["doc_id"], 2_000_000)
+        return pa.concat_tables(
+            [
+                pa.table({"doc_id": t["doc_id"], "text": t["text"]}),
+                pa.table({"doc_id": shifted, "text": pa.array(trunc, pa.string())}),
+            ]
+        )
+
+    return ds.map_batches(dup, batch_format="pyarrow")
+
+
+_CORPUS_EXACT_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000, text FROM documents"
+)
+_CORPUS_TRUNC_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 2000000, substr(text, 1, (4 * length(text)) // 5) FROM documents"
+)
+
+
+def q_exact_dedup(sf_dir: str):
+    """D1/D2 exact dedup by content hash, keep-min-id, over a corpus with
+    seeded exact duplicates."""
+    return ND.exact_dedup_docs(_docs_plus_exact_copies(sf_dir))
+
+
+SQL_EXACT_DEDUP = f"""
+WITH corpus AS ({_CORPUS_EXACT_SQL})
+SELECT md5(text) AS text_md5, min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+"""
+
+_SHINGLE_SQL = """
+toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t FROM corpus),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t) - 2),
+                                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+         ELSE [] END)) AS shingle
+  FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+"""
+
+
+def q_ngram_dup_pairs(sf_dir: str):
+    """Exact word-3-gram Jaccard pairs ≥ 0.5 via distributed inverted
+    shingle index, over a corpus with seeded 80%-prefix near-dups."""
+    return ND.ngram_jaccard_pairs(_docs_plus_truncated_copies(sf_dir), n=3, tau=0.5)
+
+
+SQL_NGRAM_DUP_PAIRS = f"""
+WITH corpus AS ({_CORPUS_TRUNC_SQL}),
+{_SHINGLE_SQL}
+SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+"""
+
+
+def q_minhash_dup_pairs(sf_dir: str):
+    """MinHash(64) + LSH(32 bands × 2 rows) candidates, exact-Jaccard
+    verified at τ=0.6 (miss prob ≈ 6e-7 at the threshold → equals the
+    exact SQL result)."""
+    return ND.minhash_lsh_pairs(_docs_plus_truncated_copies(sf_dir), n=3, tau=0.6)
+
+
+SQL_MINHASH_DUP_PAIRS = f"""
+WITH corpus AS ({_CORPUS_TRUNC_SQL}),
+{_SHINGLE_SQL}
+SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6
+"""
+
+
+def q_simhash_dup_pairs(sf_dir: str):
+    """SimHash near-dup pairs (hamming ≤ 3); signature-based, rows-only
+    check (no SQL equivalent of the bit-level signature)."""
+    return ND.simhash_pairs(_docs_plus_truncated_copies(sf_dir), max_hamming=3)
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup, label-blocked, τ=0.30."""
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"))
+    return ND.embedding_neardup_pairs(ds, tau=0.30, block_col="label")
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.30
+"""
+
+
+# =========================================================================
+# similarity search (ANN)
+# =========================================================================
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def q_ann_topk(sf_dir: str):
+    """T6 kNN re-expressed: brute-force cosine top-10 per query vector,
+    partial top-k per batch against the broadcast query matrix."""
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ANN.ann_topk_bruteforce(ds, ANN_QUERY_IDS, k=10)
+
+
+SQL_ANN_TOPK = """
+SELECT * FROM (
+  SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])), 6) AS cos,
+         CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])) DESC, v.vec_id
+         ) AS BIGINT) AS rank
+  FROM embeddings q JOIN embeddings v ON v.vec_id != q.vec_id
+  WHERE q.vec_id < 5)
+WHERE rank <= 10
+"""
+
+
+def q_ann_topk_lsh(sf_dir: str):
+    """Approximate variant: sign-random-projection bucketing (scale
+    path; recall < 1 → rows-only check)."""
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ANN.ann_topk_lsh(ds, ANN_QUERY_IDS, k=10, nbits=4, dim=64)
+
+
+def q_label_embedding_stats(sf_dir: str):
+    """List-column aggregate: per label count + mean of first embedding
+    component."""
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["label", "embedding"])
+
+    def first_comp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "label": df["label"],
+                "e0": [float(np.asarray(v, dtype=np.float64)[0]) for v in df["embedding"]],
+            }
+        )
+
+    out = (
+        ds.map_batches(first_comp, batch_format="pandas")
+        .groupby("label")
+        .aggregate(Count(alias_name="n"), Mean("e0", alias_name="e0_avg"))
+        .to_pandas()
+    )
+    out["e0_avg"] = out["e0_avg"].round(6)
+    return out
+
+
+SQL_LABEL_EMBEDDING_STATS = """
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n, round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS e0_avg
+FROM embeddings GROUP BY label
+"""
+
+
+# =========================================================================
+# multimodal plumbing (stubbed decode, real schema/batching)
+# =========================================================================
+
+def q_image_metadata(sf_dir: str):
+    """binary payload → actor-pool decode stage → typed metadata (decode
+    kernel is the deterministic stub; plumbing is real)."""
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    media = MM.attach_payload(docs)
+    return MM.decode_image_metadata(media)
+
+
+SQL_IMAGE_METADATA = """
+SELECT doc_id AS media_id,
+       strlen(text) % 640 + 16 AS width,
+       ((CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END) * 7
+         + strlen(text)) % 480 + 16 AS height,
+       (strlen(text) % 640 + 16) *
+       (((CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END) * 7
+         + strlen(text)) % 480 + 16) AS n_pixels
+FROM documents
+"""
+
+
+def q_frame_sample_counts(sf_dir: str):
+    """Video-style frame sampling explode, counted per media id."""
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    frames = MM.sample_frames(MM.attach_payload(docs), stride=4)
+    return frames.groupby("media_id").aggregate(Count(alias_name="n_frames"))
+
+
+SQL_FRAME_SAMPLE_COUNTS = """
+SELECT doc_id AS media_id,
+       (greatest(1, strlen(text) // 64) + 3) // 4 AS n_frames
+FROM documents
+"""
+
+
+# =========================================================================
+# KG construction pipeline (the flagship, over synthetic transcripts —
+# BASELINE.json input_hint; rows-only checks except extraction/ordering,
+# whose SQL oracles run the same grammar over the same parquet)
+# =========================================================================
+
+from bioontologykg_ray import synth as SY
+from bioontologykg_ray.config import PipelineConfig
+from bioontologykg_ray.pipelines import kg as KG
+from bioontologykg_ray.stages.extract import TRIPLE_PATTERN, extract_triples
+from bioontologykg_ray.stages.ordering import order_conversations
+
+_KG_CFG = PipelineConfig()
+_KG_CACHE: dict[str, dict] = {}
+
+
+def _synth_paths(sf_dir: str) -> dict:
+    d = SY.ensure_synth(sf_of(sf_dir))
+    return {
+        "transcripts": os.path.join(d, "transcripts"),
+        "ontology": os.path.join(d, "ontology_terms.parquet"),
+    }
+
+
+def _kg_results(sf_dir: str) -> dict:
+    """Run the flagship DAG once per sf and cache the (small) outputs —
+    several registry entries expose different stages of the same run."""
+    if sf_dir not in _KG_CACHE:
+        p = _synth_paths(sf_dir)
+        res = KG.run_kg_pipeline(p["transcripts"], p["ontology"], _KG_CFG)
+        _KG_CACHE[sf_dir] = {
+            "linked": res["linked"].to_pandas(),
+            "edges": res["edges"].to_pandas(),
+            "nodes": res["nodes"].to_pandas().drop(columns=["embedding"]),
+            "dead": res["dead_letter"].to_pandas(),
+            "labels": res["labels"].to_pandas(),
+        }
+    return _KG_CACHE[sf_dir]
+
+
+def q_kg_extract_triples(sf_dir: str):
+    """Stable ordering + regex triple extraction over transcript shards
+    (surface forms; the SQL oracle runs the same grammar via RE2)."""
+    p = _synth_paths(sf_dir)
+    ds = rd.read_parquet(p["transcripts"])
+    raw = extract_triples(order_conversations(ds), dim=_KG_CFG.embedding_dim)
+    return raw.select_columns(["subj_surface", "pred", "obj_surface", "conv_id", "turn_idx"])
+
+
+def _sql_kg_extract(sf: float) -> str:
+    tdir = os.path.join(SY.synth_dir(sf), "transcripts", "*.parquet")
+    pat = TRIPLE_PATTERN.replace("'", "''")
+    return f"""
+WITH m AS (
+  SELECT conv_id, turn_idx,
+         unnest(regexp_extract_all(text, '{pat}')) AS mt
+  FROM read_parquet('{tdir}'))
+SELECT regexp_extract(mt, '{pat}', 1) AS subj_surface,
+       CASE regexp_extract(mt, '{pat}', 2)
+         WHEN 'is the same as' THEN 'SAME_AS'
+         WHEN 'interacts with' THEN 'INTERACTS_WITH'
+         WHEN 'is part of' THEN 'PART_OF'
+         WHEN 'regulates' THEN 'REGULATES'
+         WHEN 'is a' THEN 'IS_A' END AS pred,
+       regexp_extract(mt, '{pat}', 3) AS obj_surface,
+       conv_id, turn_idx
+FROM m
+"""
+
+
+def q_kg_ordered_turns(sf_dir: str):
+    """North-star invariant surface: (conv_id, turn_idx, role, text)
+    after the stable-ordering stage — content-equal to the input."""
+    p = _synth_paths(sf_dir)
+    ds = rd.read_parquet(p["transcripts"])
+    return order_conversations(ds).select_columns(["conv_id", "turn_idx", "role", "text"])
+
+
+def _sql_kg_ordered(sf: float) -> str:
+    tdir = os.path.join(SY.synth_dir(sf), "transcripts", "*.parquet")
+    return f"SELECT conv_id, turn_idx, role, text FROM read_parquet('{tdir}')"
+
+
+def q_kg_linked_triples(sf_dir: str):
+    """Entity-linked triples (alias dict + embedding disambiguation) —
+    non-SQL-expressible (hashed-BoW context scoring); rows-only check,
+    exact-match-vs-oracle covered in tests/test_kg_pipeline.py."""
+    return _kg_results(sf_dir)["linked"]
+
+
+def q_kg_canonical_edges(sf_dir: str):
+    """Final edge table after union-find canonicalization + dedup."""
+    return _kg_results(sf_dir)["edges"]
+
+
+def q_kg_nodes(sf_dir: str):
+    """Final node table (embedding column dropped for the check)."""
+    return _kg_results(sf_dir)["nodes"]
+
+
+def q_kg_dead_letter(sf_dir: str):
+    """K5 failure-log sink: unlinked mentions with reasons."""
+    return _kg_results(sf_dir)["dead"]
+
+
+def q_kg_component_labels(sf_dir: str):
+    """Union-find output: node → canonical root for every node touched
+    by a same-as edge."""
+    return _kg_results(sf_dir)["labels"]
+
+
+# =========================================================================
+# registry
+# =========================================================================
+
+QUERIES = {
+    # relational core
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_segment": q_revenue_by_segment,
+    "top10_orders": q_top10_orders,
+    "customers_per_region": q_customers_per_region,
+    "orders_per_status": q_orders_per_status,
+    "lineitem_stats": q_lineitem_stats,
+    "early_shipments": q_early_shipments,
+    "event_type_stats": q_event_type_stats,
+    "top3_event_types": q_top3_event_types,
+    "active_users": q_active_users,
+    "building_orders": q_building_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "orders_page2": q_orders_page2,
+    "distinct_segments": q_distinct_segments,
+    "signup_or_error_users": q_signup_or_error_users,
+    "part_supp_pairs": q_part_supp_pairs,
+    "user_sessions": q_user_sessions,
+    "hourly_windows": q_hourly_windows,
+    "first_event_per_user": q_first_event_per_user,
+    "props_k_stats": q_props_k_stats,
+    # text analysis
+    "doc_stats": q_doc_stats,
+    "lang_counts": q_lang_counts,
+    "doc_fingerprints": q_doc_fingerprints,
+    "rolling_fingerprints": q_rolling_fingerprints,
+    # dedup family
+    "exact_dedup": q_exact_dedup,
+    "ngram_dup_pairs": q_ngram_dup_pairs,
+    "minhash_dup_pairs": q_minhash_dup_pairs,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+    "embedding_neardup": q_embedding_neardup,
+    # similarity search
+    "ann_topk": q_ann_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "label_embedding_stats": q_label_embedding_stats,
+    # multimodal plumbing
+    "image_metadata": q_image_metadata,
+    "frame_sample_counts": q_frame_sample_counts,
+    # KG flagship
+    "kg_extract_triples": q_kg_extract_triples,
+    "kg_ordered_turns": q_kg_ordered_turns,
+    "kg_linked_triples": q_kg_linked_triples,
+    "kg_canonical_edges": q_kg_canonical_edges,
+    "kg_nodes": q_kg_nodes,
+    "kg_dead_letter": q_kg_dead_letter,
+    "kg_component_labels": q_kg_component_labels,
+}
+
+# The driver runs the oracle at sf=0.01; the KG oracles therefore point
+# at the sf0.01 synthetic corpus (generated by queries()-time warmup).
+ORACLE = {
+    "pricing_summary": SQL_PRICING,
+    "revenue_by_segment": SQL_REVENUE_SEGMENT,
+    "top10_orders": SQL_TOP10_ORDERS,
+    "customers_per_region": SQL_CUSTOMERS_PER_REGION,
+    "orders_per_status": SQL_ORDERS_PER_STATUS,
+    "lineitem_stats": SQL_LINEITEM_STATS,
+    "early_shipments": SQL_EARLY_SHIPMENTS,
+    "event_type_stats": SQL_EVENT_TYPE_STATS,
+    "top3_event_types": SQL_TOP3_EVENT_TYPES,
+    "active_users": SQL_ACTIVE_USERS,
+    "building_orders": SQL_BUILDING_ORDERS,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "orders_page2": SQL_ORDERS_PAGE2,
+    "distinct_segments": SQL_DISTINCT_SEGMENTS,
+    "signup_or_error_users": SQL_SIGNUP_OR_ERROR_USERS,
+    "part_supp_pairs": SQL_PART_SUPP_PAIRS,
+    "user_sessions": SQL_USER_SESSIONS,
+    "hourly_windows": SQL_HOURLY_WINDOWS,
+    "first_event_per_user": SQL_FIRST_EVENT_PER_USER,
+    "props_k_stats": SQL_PROPS_K_STATS,
+    "doc_stats": SQL_DOC_STATS,
+    "lang_counts": SQL_LANG_COUNTS,
+    "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "ngram_dup_pairs": SQL_NGRAM_DUP_PAIRS,
+    "minhash_dup_pairs": SQL_MINHASH_DUP_PAIRS,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "ann_topk": SQL_ANN_TOPK,
+    "label_embedding_stats": SQL_LABEL_EMBEDDING_STATS,
+    "image_metadata": SQL_IMAGE_METADATA,
+    "frame_sample_counts": SQL_FRAME_SAMPLE_COUNTS,
+    "kg_extract_triples": _sql_kg_extract(0.01),
+    "kg_ordered_turns": _sql_kg_ordered(0.01),
+    # rows-only (non-SQL-expressible): rolling_fingerprints,
+    # simhash_dup_pairs, ann_topk_lsh, kg_linked_triples,
+    # kg_canonical_edges, kg_nodes, kg_dead_letter, kg_component_labels
+}
+
+
+def oracle_for_sf(sf: float) -> dict:
+    """ORACLE with the KG entries re-pointed at another synthetic sf —
+    used by the local conformance harness (the driver always runs 0.01)."""
+    d = dict(ORACLE)
+    d["kg_extract_triples"] = _sql_kg_extract(sf)
+    d["kg_ordered_turns"] = _sql_kg_ordered(sf)
+    return d

@@ -1,0 +1,173 @@
+"""Similarity search over an embedding column.
+
+Reference precedent: kNN vector search T6
+(`neo4j_pubmed_batch_embeddings_processor.py:750-812`: embed query →
+top-k ORDER BY score DESC) and the cosine scorer T5.
+
+Two implementations:
+- brute-force exact top-k: the query matrix is broadcast once
+  (``ray.put``); each batch computes a vectorized matmul and emits only its
+  per-batch top-k rows (a combiner), so the final groupby sees
+  O(#queries × k × #blocks) rows, not the corpus.
+- LSH-bucketed approximate variant: sign-random-projection buckets; a
+  query probes only its own bucket (the scale path; recall < 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
+
+
+class BruteForceScorer:
+    """Per-batch partial top-k against the broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int):
+        payload = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = payload["qids"]
+        self.Q = _normalize(payload["Q"])
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy()
+        M = _normalize(_as_matrix(df["embedding"]))
+        C = self.Q @ M.T  # (nq, batch)
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(self.qids):
+            scores = C[qi]
+            mask = ids != qid  # exclude self
+            cand_ids = ids[mask]
+            cand_sc = scores[mask]
+            if cand_ids.size == 0:
+                continue
+            top = min(self.k, cand_ids.size)
+            # partial top-k with deterministic (score desc, vec_id asc)
+            order = np.lexsort((cand_ids, -cand_sc))[:top]
+            out_q.extend([qid] * top)
+            out_v.extend(cand_ids[order])
+            out_c.extend(cand_sc[order])
+        return pd.DataFrame(
+            {
+                "query_id": np.asarray(out_q, np.int64),
+                "vec_id": np.asarray(out_v, np.int64),
+                "cos": np.asarray(out_c, np.float64),
+            }
+        )
+
+
+def _final_topk(k: int):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cos"] = g["cos"].round(6)
+        return g
+
+    return fn
+
+
+def ann_topk_bruteforce(
+    ds: ray.data.Dataset, query_ids: list[int], k: int = 10
+) -> ray.data.Dataset:
+    """Exact cosine top-k for each query vector (excluding itself)."""
+    qset = set(query_ids)
+    qdf = ds.map_batches(
+        lambda df: df[df["vec_id"].isin(qset)], batch_format="pandas"
+    ).to_pandas().sort_values("vec_id")
+    ref = ray.put({"qids": qdf["vec_id"].to_numpy(), "Q": _as_matrix(qdf["embedding"])})
+    partials = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 4),
+    )
+    return partials.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# sign-random-projection LSH buckets (approximate scale path)
+# --------------------------------------------------------------------------
+
+def srp_bucket(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (M @ planes.T) > 0  # (n, nbits)
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+    return bits.astype(np.int64) @ weights
+
+
+def ann_topk_lsh(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    nbits: int = 4,
+    dim: int = 64,
+    seed: int = 11,
+) -> ray.data.Dataset:
+    """Approximate top-k: both sides bucketed by sign random projection;
+    a query only scores vectors in its bucket. Same output schema as the
+    brute-force variant; recall depends on nbits."""
+    planes = np.random.RandomState(seed).standard_normal((nbits, dim))
+    qset = set(query_ids)
+    qdf = ds.map_batches(
+        lambda df: df[df["vec_id"].isin(qset)], batch_format="pandas"
+    ).to_pandas().sort_values("vec_id")
+    Q = _as_matrix(qdf["embedding"])
+    qb = srp_bucket(_normalize(Q), planes)
+    ref = ray.put(
+        {"qids": qdf["vec_id"].to_numpy(), "Q": Q, "qb": qb, "planes": planes}
+    )
+
+    class BucketScorer:
+        def __init__(self, ref, k):
+            p = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.qids, self.qb = p["qids"], p["qb"]
+            self.Q = _normalize(p["Q"])
+            self.planes = p["planes"]
+            self.k = k
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["vec_id"].to_numpy()
+            M = _normalize(_as_matrix(df["embedding"]))
+            mb = srp_bucket(M, self.planes)
+            out_q, out_v, out_c = [], [], []
+            for qi, qid in enumerate(self.qids):
+                sel = (mb == self.qb[qi]) & (ids != qid)
+                if not sel.any():
+                    continue
+                cand_ids, cand = ids[sel], M[sel]
+                sc = cand @ self.Q[qi]
+                top = min(self.k, cand_ids.size)
+                order = np.lexsort((cand_ids, -sc))[:top]
+                out_q.extend([qid] * top)
+                out_v.extend(cand_ids[order])
+                out_c.extend(sc[order])
+            return pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, np.int64),
+                    "vec_id": np.asarray(out_v, np.int64),
+                    "cos": np.asarray(out_c, np.float64),
+                }
+            )
+
+    partials = ds.map_batches(
+        BucketScorer,
+        fn_constructor_kwargs={"ref": ref, "k": k},
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 4),
+    )
+    return partials.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")

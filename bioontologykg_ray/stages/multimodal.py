@@ -1,0 +1,149 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads ride as ``binary`` columns with metadata
+structs; decode / feature-extract / resize / frame-sample run as
+actor-pool ``map_batches`` stages with SMALL batch sizes (a batch ×
+concurrency of decoded frames must fit a worker heap).
+
+The decode kernels themselves are STUBS — no imaging/audio libraries
+exist in this container. ``FakeImageDecoder`` derives deterministic
+metadata from the payload bytes so the Ray-side plumbing (schema, batch
+sizing, actor signature, output layout) is real and tested;
+``RealImageDecoder`` shows the intended integration point and raises
+``NotImplementedError`` unless PIL is importable.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("payload", pa.binary()),     # opaque encoded bytes
+        pa.field("media_type", pa.string()),  # 'image' | 'audio' | 'video'
+        pa.field("n_bytes", pa.int64()),
+    ]
+)
+
+
+def attach_payload(ds: ray.data.Dataset, id_col: str = "doc_id",
+                   text_col: str = "text") -> ray.data.Dataset:
+    """Testdata shim: wrap each document's utf-8 bytes as a fake encoded
+    image payload (the plumbing treats it as opaque binary)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        payloads = [s.encode("utf-8") for s in texts]
+        return pa.table(
+            {
+                "media_id": t[id_col].cast(pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "media_type": pa.array(["image"] * len(payloads), pa.string()),
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class FakeImageDecoder:
+    """Deterministic stand-in for an image decode + metadata stage.
+
+    Width/height derive from payload length and the first byte, so
+    outputs are reproducible and SQL-mirrorable:
+      width  = n_bytes % 640 + 16
+      height = (first_byte * 7 + n_bytes) % 480 + 16
+    """
+
+    def __init__(self):
+        self.decoded = 0  # per-actor counter (A5 metrics precedent)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        widths = [len(p) % 640 + 16 for p in payloads]
+        heights = [
+            ((p[0] if p else 0) * 7 + len(p)) % 480 + 16 for p in payloads
+        ]
+        self.decoded += len(payloads)
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "width": pa.array(widths, pa.int64()),
+                "height": pa.array(heights, pa.int64()),
+                "n_pixels": pa.array(
+                    [w * h for w, h in zip(widths, heights)], pa.int64()
+                ),
+            }
+        )
+
+
+class RealImageDecoder:
+    """Integration point for a real decoder (PIL). Not available in this
+    container — construction fails fast with NotImplementedError."""
+
+    def __init__(self, target_size: tuple[int, int] = (224, 224)):
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "image decoding requires PIL; not available in this environment"
+            ) from e
+        self.target_size = target_size
+
+    def __call__(self, t: pa.Table) -> pa.Table:  # pragma: no cover
+        raise NotImplementedError
+
+
+def decode_image_metadata(
+    ds: ray.data.Dataset, batch_size: int = 256, concurrency: int | tuple = (1, 4)
+) -> ray.data.Dataset:
+    """Actor-pool decode stage. Small batch_size on purpose: decoded
+    media blows up memory ~100x vs the encoded payload."""
+    return ds.map_batches(
+        FakeImageDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class FakeFrameSampler:
+    """Video frame-sampling plumbing: payload → every-Nth 'frame' row
+    (here: fixed-size byte windows), the flat_map-shaped explode a real
+    ffmpeg-based sampler would produce."""
+
+    def __init__(self, frame_bytes: int = 64, stride: int = 4):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, fidx, frames = [], [], []
+        for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            n_frames = max(1, len(payload) // self.frame_bytes)
+            for i in range(0, n_frames, self.stride):
+                ids.append(mid)
+                fidx.append(i)
+                frames.append(payload[i * self.frame_bytes : (i + 1) * self.frame_bytes])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def sample_frames(ds: ray.data.Dataset, stride: int = 4,
+                  batch_size: int = 128) -> ray.data.Dataset:
+    return ds.map_batches(
+        FakeFrameSampler,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 2),
+    )

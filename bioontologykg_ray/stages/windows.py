@@ -1,0 +1,68 @@
+"""Stream-shaped operators over the events log.
+
+The reference has no true streaming (SURVEY.md §2.10), but its
+deterministic-pagination + ordered-scan patterns map to the standard
+Ray Data treatment of a log table: partition by key, sort by ts within
+the partition, window with vectorized pandas inside ``map_groups``.
+Ordering assumption: ts is unique enough per user that (ts, event_id)
+is a total order — the tie-break is explicit everywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def tumbling_window_agg(ds: ray.data.Dataset, width_s: int = 3600) -> ray.data.Dataset:
+    """Per (user_id, window) count + value sum; window = floor(epoch/width).
+    Pure map-side bucketing + one pre-aggregated groupby — no per-group
+    Python at all."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts_ns = df["ts"].astype("datetime64[ns]").astype("int64")
+        w = (ts_ns // (width_s * 1_000_000_000)).astype(np.int64)
+        g = (
+            pd.DataFrame({"user_id": df["user_id"], "window": w, "value": df["value"]})
+            .groupby(["user_id", "window"], as_index=False)
+            .agg(n=("value", "size"), value_sum=("value", "sum"))
+        )
+        g["key"] = g["user_id"].astype(str) + "|" + g["window"].astype(str)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [np.int64(g["user_id"].iloc[0])],
+                "window": [np.int64(g["window"].iloc[0])],
+                "n": [np.int64(g["n"].sum())],
+                "value_sum": [round(float(g["value_sum"].sum()), 3)],
+            }
+        )
+
+    return partials.groupby("key").map_groups(final, batch_format="pandas")
+
+
+def session_counts(ds: ray.data.Dataset, gap_s: int = 1800) -> ray.data.Dataset:
+    """#sessions per user with a session gap of ``gap_s`` seconds —
+    groupby(user).map_groups over the ts-sorted group (lag + threshold),
+    mirroring the SQL lag()/cumsum window formulation."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = (g.sort_values(["ts", "event_id"])["ts"]
+              .astype("datetime64[ns]").astype("int64").to_numpy())
+        if ts.size == 0:
+            n_sessions = 0
+        else:
+            gaps = np.diff(ts) > gap_s * 1_000_000_000
+            n_sessions = 1 + int(gaps.sum())
+        return pd.DataFrame(
+            {"user_id": [np.int64(g["user_id"].iloc[0])],
+             "n_events": [np.int64(len(g))],
+             "n_sessions": [np.int64(n_sessions)]}
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
