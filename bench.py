@@ -1,0 +1,170 @@
+"""Benchmark harness.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "kg_turns_per_sec": ..., "kg_triples_per_sec": ...}
+
+``--scaling``: runs the same bench twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and prints throughput at
+both plus the scaling efficiency (the sandbox stand-in for the N vs 4N
+node criterion in BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE_QUERIES = [
+    "pricing_summary",
+    "revenue_by_segment",
+    "part_supp_pairs",
+    "hourly_windows",
+    "minhash_dup_pairs",
+    "ngram_dup_pairs",
+    "ann_topk",
+    "doc_stats",
+]
+
+
+def _consume(res) -> int:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return len(res)
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from bioontologykg_ray import synth
+    from bioontologykg_ray.config import PipelineConfig
+    from bioontologykg_ray.pipelines.kg import run_kg_pipeline
+    from bioontologykg_ray.pipelines.queries import QUERIES, sf_of
+
+    sf = sf_of(sf_dir)
+    d = synth.ensure_synth(sf)  # untimed: corpus generation is fixture prep
+
+    # warm the OS page cache so we measure compute + shuffle, not cold reads
+    import pyarrow.parquet as pq
+    import glob
+
+    for f in glob.glob(os.path.join(sf_dir, "*.parquet")) + glob.glob(
+        os.path.join(d, "transcripts", "*.parquet")
+    ):
+        pq.read_table(f)
+
+    queries: dict[str, float] = {}
+
+    # --- flagship: KG construction over the synthetic transcript corpus
+    cfg = PipelineConfig(link_concurrency=max(2, num_cpus // 4))
+    t0 = time.time()
+    res = run_kg_pipeline(
+        os.path.join(d, "transcripts"), os.path.join(d, "ontology_terms.parquet"), cfg
+    )
+    n_edges = res["edges"].count()
+    n_nodes = res["nodes"].count()
+    n_linked = len(res["linked"].to_pandas())
+    kg_sec = time.time() - t0
+    queries["kg_pipeline"] = round(kg_sec, 3)
+
+    n_turns = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(d, "transcripts", "*.parquet"))
+    )
+
+    # --- headline operator queries over the driver tables
+    for name in HEADLINE_QUERIES:
+        t0 = time.time()
+        _consume(QUERIES[name](sf_dir))
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "headline pipelines e2e (KG construction + operator suite)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "kg_turns": n_turns,
+        "kg_linked_triples": n_linked,
+        "kg_edges": n_edges,
+        "kg_nodes": n_nodes,
+        "kg_turns_per_sec": round(n_turns / kg_sec, 1),
+        "kg_triples_per_sec": round(n_linked / kg_sec, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    kg_eff = (r_lo["queries"]["kg_pipeline"] / r_hi["queries"]["kg_pipeline"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (num_cpus 8 -> 32, fresh processes)",
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "scaling_efficiency": round(eff, 3),
+                "kg_sec_8": r_lo["queries"]["kg_pipeline"],
+                "kg_sec_32": r_hi["queries"]["kg_pipeline"],
+                "kg_scaling_efficiency": round(kg_eff, 3),
+                "kg_turns_per_sec_8": r_lo["kg_turns_per_sec"],
+                "kg_turns_per_sec_32": r_hi["kg_turns_per_sec"],
+                "sf": r_hi["sf"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

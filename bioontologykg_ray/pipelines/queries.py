@@ -351,16 +351,12 @@ def q_part_supp_pairs(sf_dir: str):
         hi = pc.max_element_wise(t["l_partkey"], t["l_suppkey"])
         return pa.table({"lo": lo, "hi": hi})
 
+    from bioontologykg_ray.stages.agg import grouped_distinct
+
     pairs = ds.map_batches(canon, batch_format="pyarrow")
-    out = (
-        pairs.map_batches(
-            lambda df: df.drop_duplicates(), batch_format="pandas"
-        )  # map-side partial distinct
-        .groupby(["lo", "hi"])
-        .aggregate(Count(alias_name="c"))
-        .to_pandas()[["lo", "hi"]]
-    )
-    return out
+    # ~50k+ distinct keys: vectorized two-phase distinct, not the
+    # per-key-accumulator builtin aggregate (stages/agg.py)
+    return grouped_distinct(pairs, ["lo", "hi"])
 
 
 SQL_PART_SUPP_PAIRS = """

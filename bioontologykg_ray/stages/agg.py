@@ -1,0 +1,116 @@
+"""Vectorized aggregation strategies for HIGH-CARDINALITY keys.
+
+Ray's built-in ``groupby().aggregate()`` keeps a Python accumulator per
+key (~0.4 ms/group measured) — fine for dozens of groups, fatal for
+hundreds of thousands. These helpers keep everything in pandas/Arrow
+kernels:
+
+- ``two_phase_agg``: map-side vectorized partial aggregate (one row per
+  key per batch) → combine on the much smaller partials. The shuffle
+  moves O(#keys), not O(#rows) — the same pre-aggregate pattern the
+  skew notes in SURVEY.md §4.2 demand.
+- ``sorted_group_apply``: EXACT per-key apply for when the operation
+  needs the whole group (e.g. candidate-pair emission). Sort by key
+  (one range shuffle, vectorized), apply per block to all keys strictly
+  inside the block, and route the block-edge keys (the only ones that
+  may straddle blocks) into a small second pass. Cost: one sort + two
+  vectorized passes; no per-group Python dispatch in Ray.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+import ray.data
+
+
+def two_phase_agg(
+    ds: ray.data.Dataset,
+    partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    combine_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    combine_partitions: int = 1,
+) -> ray.data.Dataset:
+    """partial per batch → repartition → combine per block.
+
+    ``combine_partitions=1`` gives a single vectorized combine task over
+    ~#keys rows (fine into the tens of millions). For larger key spaces
+    raise it and make ``combine_fn`` idempotent per key-range (pair with
+    a prior ``sort`` so ranges don't straddle, as sorted_group_apply
+    does)."""
+    partials = ds.map_batches(partial_fn, batch_format="pandas")
+    return partials.repartition(combine_partitions).map_batches(
+        combine_fn, batch_format="pandas", batch_size=None
+    )
+
+
+def grouped_count(
+    ds: ray.data.Dataset, keys: list[str], out_col: str = "n",
+    combine_partitions: int = 1,
+) -> ray.data.Dataset:
+    """Distributed COUNT(*) GROUP BY keys, fully vectorized."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False).size().rename(columns={"size": out_col})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False)[out_col].sum()
+
+    return two_phase_agg(ds, partial, combine, combine_partitions)
+
+
+def grouped_distinct(
+    ds: ray.data.Dataset, keys: list[str], combine_partitions: int = 1
+) -> ray.data.Dataset:
+    """Distributed SELECT DISTINCT keys, fully vectorized."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[keys].drop_duplicates()
+
+    return two_phase_agg(ds, partial, partial, combine_partitions)
+
+
+def sorted_group_apply(
+    ds: ray.data.Dataset,
+    key_col: str,
+    apply_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    empty_like: pd.DataFrame,
+) -> ray.data.Dataset:
+    """Exact group-wise apply without per-group task dispatch.
+
+    ``apply_fn`` receives a DataFrame containing one or more COMPLETE
+    key groups (use ``df.groupby(key_col)`` inside — vectorized) and
+    returns any frame. Keys that sit at a block's min/max after the sort
+    (the only ones that can straddle block boundaries) are processed
+    exclusively in a second, small pass. ``empty_like`` pins the output
+    schema for empty partitions.
+
+    The sorted dataset is MATERIALIZED: both passes must observe the
+    exact same block boundaries (a lazy sort could re-execute with
+    different boundaries per consumer, double- or under-counting the
+    edge keys)."""
+    s = ds.sort(key_col).materialize()
+
+    def inner(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty_like.copy()
+        k = df[key_col]
+        edge = (k == k.iloc[0]) | (k == k.iloc[-1])
+        body = df[~edge]
+        out = apply_fn(body) if not body.empty else empty_like.copy()
+        return out
+
+    def edges_only(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        k = df[key_col]
+        return df[(k == k.iloc[0]) | (k == k.iloc[-1])]
+
+    body_out = s.map_batches(inner, batch_format="pandas", batch_size=None)
+    edge_rows = s.map_batches(edges_only, batch_format="pandas", batch_size=None)
+    edge_out = edge_rows.repartition(1).map_batches(
+        lambda df: apply_fn(df) if not df.empty else empty_like.copy(),
+        batch_format="pandas",
+        batch_size=None,
+    )
+    return body_out.union(edge_out)

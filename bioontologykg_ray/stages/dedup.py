@@ -51,6 +51,8 @@ def count_triples(ds: ray.data.Dataset) -> ray.data.Dataset:
     batch. Phase 2: groupby the composite key, Sum the partials. The
     composite key keeps the groupby single-column; split back after."""
 
+    from bioontologykg_ray.stages.agg import two_phase_agg
+
     def partial(t: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(t["subj"], t["pred"], t["obj"], SEP)
         vc = pc.value_counts(key)
@@ -59,7 +61,13 @@ def count_triples(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    summed = partials.groupby("key").sum("n")
+    # high-cardinality combine: vectorized pandas two-phase, NOT the
+    # per-key-accumulator builtin aggregate (see stages/agg.py)
+    summed = two_phase_agg(
+        partials,
+        lambda df: df.groupby("key", as_index=False)["n"].sum(),
+        lambda df: df.groupby("key", as_index=False)["n"].sum(),
+    )
 
     def split(t: pa.Table) -> pa.Table:
         parts = pc.split_pattern(t["key"], SEP)
@@ -68,7 +76,7 @@ def count_triples(ds: ray.data.Dataset) -> ray.data.Dataset:
                 "src": pc.list_element(parts, 0),
                 "predicate": pc.list_element(parts, 1),
                 "dst": pc.list_element(parts, 2),
-                "n_mentions": t.column(1).cast(pa.int64()),
+                "n_mentions": t["n"].cast(pa.int64()),
             }
         )
 
@@ -105,9 +113,16 @@ def dedup_first_by_key(
 
 
 def distinct_values(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
-    """Distinct values of one column: per-batch unique → tiny groupby."""
+    """Distinct values of one column: per-batch unique → vectorized
+    two-phase combine (no per-key accumulators)."""
+    from bioontologykg_ray.stages.agg import two_phase_agg
 
     def per_batch(t: pa.Table) -> pa.Table:
         return pa.table({col: pc.unique(t[col].combine_chunks())})
 
-    return ds.map_batches(per_batch, batch_format="pyarrow").groupby(col).count().select_columns([col])
+    pre = ds.map_batches(per_batch, batch_format="pyarrow")
+    return two_phase_agg(
+        pre,
+        lambda df: df.drop_duplicates(),
+        lambda df: df.drop_duplicates(),
+    )

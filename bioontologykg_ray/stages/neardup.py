@@ -3,16 +3,18 @@ embedding-cosine near-dup.
 
 Extends the reference's exact-key dedup (D1/D2, SURVEY.md §2.8) with the
 near-duplicate operators a training-data pipeline needs. Each operator
-is a composition of vectorized ``map_batches`` + ``groupby`` shuffles:
+is a composition of vectorized ``map_batches`` + shuffles; all
+high-cardinality group operations go through stages/agg.py
+(two-phase vectorized aggregation / sorted-block group apply) instead of
+Ray's per-key-accumulator aggregate:
 
-- exact:      content hash → hash-partition → keep min key (MERGE
+- exact:      content hash → partial min-id per batch → combine (MERGE
               first-wins, `remediate_duplicate_pubmed_ids.cql:1-13`)
-- n-gram Jaccard: inverted shingle index (explode → co-group → pair
-              count) — EXACT pair Jaccard, SQL-verifiable
-- MinHash+LSH: shingle → signature → band → bucket groupby → candidate
-              pairs → exact-Jaccard verify. The scale path: at 100 TB
-              drop ultra-frequent shingles and band keys with huge
-              buckets (document the cap); here buckets are tiny.
+- n-gram Jaccard: inverted shingle index (explode → sorted group apply →
+              pair count) — EXACT pair Jaccard, SQL-verifiable
+- MinHash+LSH: shingle → signature → band → bucket pairs → exact-Jaccard
+              verify. The scale path: at 100 TB drop ultra-frequent
+              shingles and band keys with huge buckets (cap documented).
 - SimHash:    64-bit signature, banded buckets, Hamming verify
 - embedding:  label-blocked pairwise cosine (the general form blocks by
               coarse quantization bucket)
@@ -26,12 +28,21 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 import ray.data
 
 from bioontologykg_ray.functions import hashing as H
 from bioontologykg_ray.functions.textstats import md5_hex
+from bioontologykg_ray.stages.agg import (
+    grouped_count,
+    grouped_distinct,
+    sorted_group_apply,
+    two_phase_agg,
+)
+
+_EMPTY_PAIRS = pd.DataFrame(
+    {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
+)
 
 
 # --------------------------------------------------------------------------
@@ -42,48 +53,66 @@ def exact_dedup_docs(ds: ray.data.Dataset, id_col: str = "doc_id",
                      text_col: str = "text") -> ray.data.Dataset:
     """One row per distinct text, keeping the minimum id (first-wins
     MERGE semantics). Two-phase: per-batch (hash, min id) partials, then
-    groupby(hash).min — the shuffle moves one row per distinct text per
-    batch, never the full corpus."""
+    a vectorized combine — the shuffle moves one row per distinct text
+    per batch, never the full corpus."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         h = df[text_col].map(md5_hex)
-        out = (
+        return (
             pd.DataFrame({"text_md5": h, id_col: df[id_col]})
             .groupby("text_md5", as_index=False)[id_col]
             .min()
         )
-        return out
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-    merged = partials.groupby("text_md5").min(id_col)
-    return merged.map_batches(
-        lambda t: pa.table({"text_md5": t.column(0), id_col: t.column(1)}),
-        batch_format="pyarrow",
-    )
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("text_md5", as_index=False)[id_col].min()
+
+    return two_phase_agg(ds, partial, combine)
+
+
+# --------------------------------------------------------------------------
+# candidate-pair emission over an inverted index (shared by n-gram / LSH)
+# --------------------------------------------------------------------------
+
+def _pairs_apply(key_col: str):
+    """Vectorized-within-task pair emitter: receives complete key groups
+    (sorted-block contract, stages/agg.py), emits all (a < b) doc pairs
+    per group."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby(key_col, sort=False):
+            ids = np.unique(g["doc_id"].to_numpy())
+            if ids.size >= 2:
+                ia, ib = np.triu_indices(ids.size, 1)
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+        if not out_a:
+            return _EMPTY_PAIRS.copy()
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a).astype(np.int64),
+                "b": np.concatenate(out_b).astype(np.int64),
+            }
+        )
+
+    return fn
 
 
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard via inverted shingle index
 # --------------------------------------------------------------------------
 
-def _pairs_from_group(g: pd.DataFrame) -> pd.DataFrame:
-    ids = np.sort(g["doc_id"].to_numpy())
-    if ids.size < 2:
-        return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                             "b": pd.Series(dtype=np.int64)})
-    ia, ib = np.triu_indices(ids.size, 1)
-    return pd.DataFrame({"a": ids[ia].astype(np.int64), "b": ids[ib].astype(np.int64)})
-
-
 def ngram_jaccard_pairs(
     ds: ray.data.Dataset, n: int = 3, tau: float = 0.5
 ) -> ray.data.Dataset:
     """All doc pairs with exact word-n-gram Jaccard ≥ tau.
 
-    shingle-explode → groupby(shingle) pair-emit → groupby(pair) count =
-    |A∩B|; per-doc sizes are broadcast (small side) for the final
-    |A∪B| division. Ultra-frequent shingles are the skew hazard at
-    scale — the cap would be applied identically in engine and oracle."""
+    shingle-explode → pair-emit per shingle (sorted-block apply) →
+    pair-count = |A∩B|; per-doc set sizes are broadcast (small side)
+    for the final |A∪B| division. Ultra-frequent shingles are the skew
+    hazard at scale — the cap would be applied identically in engine
+    and oracle."""
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         rows_s, rows_d = [], []
@@ -95,54 +124,40 @@ def ngram_jaccard_pairs(
 
     exploded = ds.map_batches(explode, batch_format="pandas").materialize()
 
-    # |A| per doc — small side, collected + broadcast
-    sizes_df = (
-        exploded.groupby("doc_id").count().to_pandas()
-    )
-    sizes = dict(zip(sizes_df["doc_id"], sizes_df["count()"]))
-    sizes_ref = ray.put(sizes)
+    sizes_df = grouped_count(exploded, ["doc_id"]).to_pandas()
+    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n"])))
 
-    pairs = (
-        exploded.groupby("shingle")
-        .map_groups(_pairs_from_group, batch_format="pandas")
-    )
+    pairs = sorted_group_apply(exploded, "shingle", _pairs_apply("shingle"), _EMPTY_PAIRS)
+    inter = grouped_count(pairs, ["a", "b"], out_col="c")
+    return _finish_jaccard(inter, sizes_ref, tau)
 
-    def pair_key(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pc.cast(t["a"], pa.string()), pc.cast(t["b"], pa.string()), "|"
-        )
-        return pa.table({"key": key})
 
-    inter = pairs.map_batches(pair_key, batch_format="pyarrow").groupby("key").count()
-
+def _finish_jaccard(inter: ray.data.Dataset, sizes_ref, tau: float) -> ray.data.Dataset:
     class Finish:
         def __init__(self, ref, tau):
             self.sizes = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
             self.tau = tau
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["key"].to_pylist()
-            cnt = t.column(1).to_pylist()
-            a_l, b_l, j_l = [], [], []
-            for k, c in zip(keys, cnt):
-                a, b = (int(x) for x in k.split("|"))
-                union = self.sizes[a] + self.sizes[b] - c
-                j = c / union if union else 1.0
-                if j >= self.tau:
-                    a_l.append(a)
-                    b_l.append(b)
-                    j_l.append(round(j, 6))
-            return pa.table(
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            a = df["a"].to_numpy()
+            b = df["b"].to_numpy()
+            c = df["c"].to_numpy().astype(np.float64)
+            na = np.array([self.sizes[x] for x in a], dtype=np.float64)
+            nb = np.array([self.sizes[x] for x in b], dtype=np.float64)
+            union = na + nb - c
+            j = np.where(union > 0, c / np.maximum(union, 1e-12), 1.0)
+            keep = j >= self.tau
+            return pd.DataFrame(
                 {
-                    "doc_a": pa.array(a_l, pa.int64()),
-                    "doc_b": pa.array(b_l, pa.int64()),
-                    "jaccard": pa.array(j_l, pa.float64()),
+                    "doc_a": a[keep].astype(np.int64),
+                    "doc_b": b[keep].astype(np.int64),
+                    "jaccard": np.round(j[keep], 6),
                 }
             )
 
     return inter.map_batches(
         Finish, fn_constructor_kwargs={"ref": sizes_ref, "tau": tau},
-        batch_format="pyarrow", concurrency=(1, 2),
+        batch_format="pandas", concurrency=(1, 2),
     )
 
 
@@ -175,18 +190,8 @@ def minhash_lsh_pairs(
         return pd.DataFrame({"band": keys, "doc_id": np.asarray(dids, np.int64)})
 
     bands = ds.map_batches(band_rows, batch_format="pandas")
-    cand = (
-        bands.groupby("band")
-        .map_groups(_pairs_from_group, batch_format="pandas")
-    )
-
-    def pair_key(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pc.cast(t["a"], pa.string()), pc.cast(t["b"], pa.string()), "|"
-        )
-        return pa.table({"key": key})
-
-    cand_dist = cand.map_batches(pair_key, batch_format="pyarrow").groupby("key").count()
+    cand = sorted_group_apply(bands, "band", _pairs_apply("band"), _EMPTY_PAIRS)
+    cand = grouped_distinct(cand, ["a", "b"])
 
     # shingle sets: small side broadcast (at 100 TB: hash-partitioned join
     # of pair→shingle-set instead)
@@ -194,7 +199,7 @@ def minhash_lsh_pairs(
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype(np.int64),
-                "sh": [H.shingle_hashes(t, n) for t in df["text"]],
+                "sh": [np.sort(H.shingle_hashes(t, n)) for t in df["text"]],
             }
         )
 
@@ -206,26 +211,25 @@ def minhash_lsh_pairs(
             self.sets = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
             self.tau = tau
 
-        def __call__(self, t: pa.Table) -> pa.Table:
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             a_l, b_l, j_l = [], [], []
-            for k in t["key"].to_pylist():
-                a, b = (int(x) for x in k.split("|"))
-                j = H.jaccard(np.sort(self.sets[a]), np.sort(self.sets[b]))
+            for a, b in zip(df["a"], df["b"]):
+                j = H.jaccard(self.sets[a], self.sets[b])
                 if j >= self.tau:
                     a_l.append(a)
                     b_l.append(b)
                     j_l.append(round(j, 6))
-            return pa.table(
+            return pd.DataFrame(
                 {
-                    "doc_a": pa.array(a_l, pa.int64()),
-                    "doc_b": pa.array(b_l, pa.int64()),
-                    "jaccard": pa.array(j_l, pa.float64()),
+                    "doc_a": np.asarray(a_l, np.int64),
+                    "doc_b": np.asarray(b_l, np.int64),
+                    "jaccard": np.asarray(j_l, np.float64),
                 }
             )
 
-    return cand_dist.map_batches(
+    return cand.map_batches(
         Verify, fn_constructor_kwargs={"ref": sets_ref, "tau": tau},
-        batch_format="pyarrow", concurrency=(1, 2),
+        batch_format="pandas", concurrency=(1, 2),
     )
 
 
@@ -244,7 +248,7 @@ def simhash_pairs(ds: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Datase
             for k in H.simhash_band_keys(h):
                 keys.append(k)
                 dids.append(did)
-                sigs.append(np.uint64(h))
+                sigs.append(h)
         return pd.DataFrame(
             {"band": keys, "doc_id": np.asarray(dids, np.int64),
              "sig": np.asarray(sigs, np.uint64)}
@@ -252,47 +256,49 @@ def simhash_pairs(ds: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Datase
 
     bands = ds.map_batches(sig_rows, batch_format="pandas")
 
-    def pairs_with_sig(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sigs = g["sig"].to_numpy()
-        if ids.size < 2:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64),
-                                 "ham": pd.Series(dtype=np.int64)})
-        ia, ib = np.triu_indices(ids.size, 1)
-        ham = np.array(
-            [H.hamming64(int(sigs[i]), int(sigs[j])) for i, j in zip(ia, ib)],
-            dtype=np.int64,
-        )
-        return pd.DataFrame({"a": ids[ia].astype(np.int64),
-                             "b": ids[ib].astype(np.int64), "ham": ham})
+    def pairs_with_sig(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("band", sort=False):
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            sigs = g["sig"].to_numpy()
+            if ids.size < 2:
+                continue
+            ia, ib = np.triu_indices(ids.size, 1)
+            ham = np.array(
+                [H.hamming64(int(sigs[i]), int(sigs[j])) for i, j in zip(ia, ib)],
+                dtype=np.int64,
+            )
+            keep = ham <= max_hamming
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {"a": ids[ia][keep].astype(np.int64),
+                         "b": ids[ib][keep].astype(np.int64),
+                         "ham": ham[keep]}
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+                 "ham": pd.Series(dtype=np.int64)}
+            )
+        return pd.concat(out, ignore_index=True)
 
-    cands = bands.groupby("band").map_groups(pairs_with_sig, batch_format="pandas")
-    good = cands.filter(expr=f"ham <= {max_hamming}")
-
-    def dedup_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["key"] = df["a"].astype(str) + "|" + df["b"].astype(str)
-        return df
-
-    uniq = (
-        good.map_batches(dedup_key, batch_format="pandas")
-        .groupby("key")
-        .min("ham")
+    empty = pd.DataFrame(
+        {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+         "ham": pd.Series(dtype=np.int64)}
     )
+    cands = sorted_group_apply(bands, "band", pairs_with_sig, empty)
 
-    def split(t: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(t["key"], "|")
-        return pa.table(
-            {
-                "doc_a": pc.cast(pc.list_element(parts, 0), pa.int64()),
-                "doc_b": pc.cast(pc.list_element(parts, 1), pa.int64()),
-                "hamming": t.column(1).cast(pa.int64()),
-            }
-        )
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["a", "b"], as_index=False)["ham"].min()
 
-    return uniq.map_batches(split, batch_format="pyarrow")
+    uniq = two_phase_agg(cands, combine, combine)
+    return uniq.map_batches(
+        lambda df: df.rename(columns={"a": "doc_a", "b": "doc_b", "ham": "hamming"}),
+        batch_format="pandas",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -303,7 +309,8 @@ def embedding_neardup_pairs(
     ds: ray.data.Dataset, tau: float = 0.30, block_col: str = "label"
 ) -> ray.data.Dataset:
     """Pairs within a blocking key whose cosine ≥ tau. The blocking key
-    stands in for a coarse quantization bucket (IVF cell) at scale."""
+    stands in for a coarse quantization bucket (IVF cell) at scale;
+    block count is small, so per-block map_groups dispatch is fine."""
 
     def per_block(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id")

@@ -20,30 +20,26 @@ def tumbling_window_agg(ds: ray.data.Dataset, width_s: int = 3600) -> ray.data.D
     Pure map-side bucketing + one pre-aggregated groupby — no per-group
     Python at all."""
 
+    from bioontologykg_ray.stages.agg import two_phase_agg
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         ts_ns = df["ts"].astype("datetime64[ns]").astype("int64")
         w = (ts_ns // (width_s * 1_000_000_000)).astype(np.int64)
-        g = (
+        return (
             pd.DataFrame({"user_id": df["user_id"], "window": w, "value": df["value"]})
             .groupby(["user_id", "window"], as_index=False)
             .agg(n=("value", "size"), value_sum=("value", "sum"))
         )
-        g["key"] = g["user_id"].astype(str) + "|" + g["window"].astype(str)
-        return g
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": [np.int64(g["user_id"].iloc[0])],
-                "window": [np.int64(g["window"].iloc[0])],
-                "n": [np.int64(g["n"].sum())],
-                "value_sum": [round(float(g["value_sum"].sum()), 3)],
-            }
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["user_id", "window"], as_index=False).agg(
+            n=("n", "sum"), value_sum=("value_sum", "sum")
         )
+        out["value_sum"] = out["value_sum"].round(3)
+        out["n"] = out["n"].astype(np.int64)
+        return out
 
-    return partials.groupby("key").map_groups(final, batch_format="pandas")
+    return two_phase_agg(ds, partial, combine)
 
 
 def session_counts(ds: ray.data.Dataset, gap_s: int = 1800) -> ray.data.Dataset:
