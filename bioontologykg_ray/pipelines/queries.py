@@ -24,6 +24,11 @@ from bioontologykg_ray.functions import textstats as TS
 from bioontologykg_ray.stages import joins as J
 from bioontologykg_ray.stages import neardup as ND
 from bioontologykg_ray.stages import windows as W
+from bioontologykg_ray.stages.agg import (
+    grouped_agg,
+    grouped_count,
+    grouped_distinct,
+)
 from bioontologykg_ray.stages.dedup import dedup_first_by_key
 from bioontologykg_ray.stages import ann as ANN
 from bioontologykg_ray.stages import multimodal as MM
@@ -57,11 +62,15 @@ def q_pricing_summary(sf_dir: str):
         return t.append_column("revenue", rev)
 
     ds = ds.map_batches(add_rev, batch_format="pyarrow")
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("revenue", alias_name="revenue"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="n"),
+    out = grouped_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "revenue": ("revenue", "sum"),
+            "avg_disc": ("l_discount", "mean"),
+            "n": ("l_quantity", "count"),
+        },
     ).to_pandas()
     out["sum_qty"] = out["sum_qty"].round(2)
     out["revenue"] = out["revenue"].round(2)
@@ -98,12 +107,11 @@ def q_revenue_by_segment(sf_dir: str):
         df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
         return df[["segment", "revenue"]]
 
-    out = (
-        li.map_batches(add_rev, batch_format="pandas")
-        .groupby("segment")
-        .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n"))
-        .to_pandas()
-    )
+    out = grouped_agg(
+        li.map_batches(add_rev, batch_format="pandas"),
+        ["segment"],
+        {"revenue": ("revenue", "sum"), "n": ("revenue", "count")},
+    ).to_pandas()
     out["revenue"] = out["revenue"].round(2)
     return out
 
@@ -141,7 +149,7 @@ def q_customers_per_region(sf_dir: str):
     cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
     cust = J.broadcast_lookup(cust, n2r, "c_nationkey", "regionkey")
     cust = J.broadcast_lookup(cust, r2name, "regionkey", "r_name")
-    return cust.groupby("r_name").aggregate(Count(alias_name="n_customers")).to_pandas()
+    return grouped_agg(cust, ["r_name"], {"n_customers": ("regionkey", "count")}).to_pandas()
 
 
 SQL_CUSTOMERS_PER_REGION = """
@@ -154,7 +162,7 @@ GROUP BY r.r_name
 
 def q_orders_per_status(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderstatus"])
-    return ds.groupby("o_orderstatus").aggregate(Count(alias_name="n")).to_pandas()
+    return grouped_count(ds, ["o_orderstatus"]).to_pandas()
 
 
 SQL_ORDERS_PER_STATUS = "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus"
@@ -163,12 +171,16 @@ SQL_ORDERS_PER_STATUS = "SELECT o_orderstatus, count(*) AS n FROM orders GROUP B
 def q_lineitem_stats(sf_dir: str):
     """A1 global stats; timestamps compared as epoch microseconds."""
     ds = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_quantity", "l_shipdate"])
-    agg = ds.aggregate(
-        Count(alias_name="n"),
-        Sum("l_quantity", alias_name="sum_qty"),
-        Min("l_shipdate", alias_name="min_ship"),
-        Max("l_shipdate", alias_name="max_ship"),
-    )
+    agg = grouped_agg(
+        ds,
+        [],
+        {
+            "n": ("l_quantity", "count"),
+            "sum_qty": ("l_quantity", "sum"),
+            "min_ship": ("l_shipdate", "min"),
+            "max_ship": ("l_shipdate", "max"),
+        },
+    ).to_pandas().iloc[0]
     return pd.DataFrame(
         {
             "n": [np.int64(agg["n"])],
@@ -197,8 +209,9 @@ def q_early_shipments(sf_dir: str):
         columns=["l_returnflag", "l_quantity", "l_shipdate"],
         filter=(pc.field("l_shipdate") < pa.scalar(cutoff)),
     )
-    out = ds.groupby("l_returnflag").aggregate(
-        Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty")
+    out = grouped_agg(
+        ds, ["l_returnflag"],
+        {"n": ("l_quantity", "count"), "sum_qty": ("l_quantity", "sum")},
     ).to_pandas()
     out["sum_qty"] = out["sum_qty"].round(2)
     return out
@@ -214,20 +227,18 @@ GROUP BY l_returnflag
 def q_event_type_stats(sf_dir: str):
     """A4 conditional aggregate + distinct-count per group."""
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id", "value"])
-    base = ds.groupby("event_type").aggregate(
-        Count(alias_name="n_events"), Sum("value", alias_name="value_sum")
+    base = grouped_agg(
+        ds, ["event_type"],
+        {"n_events": ("value", "count"), "value_sum": ("value", "sum")},
     ).to_pandas()
     uq = (
-        ds.map_batches(
-            lambda df: df[["event_type", "user_id"]].drop_duplicates(),
-            batch_format="pandas",
-        )
-        .groupby(["event_type", "user_id"])
-        .aggregate(Count(alias_name="c"))
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n_users"))
+        grouped_distinct(ds, ["event_type", "user_id"])
         .to_pandas()
+        .groupby("event_type", as_index=False)
+        .size()
+        .rename(columns={"size": "n_users"})
     )
+    uq["n_users"] = uq["n_users"].astype("int64")
     out = base.merge(uq, on="event_type")
     out["value_sum"] = out["value_sum"].round(3)
     return out
@@ -243,12 +254,10 @@ FROM events GROUP BY event_type
 
 def q_top3_event_types(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type"])
-    out = (
-        ds.groupby("event_type").aggregate(Count(alias_name="n"))
-        .sort(["n", "event_type"], descending=[True, False])
-        .limit(3)
-    )
-    return out.to_pandas()
+    out = grouped_count(ds, ["event_type"]).to_pandas()
+    out = out.sort_values(["n", "event_type"], ascending=[False, True],
+                          kind="mergesort").head(3)
+    return out.reset_index(drop=True)
 
 
 SQL_TOP3_EVENT_TYPES = """
@@ -260,7 +269,7 @@ GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3
 def q_active_users(sf_dir: str):
     """A6 threshold filter on an aggregated metric (HAVING)."""
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id"])
-    out = ds.groupby("user_id").aggregate(Count(alias_name="n")).to_pandas()
+    out = grouped_count(ds, ["user_id"]).to_pandas()
     return out[out["n"] >= 20].reset_index(drop=True)
 
 
@@ -276,7 +285,9 @@ def q_building_orders(sf_dir: str):
     keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
     orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
     sel = J.semi_join(orders, keys, "o_custkey")
-    agg = sel.aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="total"))
+    agg = grouped_agg(
+        sel, [], {"n": ("o_totalprice", "count"), "total": ("o_totalprice", "sum")}
+    ).to_pandas().iloc[0]
     return pd.DataFrame({"n": [np.int64(agg["n"])], "total": [round(float(agg["total"]), 2)]})
 
 
@@ -420,13 +431,11 @@ def q_props_k_stats(sf_dir: str):
         k = df["props"].str.extract(r'"k": (\d+)', expand=False).astype("int64")
         return pd.DataFrame({"event_type": df["event_type"], "k": k})
 
-    out = (
-        ds.map_batches(extract, batch_format="pandas")
-        .groupby("event_type")
-        .aggregate(Mean("k", alias_name="k_avg"), Max("k", alias_name="k_max"),
-                   Count(alias_name="n"))
-        .to_pandas()
-    )
+    out = grouped_agg(
+        ds.map_batches(extract, batch_format="pandas"),
+        ["event_type"],
+        {"k_avg": ("k", "mean"), "k_max": ("k", "max"), "n": ("k", "count")},
+    ).to_pandas()
     out["k_avg"] = out["k_avg"].round(6)
     return out
 
@@ -507,11 +516,7 @@ def q_lang_counts(sf_dir: str):
     def pred(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"lang_pred": [TS.predict_lang(t) for t in df["text"]]})
 
-    return (
-        ds.map_batches(pred, batch_format="pandas")
-        .groupby("lang_pred")
-        .aggregate(Count(alias_name="n"))
-    )
+    return grouped_count(ds.map_batches(pred, batch_format="pandas"), ["lang_pred"])
 
 
 SQL_LANG_COUNTS = f"""
@@ -740,12 +745,12 @@ def q_label_embedding_stats(sf_dir: str):
             }
         )
 
-    out = (
-        ds.map_batches(first_comp, batch_format="pandas")
-        .groupby("label")
-        .aggregate(Count(alias_name="n"), Mean("e0", alias_name="e0_avg"))
-        .to_pandas()
-    )
+    out = grouped_agg(
+        ds.map_batches(first_comp, batch_format="pandas"),
+        ["label"],
+        {"n": ("e0", "count"), "e0_avg": ("e0", "mean")},
+    ).to_pandas()
+    out["label"] = out["label"].astype("int64")
     out["e0_avg"] = out["e0_avg"].round(6)
     return out
 
@@ -784,7 +789,7 @@ def q_frame_sample_counts(sf_dir: str):
     """Video-style frame sampling explode, counted per media id."""
     docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     frames = MM.sample_frames(MM.attach_payload(docs), stride=4)
-    return frames.groupby("media_id").aggregate(Count(alias_name="n_frames"))
+    return grouped_count(frames, ["media_id"], out_col="n_frames")
 
 
 SQL_FRAME_SAMPLE_COUNTS = """

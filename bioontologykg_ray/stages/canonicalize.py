@@ -53,6 +53,8 @@ def _distinct_nodes(edges: ray.data.Dataset) -> ray.data.Dataset:
     Per-batch unique first (partial combine), then a global groupby —
     the pre-aggregate-before-shuffle pattern (SURVEY.md §4.2)."""
 
+    from bioontologykg_ray.stages.agg import grouped_distinct
+
     def per_batch(t: pa.Table) -> pa.Table:
         both = pa.concat_arrays(
             [t["a"].combine_chunks(), t["b"].combine_chunks()]
@@ -60,7 +62,7 @@ def _distinct_nodes(edges: ray.data.Dataset) -> ray.data.Dataset:
         return pa.table({"node": pc.unique(both)})
 
     nodes = edges.map_batches(per_batch, batch_format="pyarrow")
-    return nodes.groupby("node").count().select_columns(["node"])
+    return grouped_distinct(nodes, ["node"])
 
 
 def _label_checksum(labels: ray.data.Dataset) -> int:
@@ -132,34 +134,57 @@ def _cast_pair(t: pa.Table, names: list[str]) -> pa.Table:
     )
 
 
-def _cogroup_emit(g: pd.DataFrame) -> pd.DataFrame:
-    """One co-group = exactly one label row (root of this key's node) +
-    the edge rows salted here. Emit (partner, candidate_root)."""
-    root_rows = g["root"].dropna()
-    if root_rows.empty:  # no label for this key (cannot happen after init)
-        return pd.DataFrame({"node": [], "cand": []})
-    root = root_rows.iloc[0]
-    partners = g["partner"].dropna()
-    if partners.empty:
-        return pd.DataFrame({"node": [], "cand": []})
-    return pd.DataFrame({"node": partners.to_numpy(), "cand": root})
+_EMPTY_COGROUP = pd.DataFrame(
+    {"node": pd.Series(dtype="object"), "cand": pd.Series(dtype="object")}
+)
+
+
+def _cogroup_merge(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized reduce-side join within complete key groups (the
+    sorted-block contract of stages/agg.sorted_group_apply): label rows
+    carry root, edge/probe rows carry partner; emit (partner, root) —
+    one pandas merge, no per-group dispatch."""
+    lab = df.loc[df["root"].notna(), ["key", "root"]]
+    edg = df.loc[df["partner"].notna(), ["key", "partner"]]
+    if lab.empty or edg.empty:
+        return _EMPTY_COGROUP.copy()
+    m = edg.merge(lab, on="key", how="inner")
+    return pd.DataFrame({"node": m["partner"].to_numpy(), "cand": m["root"].to_numpy()})
+
+
+def _cogrouped_proposals(
+    keyed_union: ray.data.Dataset,
+) -> ray.data.Dataset:
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    out = sorted_group_apply(keyed_union, "key", _cogroup_merge, _EMPTY_COGROUP)
+    return out.map_batches(
+        lambda t: _cast_pair(t, ["node", "cand"]), batch_format="pyarrow"
+    )
 
 
 def _neighbor_min(
     labels: ray.data.Dataset, edges: ray.data.Dataset, salt: int
 ) -> ray.data.Dataset:
-    proposals = (
-        _expand_labels(labels, salt)
-        .union(_expand_edges(edges, salt))
-        .groupby("key")
-        .map_groups(_cogroup_emit, batch_format="pandas")
-        .map_batches(lambda t: _cast_pair(t, ["node", "cand"]), batch_format="pyarrow")
+    proposals = _cogrouped_proposals(
+        _expand_labels(labels, salt).union(_expand_edges(edges, salt))
     )
     own = labels.map_batches(
         lambda t: _cast_pair(t, ["node", "cand"]), batch_format="pyarrow"
     )
-    merged = proposals.union(own).groupby("node").min("cand")
-    return merged.map_batches(
+    # two-phase min: vectorized partial per block, then one combine task
+    # (labels are entity-level — small; at larger scale raise the
+    # combine partition count via a keyed sort, cf. stages/agg.py)
+    merged = proposals.union(own).map_batches(
+        lambda df: df.groupby("node", as_index=False)["cand"].min(),
+        batch_format="pandas",
+    )
+    combined = merged.repartition(1).map_batches(
+        lambda df: df.groupby("node", as_index=False)["cand"].min(),
+        batch_format="pandas",
+        batch_size=None,
+    )
+    return combined.map_batches(
         lambda t: _cast_pair(t, ["node", "root"]), batch_format="pyarrow"
     )
 
@@ -181,11 +206,10 @@ def _pointer_jump(labels: ray.data.Dataset, salt: int) -> ray.data.Dataset:
             }
         )
 
-    jumped = (
-        _expand_labels(labels, salt)
-        .union(labels.map_batches(probes, batch_format="pyarrow"))
-        .groupby("key")
-        .map_groups(_cogroup_emit, batch_format="pandas")
+    jumped = _cogrouped_proposals(
+        _expand_labels(labels, salt).union(
+            labels.map_batches(probes, batch_format="pyarrow")
+        )
     )
     return jumped.map_batches(
         lambda t: _cast_pair(t, ["node", "root"]), batch_format="pyarrow"

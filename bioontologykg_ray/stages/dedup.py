@@ -90,26 +90,16 @@ def dedup_first_by_key(
     groupby keep-first, ordering by ``order_cols`` (deterministic under
     any batch/actor assignment)."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    from bioontologykg_ray.stages.agg import two_phase_agg
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(order_cols, kind="mergesort").drop_duplicates(
             key_cols, keep="first"
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_cols, kind="mergesort").head(1)
-
-    pre = ds.map_batches(partial, batch_format="pandas")
-    if len(key_cols) == 1:
-        return pre.groupby(key_cols[0]).map_groups(final, batch_format="pandas")
-
-    def add_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__key"] = df[key_cols].astype(str).agg(SEP.join, axis=1)
-        return df
-
-    keyed = pre.map_batches(add_key, batch_format="pandas")
-    out = keyed.groupby("__key").map_groups(final, batch_format="pandas")
-    return out.drop_columns(["__key"])
+    # idempotent partial: min-ordered row per key per batch; combine picks
+    # the min-ordered row across partials — vectorized, no per-key state
+    return two_phase_agg(ds, keep_first, keep_first)
 
 
 def distinct_values(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:

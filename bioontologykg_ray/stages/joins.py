@@ -44,7 +44,8 @@ def broadcast_lookup(
 
     return ds.map_batches(
         Lookup, fn_constructor_kwargs={"ref": ref},
-        batch_format="pandas", concurrency=concurrency,
+        batch_format="pandas", batch_size=None,  # whole blocks: the map is vectorized
+        concurrency=concurrency,
     )
 
 
@@ -60,7 +61,7 @@ def semi_join(ds: ray.data.Dataset, keys: set, key_col: str) -> ray.data.Dataset
             return df[df[key_col].isin(self.keys)]
 
     return ds.map_batches(Semi, fn_constructor_kwargs={"ref": ref},
-                          batch_format="pandas", concurrency=(1, 4))
+                          batch_format="pandas", batch_size=None, concurrency=(1, 4))
 
 
 def anti_join(ds: ray.data.Dataset, keys: set, key_col: str) -> ray.data.Dataset:
@@ -75,7 +76,7 @@ def anti_join(ds: ray.data.Dataset, keys: set, key_col: str) -> ray.data.Dataset
             return df[~df[key_col].isin(self.keys)]
 
     return ds.map_batches(Anti, fn_constructor_kwargs={"ref": ref},
-                          batch_format="pandas", concurrency=(1, 4))
+                          batch_format="pandas", batch_size=None, concurrency=(1, 4))
 
 
 def hash_join(

@@ -142,8 +142,8 @@ def _finish_jaccard(inter: ray.data.Dataset, sizes_ref, tau: float) -> ray.data.
             a = df["a"].to_numpy()
             b = df["b"].to_numpy()
             c = df["c"].to_numpy().astype(np.float64)
-            na = np.array([self.sizes[x] for x in a], dtype=np.float64)
-            nb = np.array([self.sizes[x] for x in b], dtype=np.float64)
+            na = pd.Series(a).map(self.sizes).to_numpy(dtype=np.float64)
+            nb = pd.Series(b).map(self.sizes).to_numpy(dtype=np.float64)
             union = na + nb - c
             j = np.where(union > 0, c / np.maximum(union, 1e-12), 1.0)
             keep = j >= self.tau

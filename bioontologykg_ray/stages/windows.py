@@ -47,18 +47,27 @@ def session_counts(ds: ray.data.Dataset, gap_s: int = 1800) -> ray.data.Dataset:
     groupby(user).map_groups over the ts-sorted group (lag + threshold),
     mirroring the SQL lag()/cumsum window formulation."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = (g.sort_values(["ts", "event_id"])["ts"]
-              .astype("datetime64[ns]").astype("int64").to_numpy())
-        if ts.size == 0:
-            n_sessions = 0
-        else:
-            gaps = np.diff(ts) > gap_s * 1_000_000_000
-            n_sessions = 1 + int(gaps.sum())
-        return pd.DataFrame(
-            {"user_id": [np.int64(g["user_id"].iloc[0])],
-             "n_events": [np.int64(len(g))],
-             "n_sessions": [np.int64(n_sessions)]}
-        )
+    from bioontologykg_ray.stages.agg import sorted_group_apply
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        # complete user groups per chunk (sorted-block contract);
+        # session starts computed vectorized across ALL users at once
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = df["ts"].astype("datetime64[ns]").astype("int64")
+        same_user = df["user_id"].eq(df["user_id"].shift())
+        gap = (ts.diff() > gap_s * 1_000_000_000) & same_user
+        out = (
+            df.assign(__gap=gap.astype(np.int64))
+            .groupby("user_id", as_index=False)
+            .agg(n_events=("user_id", "size"), __gaps=("__gap", "sum"))
+        )
+        out["n_sessions"] = (1 + out["__gaps"]).astype(np.int64)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out[["user_id", "n_events", "n_sessions"]]
+
+    empty = pd.DataFrame(
+        {"user_id": pd.Series(dtype=np.int64),
+         "n_events": pd.Series(dtype=np.int64),
+         "n_sessions": pd.Series(dtype=np.int64)}
+    )
+    return sorted_group_apply(ds, "user_id", apply, empty)
