@@ -16,7 +16,7 @@ class PipelineConfig:
     # --- batch sizing (reference precedent: 10/32/100/1000 hand-rolled
     # batches, SURVEY.md §4.1; here the streaming executor does the batching)
     extract_batch_size: int = 4096
-    link_batch_size: int = 4096
+    link_batch_size: int | None = None  # None → whole blocks
     embed_batch_size: int = 1024
 
     # --- actor pools (stateful stages, SURVEY.md §2.4)

@@ -45,6 +45,15 @@ from bioontologykg_ray.stages.linker import build_alias_index, link_triples, spl
 from bioontologykg_ray.stages.ordering import order_conversations
 
 
+def _read_blocks() -> int:
+    """Block count for the transcript read: ~4 blocks per CPU, capped.
+    Left to its own devices Ray splits small files into hundreds of tiny
+    blocks and every downstream range shuffle goes quadratic in block
+    count; at 100 TB the cap keeps blocks ~100-500 MB instead."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(16, min(cpus * 4, 256))
+
+
 def load_ontology(ontology_path: str) -> pa.Table:
     """Ontology tables are small dimension inputs (reference parses whole
     OBO files driver-side, `import_go_obo.py:64-73`); read once, broadcast."""
@@ -75,12 +84,19 @@ def run_kg_pipeline(
     materialized/collected — they are O(#entities), not O(#turns).
     """
     ontology = load_ontology(ontology_path)
-    index_ref = ray.put(build_alias_index(ontology, drop_obsolete=cfg.drop_obsolete))
+    index = build_alias_index(ontology, drop_obsolete=cfg.drop_obsolete)
+    index_ref = ray.put(index)
+    # disambiguation pushdown: extraction only embeds turns that mention
+    # an alias with >1 candidate (the only consumers of ctx_emb)
+    ambiguous_ref = ray.put(frozenset(index["ambiguous"].keys()))
 
-    ds = ray.data.read_parquet(transcripts_path)
+    ds = ray.data.read_parquet(
+        transcripts_path, override_num_blocks=_read_blocks()
+    )
     ordered = order_conversations(ds)
     raw = extract_triples(
-        ordered, dim=cfg.embedding_dim, batch_size=cfg.extract_batch_size
+        ordered, dim=cfg.embedding_dim, batch_size=cfg.extract_batch_size,
+        ambiguous=ambiguous_ref,
     )
     linked_flagged = link_triples(
         raw, index_ref, batch_size=cfg.link_batch_size, concurrency=cfg.link_concurrency
@@ -215,14 +231,17 @@ def run_partitioned(
     groups = [g for g in groups if g]
 
     ontology = load_ontology(ontology_path)
-    index_ref = ray.put(build_alias_index(ontology, drop_obsolete=cfg.drop_obsolete))
+    index = build_alias_index(ontology, drop_obsolete=cfg.drop_obsolete)
+    index_ref = ray.put(index)
+    ambiguous_ref = ray.put(frozenset(index["ambiguous"].keys()))
     phase1 = os.path.join(out_dir, "phase1")
 
     for pid in mf.pending_partitions(phase1, len(groups)):
-        ds = ray.data.read_parquet(groups[pid])
+        ds = ray.data.read_parquet(groups[pid], override_num_blocks=_read_blocks())
         ordered = order_conversations(ds)
         raw = extract_triples(ordered, dim=cfg.embedding_dim,
-                              batch_size=cfg.extract_batch_size)
+                              batch_size=cfg.extract_batch_size,
+                              ambiguous=ambiguous_ref)
         flagged = link_triples(raw, index_ref, batch_size=cfg.link_batch_size,
                                concurrency=cfg.link_concurrency)
         linked, dead = split_linked(flagged)

@@ -46,9 +46,12 @@ def two_phase_agg(
 
 def grouped_count(
     ds: ray.data.Dataset, keys: list[str], out_col: str = "n",
-    combine_partitions: int = 1,
+    combine_partitions: int = 1, sorted_combine: bool = False,
 ) -> ray.data.Dataset:
-    """Distributed COUNT(*) GROUP BY keys, fully vectorized."""
+    """Distributed COUNT(*) GROUP BY keys, fully vectorized.
+    ``sorted_combine=True`` parallelizes the combine across blocks via a
+    range sort of the (already reduced) partials — use when the key
+    space itself is large (millions)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(keys, as_index=False).size().rename(columns={"size": out_col})
@@ -56,6 +59,9 @@ def grouped_count(
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(keys, as_index=False)[out_col].sum()
 
+    if sorted_combine:
+        partials = ds.map_batches(partial, batch_format="pandas")
+        return sorted_group_apply(partials, keys if len(keys) > 1 else keys[0], combine)
     return two_phase_agg(ds, partial, combine, combine_partitions)
 
 
@@ -72,9 +78,9 @@ def grouped_distinct(
 
 def sorted_group_apply(
     ds: ray.data.Dataset,
-    key_col: str,
+    key_col: str | list[str],
     apply_fn: Callable[[pd.DataFrame], pd.DataFrame],
-    empty_like: pd.DataFrame,
+    empty_like: pd.DataFrame | None = None,
 ) -> ray.data.Dataset:
     """Exact group-wise apply without per-group task dispatch.
 
@@ -89,29 +95,34 @@ def sorted_group_apply(
     exact same block boundaries (a lazy sort could re-execute with
     different boundaries per consumer, double- or under-counting the
     edge keys)."""
-    s = ds.sort(key_col).materialize()
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    s = ds.sort(keys if len(keys) > 1 else keys[0]).materialize()
+
+    def edge_mask(df: pd.DataFrame) -> pd.Series:
+        k = df[keys]
+        first = (k == k.iloc[0]).all(axis=1)
+        last = (k == k.iloc[-1]).all(axis=1)
+        return first | last
 
     def inner(df: pd.DataFrame) -> pd.DataFrame:
+        # apply_fn must accept empty input (returns the empty frame with
+        # correct dtypes); empty_like is only a fallback override
         if df.empty:
-            return empty_like.copy()
-        k = df[key_col]
-        edge = (k == k.iloc[0]) | (k == k.iloc[-1])
-        body = df[~edge]
-        out = apply_fn(body) if not body.empty else empty_like.copy()
-        return out
+            return apply_fn(df) if empty_like is None else empty_like.copy()
+        body = df[~edge_mask(df)]
+        if body.empty:
+            return apply_fn(df.iloc[0:0]) if empty_like is None else empty_like.copy()
+        return apply_fn(body)
 
     def edges_only(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return df
-        k = df[key_col]
-        return df[(k == k.iloc[0]) | (k == k.iloc[-1])]
+        return df[edge_mask(df)]
 
     body_out = s.map_batches(inner, batch_format="pandas", batch_size=None)
     edge_rows = s.map_batches(edges_only, batch_format="pandas", batch_size=None)
     edge_out = edge_rows.repartition(1).map_batches(
-        lambda df: apply_fn(df) if not df.empty else empty_like.copy(),
-        batch_format="pandas",
-        batch_size=None,
+        apply_fn, batch_format="pandas", batch_size=None
     )
     return body_out.union(edge_out)
 

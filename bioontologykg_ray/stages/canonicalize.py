@@ -166,26 +166,48 @@ def _cogrouped_proposals(
 def _neighbor_min(
     labels: ray.data.Dataset, edges: ray.data.Dataset, salt: int
 ) -> ray.data.Dataset:
+    """One neighbor-min round. Output columns: (node, root, changed) —
+    ``changed`` is the global count of nodes whose root shrank this
+    round, computed inside the single combine task (free convergence
+    check: no separate checksum pass)."""
     proposals = _cogrouped_proposals(
         _expand_labels(labels, salt).union(_expand_edges(edges, salt))
+    ).map_batches(
+        # "" sentinel (sorts before every id) rather than NA: keeps the
+        # column string-typed in Arrow across all blocks of the union
+        lambda df: df.assign(old=""),
+        batch_format="pandas",
     )
     own = labels.map_batches(
-        lambda t: _cast_pair(t, ["node", "cand"]), batch_format="pyarrow"
+        lambda df: pd.DataFrame(
+            {"node": df["node"], "cand": df["root"], "old": df["root"]}
+        ),
+        batch_format="pandas",
     )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", dropna=False)
+        return pd.DataFrame(
+            {"cand": g["cand"].min(), "old": g["old"].max()}
+        ).reset_index()
+
     # two-phase min: vectorized partial per block, then one combine task
     # (labels are entity-level — small; at larger scale raise the
     # combine partition count via a keyed sort, cf. stages/agg.py)
-    merged = proposals.union(own).map_batches(
-        lambda df: df.groupby("node", as_index=False)["cand"].min(),
-        batch_format="pandas",
-    )
-    combined = merged.repartition(1).map_batches(
-        lambda df: df.groupby("node", as_index=False)["cand"].min(),
-        batch_format="pandas",
-        batch_size=None,
-    )
-    return combined.map_batches(
-        lambda t: _cast_pair(t, ["node", "root"]), batch_format="pyarrow"
+    merged = proposals.union(own).map_batches(partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", dropna=False)
+        out = pd.DataFrame({"root": g["cand"].min(), "old": g["old"].max()}).reset_index()
+        changed = int((out["root"] != out["old"]).sum())
+        out = out.drop(columns=["old"])
+        out["node"] = out["node"].astype(str)
+        out["root"] = out["root"].astype(str)
+        out["changed"] = np.int64(changed)
+        return out
+
+    return merged.repartition(1).map_batches(
+        combine, batch_format="pandas", batch_size=None
     )
 
 
@@ -220,36 +242,85 @@ def connected_components(
     edges: ray.data.Dataset,
     max_iters: int = 12,
     salt: int = 4,
+    driver_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Same-as edges (a, b) → labels (node, root=min id of component).
 
     Fixpoint-checked; converges in O(log diameter) iterations thanks to
     the pointer-jump pass. ``edges`` should be the (small) distinct
     entity-equivalence set, never the full corpus.
-    """
-    edges = edges.materialize()
-    if edges.count() == 0:
+
+    Routing: the distinct edge set is first reduced distributively; if it
+    lands under ``driver_threshold`` rows the components are solved with
+    a path-compressed union-find on the driver (milliseconds — the
+    standard small-candidate-set shortcut), otherwise the iterative
+    salted min-label/pointer-jump shuffle loop below runs. Pass
+    ``driver_threshold=0`` to force the distributed path (tests do)."""
+    from bioontologykg_ray.stages.agg import grouped_distinct
+
+    # the same-as edge MULTISET repeats hot pairs (every textual mention
+    # emits one); distinct first so every iteration runs over the graph,
+    # not the corpus mention count
+    edges = grouped_distinct(edges, ["a", "b"], combine_partitions=2).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.string()), "root": pa.array([], pa.string())})
         )
+    if n_edges <= driver_threshold:
+        return _components_driver(edges)
+    # adaptive skew handling: salting exists for hub fan-in that would
+    # overflow a single co-group; below ~1M distinct equivalence edges a
+    # group fits any block, so the S× label replication is pure overhead
+    if n_edges < 1_000_000:
+        salt = 1
     labels = _distinct_nodes(edges).map_batches(
         lambda t: t.append_column("root", t["node"]), batch_format="pyarrow"
     ).materialize()
 
-    prev = _label_checksum(labels)
     for _ in range(max_iters):
         # materialize after EACH pass: the pass outputs feed two consumers
         # (next pass reads labels twice) — without a barrier the lazy plan
         # would re-execute the whole pass per consumer, compounding per
         # iteration. Labels are entity-level (small), so the barrier is
-        # cheap; repartition keeps the tiny block count bounded.
-        labels = _neighbor_min(labels, edges, salt).repartition(4).materialize()
-        labels = _pointer_jump(labels, salt).repartition(4).materialize()
-        cur = _label_checksum(labels)
-        if cur == prev:
+        # cheap. Convergence is read from the free `changed` counter the
+        # combine task computed; when neighbor-min changed nothing, the
+        # labels are already a fixpoint and the jump is skipped too.
+        nm = _neighbor_min(labels, edges, salt).materialize()
+        head = nm.take(1)
+        changed = int(head[0]["changed"]) if head else 0
+        labels = nm.drop_columns(["changed"])
+        if changed == 0:
             break
-        prev = cur
+        labels = _pointer_jump(labels, salt).repartition(2).materialize()
     return labels
+
+
+def _components_driver(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Small-graph path: collect the DISTINCT edge set (already reduced
+    distributively) and run path-compressed union-find with min-id roots
+    — identical output contract to the distributed loop."""
+    df = edges.to_pandas()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        p = parent.setdefault(x, x)
+        while p != parent.get(p, p):
+            parent[p] = parent.get(parent[p], parent[p])
+            p = parent[p]
+        parent[x] = p
+        return p
+
+    for a, b in zip(df["a"], df["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = list(parent.keys())
+    roots = [find(n) for n in nodes]
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(nodes, pa.string()), "root": pa.array(roots, pa.string())})
+    )
 
 
 def mapping_dict(labels: ray.data.Dataset) -> dict[str, str]:
@@ -275,8 +346,12 @@ class CanonicalRewriter:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if self.mapping:
-            batch["subj"] = batch["subj"].map(self.mapping).fillna(batch["subj"])
-            batch["obj"] = batch["obj"].map(self.mapping).fillna(batch["obj"])
+            # isin gate first (C-speed) so the per-element dict map only
+            # touches the tiny minority of re-pointed endpoints
+            for col in ("subj", "obj"):
+                hit = batch[col].isin(self.mapping)
+                if hit.any():
+                    batch.loc[hit, col] = batch.loc[hit, col].map(self.mapping)
         return batch
 
 

@@ -51,7 +51,7 @@ def count_triples(ds: ray.data.Dataset) -> ray.data.Dataset:
     batch. Phase 2: groupby the composite key, Sum the partials. The
     composite key keeps the groupby single-column; split back after."""
 
-    from bioontologykg_ray.stages.agg import two_phase_agg
+    from bioontologykg_ray.stages.agg import sorted_group_apply
 
     def partial(t: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(t["subj"], t["pred"], t["obj"], SEP)
@@ -61,13 +61,11 @@ def count_triples(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    # high-cardinality combine: vectorized pandas two-phase, NOT the
-    # per-key-accumulator builtin aggregate (see stages/agg.py)
-    summed = two_phase_agg(
-        partials,
-        lambda df: df.groupby("key", as_index=False)["n"].sum(),
-        lambda df: df.groupby("key", as_index=False)["n"].sum(),
-    )
+    # millions of distinct triples: parallel range-sorted combine over the
+    # reduced partials (see stages/agg.py), never a single combine task
+    combine = lambda df: df.groupby("key", as_index=False)["n"].sum()
+    empty = pd.DataFrame({"key": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")})
+    summed = sorted_group_apply(partials, "key", combine, empty)
 
     def split(t: pa.Table) -> pa.Table:
         parts = pc.split_pattern(t["key"], SEP)

@@ -39,21 +39,33 @@ TRIPLE_PATTERN = (
 
 
 class TripleExtractor:
-    """Actor-pool batch fn: pyarrow batch in → raw-triples pyarrow batch out."""
+    """Actor-pool batch fn: pyarrow batch in → raw-triples pyarrow batch out.
 
-    def __init__(self, dim: int = 32):
+    ``ambiguous`` (an optional broadcast set of alias surfaces with >1
+    linker candidate) pushes the disambiguation predicate down: the
+    context embedding — the expensive per-turn step — is only computed
+    when one of the turn's mentions actually needs embedding-scored
+    resolution. Turns without ambiguous mentions carry a zero context."""
+
+    def __init__(self, dim: int = 32, ambiguous=None):
+        import ray as _ray
+
         from bioontologykg_ray.functions.embedding import embed_text
 
         self.dim = dim
         self.pattern = re.compile(TRIPLE_PATTERN)
         self.phrase_to_pred = dict(RELATION_PHRASES)
         self._embed = embed_text
+        if ambiguous is not None and isinstance(ambiguous, _ray.ObjectRef):
+            ambiguous = _ray.get(ambiguous)
+        self.ambiguous = ambiguous  # None → always embed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         conv = batch["conv_id"].to_pylist()
         turn = batch["turn_idx"].to_pylist()
 
+        zero = np.zeros(self.dim, dtype=np.float32)
         subjs: list[str] = []
         preds: list[str] = []
         objs: list[str] = []
@@ -65,7 +77,14 @@ class TripleExtractor:
             matches = list(self.pattern.finditer(text))
             if not matches:
                 continue
-            ctx = self._embed(text, self.dim)  # once per turn, reused per triple
+            if self.ambiguous is None or any(
+                m.group(1).lower() in self.ambiguous
+                or m.group(3).lower() in self.ambiguous
+                for m in matches
+            ):
+                ctx = self._embed(text, self.dim)  # once per turn
+            else:
+                ctx = zero
             for m in matches:
                 subjs.append(m.group(1))
                 preds.append(self.phrase_to_pred[m.group(2)])
@@ -96,13 +115,17 @@ class TripleExtractor:
 # Per-worker-process extractor cache for the stateless-task variant:
 # state (compiled regex + token-vector cache) amortizes across every
 # batch a worker process handles, without reserving pool CPUs.
-_TASK_STATE: dict[int, TripleExtractor] = {}
+_TASK_STATE: dict[tuple, TripleExtractor] = {}
 
 
-def extract_batch(batch: pa.Table, dim: int = 32) -> pa.Table:
-    ex = _TASK_STATE.get(dim)
+def extract_batch(batch: pa.Table, dim: int = 32, ambiguous=None) -> pa.Table:
+    import ray as _ray
+
+    ref_key = ambiguous.hex() if isinstance(ambiguous, _ray.ObjectRef) else id(ambiguous)
+    key = (dim, ref_key)
+    ex = _TASK_STATE.get(key)
     if ex is None:
-        ex = _TASK_STATE[dim] = TripleExtractor(dim)
+        ex = _TASK_STATE[key] = TripleExtractor(dim, ambiguous)
     return ex(batch)
 
 
@@ -111,23 +134,25 @@ def extract_triples(
     dim: int = 32,
     batch_size: int = 4096,
     concurrency: int | tuple | None = None,
+    ambiguous=None,
 ) -> ray.data.Dataset:
     """Transcripts → raw triples (surface forms + provenance + ctx embedding).
 
     Default is stateless tasks (elastic, no CPU reservation — extraction
     state is cheap and cached per worker process); pass ``concurrency``
     to pin an actor pool instead (the shape a heavyweight model-based
-    extractor would use)."""
+    extractor would use). ``ambiguous``: broadcast set of alias surfaces
+    needing embedding-scored disambiguation (see TripleExtractor)."""
     if concurrency is None:
         return ds.map_batches(
             extract_batch,
-            fn_kwargs={"dim": dim},
+            fn_kwargs={"dim": dim, "ambiguous": ambiguous},
             batch_format="pyarrow",
             batch_size=batch_size,
         )
     return ds.map_batches(
         TripleExtractor,
-        fn_constructor_kwargs={"dim": dim},
+        fn_constructor_kwargs={"dim": dim, "ambiguous": ambiguous},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -128,7 +128,7 @@ def ngram_jaccard_pairs(
     sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n"])))
 
     pairs = sorted_group_apply(exploded, "shingle", _pairs_apply("shingle"), _EMPTY_PAIRS)
-    inter = grouped_count(pairs, ["a", "b"], out_col="c")
+    inter = grouped_count(pairs, ["a", "b"], out_col="c", sorted_combine=True)
     return _finish_jaccard(inter, sizes_ref, tau)
 
 

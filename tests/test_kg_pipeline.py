@@ -125,3 +125,22 @@ def test_obsolete_terms_never_link(result, corpus):
 
 def test_dead_letter_present(result, gold):
     assert result["dead_letter"].count() == gold["dead"]
+
+
+def test_distributed_union_find_matches_driver_path(corpus):
+    """Force the distributed min-label/pointer-jump loop
+    (driver_threshold=0) and check it against the driver-side
+    union-find on the same edge set."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from bioontologykg_ray.pipelines.kg import ontology_same_as_pairs
+    from bioontologykg_ray.stages.canonicalize import connected_components
+
+    ont = pq.read_table(corpus["ontology"])
+    edges = ray.data.from_arrow(ontology_same_as_pairs(ont))
+    dist = connected_components(edges, max_iters=12, salt=2, driver_threshold=0)
+    drv = connected_components(edges, driver_threshold=10**9)
+    d1 = dist.to_pandas().set_index("node")["root"].to_dict()
+    d2 = drv.to_pandas().set_index("node")["root"].to_dict()
+    assert d1 == d2 and len(d1) > 0
