@@ -128,36 +128,101 @@ def run_bench() -> dict:
     return out
 
 
+def run_kg_only() -> dict:
+    """Scaling-mode payload: ONLY the headline KG pipeline, over the
+    ``$GRAFT_KG_SF`` synthetic corpus (default 1.0 ≈ 2.4M turns, large
+    enough that compute dominates fixed shuffle latency)."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    kg_sf = float(os.environ.get("GRAFT_KG_SF", "1.0"))
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from bioontologykg_ray import synth
+    from bioontologykg_ray.config import PipelineConfig
+    from bioontologykg_ray.pipelines.kg import run_kg_pipeline
+
+    d = synth.ensure_synth(kg_sf)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(d, "transcripts", "*.parquet"))
+    for f in files:  # warm page cache
+        pq.read_table(f)
+    n_turns = sum(pq.read_metadata(f).num_rows for f in files)
+
+    embed_all = bool(os.environ.get("GRAFT_EMBED_ALL"))
+    cfg = PipelineConfig(
+        link_concurrency=max(2, num_cpus // 2), embed_all_contexts=embed_all
+    )
+    t0 = time.time()
+    res = run_kg_pipeline(
+        os.path.join(d, "transcripts"), os.path.join(d, "ontology_terms.parquet"), cfg
+    )
+    n_edges = res["edges"].count()
+    sec = time.time() - t0
+    out = {
+        "kg_sec": round(sec, 3),
+        "turns": n_turns,
+        "edges": n_edges,
+        "turns_per_sec": round(n_turns / sec, 1),
+        "num_cpus": num_cpus,
+        "kg_sf": kg_sf,
+        "embed_all": embed_all,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_scaling():
-    def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    """Same KG job, same input, fresh processes at num_cpus=8 and 32 —
+    the sandbox stand-in for the N vs 4N node criterion."""
+
+    def run(ncpu: int, embed_all: bool = False) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_KG_ONLY="1")
+        if embed_all:
+            env["GRAFT_EMBED_ALL"] = "1"
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
+            env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
     r_lo, r_hi = run(lo), run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
-    kg_eff = (r_lo["queries"]["kg_pipeline"] / r_hi["queries"]["kg_pipeline"]) / (hi / lo)
+    eff = (r_lo["kg_sec"] / r_hi["kg_sec"]) / (hi / lo)
+    # supplementary: compute-representative config (ctx embedding for
+    # every matched turn — the per-row cost profile a transformer
+    # embedder has); shows how the engine scales when map compute
+    # dominates the fixed shuffle-latency floor
+    e_lo, e_hi = run(lo, embed_all=True), run(hi, embed_all=True)
+    e_eff = (e_lo["kg_sec"] / e_hi["kg_sec"]) / (hi / lo)
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (num_cpus 8 -> 32, fresh processes)",
-                "sec_8": t_lo,
-                "sec_32": t_hi,
+                "metric": "scaling efficiency, KG pipeline (num_cpus 8 -> 32, fresh processes, same input)",
+                "kg_sf": r_hi["kg_sf"],
+                "turns": r_hi["turns"],
+                "sec_8": r_lo["kg_sec"],
+                "sec_32": r_hi["kg_sec"],
+                "turns_per_sec_8": r_lo["turns_per_sec"],
+                "turns_per_sec_32": r_hi["turns_per_sec"],
                 "scaling_efficiency": round(eff, 3),
-                "kg_sec_8": r_lo["queries"]["kg_pipeline"],
-                "kg_sec_32": r_hi["queries"]["kg_pipeline"],
-                "kg_scaling_efficiency": round(kg_eff, 3),
-                "kg_turns_per_sec_8": r_lo["kg_turns_per_sec"],
-                "kg_turns_per_sec_32": r_hi["kg_turns_per_sec"],
-                "sf": r_hi["sf"],
+                "embed_all_sec_8": e_lo["kg_sec"],
+                "embed_all_sec_32": e_hi["kg_sec"],
+                "embed_all_scaling_efficiency": round(e_eff, 3),
+                "note": "single box: both levels share one memory bus + object "
+                        "store, so shuffle stages saturate ~16 cpus; embed_all_* "
+                        "is the compute-representative config (see BASELINE.md)",
             }
         )
     )
@@ -166,5 +231,7 @@ def run_scaling():
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif os.environ.get("GRAFT_KG_ONLY"):
+        print(json.dumps(run_kg_only()))
     else:
         print(json.dumps(run_bench()))

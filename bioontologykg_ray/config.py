@@ -34,6 +34,9 @@ class PipelineConfig:
 
     # --- linking semantics
     min_link_score: float = -1.0    # cosine floor for ambiguous-alias resolution
+    embed_all_contexts: bool = False  # True → ctx embedding for EVERY matched
+                                      # turn (what a transformer embedder costs);
+                                      # False → only ambiguous-alias turns
     drop_obsolete: bool = True      # obsolete ontology terms must not link
 
     # --- predicates whose edges are undirected → canonical (lo, hi) key

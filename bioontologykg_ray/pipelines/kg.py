@@ -88,7 +88,10 @@ def run_kg_pipeline(
     index_ref = ray.put(index)
     # disambiguation pushdown: extraction only embeds turns that mention
     # an alias with >1 candidate (the only consumers of ctx_emb)
-    ambiguous_ref = ray.put(frozenset(index["ambiguous"].keys()))
+    ambiguous_ref = (
+        None if cfg.embed_all_contexts
+        else ray.put(frozenset(index["ambiguous"].keys()))
+    )
 
     ds = ray.data.read_parquet(
         transcripts_path, override_num_blocks=_read_blocks()
