@@ -65,17 +65,29 @@ def parse_bracketed_list(arr):
     """M5 — `"['a','b']"` → list<string>, scalar fallback
     (`import_monarchkg_relationships.py:26-40`; CQL twin
     `import_monarchkg_nodes.cql:24-100`)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
     s = pc.utf8_trim_whitespace(arr)
     is_listish = pc.and_(
         pc.starts_with(s, pattern="["), pc.ends_with(s, pattern="]")
     )
-    inner = pc.utf8_slice_codeunits(s, 1, pc.subtract(pc.utf8_length(s), 1))
+    inner = pc.replace_substring_regex(s, r"^\[|\]$", "")
     inner = pc.replace_substring(inner, "'", "")
     inner = pc.replace_substring(inner, '"', "")
     listed = split_list(inner, ",")
-    # scalar fallback: single-element list
-    single = split_list(s, "\x00", drop_empty=True)  # split on absent sep → [s]
-    return pc.if_else(is_listish, listed, single)
+    if isinstance(listed, pa.ChunkedArray):
+        listed = listed.combine_chunks()
+    # row-wise merge with the scalar fallback (arrow if_else doesn't take
+    # list types); this op parses small metadata columns, never hot text
+    mask = is_listish.to_numpy(zero_copy_only=False)
+    out = []
+    for i in range(len(s)):
+        if mask[i]:
+            out.append(listed[i].as_py())
+        else:
+            v = s[i].as_py()
+            out.append([v] if v else [])
+    return pa.array(out, pa.list_(pa.string()))
 
 
 def cast_empty_null(arr, target: pa.DataType):

@@ -274,7 +274,7 @@ def run_partitioned(
 
     # phase 2 — global consolidation over all phase-1 outputs
     linked_all = ray.data.read_parquet(
-        sorted(glob.glob(os.path.join(phase1, "part-*", "linked")))
+        sorted(glob.glob(os.path.join(phase1, "part-*", "linked", "*.parquet")))
     )
     sameas_text = linked_all.filter(expr="pred == 'SAME_AS'").map_batches(
         lambda t: pa.table({"a": t["subj"], "b": t["obj"]}), batch_format="pyarrow"
@@ -289,9 +289,22 @@ def run_partitioned(
     edges = count_triples(facts)
     nodes = build_nodes(edges, ontology, cfg)
 
+    # snapshot semantics for the final tables (reference D6 destructive
+    # refresh): write to a temp dir, then atomically swap — a rerun never
+    # appends part-files next to a previous run's
     final = os.path.join(out_dir, "graph")
-    edges.write_parquet(os.path.join(final, "edges"))
-    nodes.write_parquet(os.path.join(final, "nodes"))
+    tmp_final = final + ".tmp"
+    if os.path.exists(tmp_final):
+        import shutil
+
+        shutil.rmtree(tmp_final)
+    edges.write_parquet(os.path.join(tmp_final, "edges"))
+    nodes.write_parquet(os.path.join(tmp_final, "nodes"))
+    if os.path.exists(final):
+        import shutil
+
+        shutil.rmtree(final)
+    os.replace(tmp_final, final)
     with open(os.path.join(final, "manifest.json"), "w") as f:
         json.dump(
             {

@@ -1,0 +1,161 @@
+"""Unit tests for the distributed stage library: aggregation strategies,
+joins, windows, near-dup, ANN, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from bioontologykg_ray.stages.agg import (
+    grouped_agg,
+    grouped_count,
+    grouped_distinct,
+    sorted_group_apply,
+    two_phase_agg,
+)
+from bioontologykg_ray.stages import joins as J
+from bioontologykg_ray.stages import multimodal as MM
+from bioontologykg_ray.stages import windows as W
+from bioontologykg_ray.stages.dedup import dedup_first_by_key
+
+
+def _events_df(n=500, seed=3):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 20, n),
+            "event_id": np.arange(n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(np.sort(rng.randint(0, 86400 * 3, n)), unit="s"),
+            "value": rng.uniform(0, 10, n).round(2),
+            "key": rng.randint(0, 37, n),
+        }
+    )
+
+
+def test_grouped_agg_matches_pandas():
+    df = _events_df()
+    ds = rd.from_pandas(df).repartition(7)
+    out = grouped_agg(
+        ds, ["user_id"],
+        {"n": ("value", "count"), "s": ("value", "sum"),
+         "m": ("value", "mean"), "mx": ("value", "max")},
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    want = (
+        df.groupby("user_id", as_index=False)
+        .agg(n=("value", "size"), s=("value", "sum"),
+             m=("value", "mean"), mx=("value", "max"))
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    want["n"] = want["n"].astype("int64")
+    pd.testing.assert_frame_equal(out, want, check_like=True, atol=1e-9)
+
+
+def test_grouped_agg_global():
+    df = _events_df()
+    ds = rd.from_pandas(df).repartition(5)
+    out = grouped_agg(ds, [], {"n": ("value", "count"), "s": ("value", "sum")}).to_pandas()
+    assert len(out) == 1
+    assert out["n"][0] == len(df)
+    assert out["s"][0] == pytest.approx(df["value"].sum())
+
+
+def test_sorted_group_apply_exact_with_hot_keys():
+    """Keys straddling block boundaries (incl. a hot key spanning many
+    blocks) must be aggregated exactly once."""
+    rng = np.random.RandomState(7)
+    keys = np.concatenate([rng.randint(0, 50, 2000), np.full(3000, 25)])  # hot key 25
+    df = pd.DataFrame({"k": [f"key-{x:03d}" for x in keys], "v": np.ones(len(keys), np.int64)})
+    ds = rd.from_pandas(df).repartition(11)
+
+    def apply(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("k", as_index=False)["v"].sum()
+
+    out = sorted_group_apply(ds, "k", apply).to_pandas()
+    got = out.groupby("k")["v"].sum().to_dict()  # second groupby = safety net only
+    want = df.groupby("k")["v"].sum().to_dict()
+    # each key must appear EXACTLY once in the output (no double counting)
+    assert out["k"].is_unique
+    assert got == want
+
+
+def test_grouped_count_sorted_combine():
+    df = _events_df(2000)
+    ds = rd.from_pandas(df).repartition(9)
+    out = grouped_count(ds, ["key"], sorted_combine=True).to_pandas()
+    want = df.groupby("key").size()
+    assert out["key"].is_unique
+    assert dict(zip(out["key"], out["n"])) == want.to_dict()
+
+
+def test_dedup_first_by_key():
+    df = _events_df(300)
+    ds = rd.from_pandas(df).repartition(6)
+    out = dedup_first_by_key(ds, ["user_id"], ["ts", "event_id"]).to_pandas()
+    want = (
+        df.sort_values(["ts", "event_id"]).drop_duplicates("user_id")
+    )
+    assert set(out["event_id"]) == set(want["event_id"])
+
+
+def test_hash_join_matches_pandas_merge():
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "l": ["a", "b", "c", "d", "e"]})
+    right = pd.DataFrame({"k": [2, 2, 3, 4], "r": [10, 20, 30, 40]})
+    out = (
+        J.hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k", num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "l", "r"])
+        .reset_index(drop=True)
+    )
+    want = left.merge(right, on="k").sort_values(["k", "l", "r"]).reset_index(drop=True)
+    # hash_join floats the key through NaN padding; compare values loosely
+    assert len(out) == len(want)
+    assert out["r"].astype(int).tolist() == want["r"].tolist()
+
+
+def test_session_counts_crafted():
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 02:00",  # user 1: 2 sessions
+         "2024-01-01 05:00"]                                          # user 2: 1 session
+    )
+    df = pd.DataFrame({"user_id": [1, 1, 1, 2], "event_id": [0, 1, 2, 3], "ts": ts})
+    out = W.session_counts(rd.from_pandas(df), gap_s=1800).to_pandas()
+    d = out.set_index("user_id")
+    assert d.loc[1, "n_sessions"] == 2 and d.loc[1, "n_events"] == 3
+    assert d.loc[2, "n_sessions"] == 1
+
+
+def test_multimodal_plumbing():
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2], "text": ["x" * 100, "y" * 300]}))
+    media = MM.attach_payload(docs)
+    meta = MM.decode_image_metadata(media).to_pandas().set_index("media_id")
+    assert meta.loc[1, "width"] == 100 % 640 + 16
+    assert meta.loc[1, "n_pixels"] == meta.loc[1, "width"] * meta.loc[1, "height"]
+    frames = MM.sample_frames(MM.attach_payload(docs), stride=4).to_pandas()
+    # doc 2: 300//64 = 4 frames, stride 4 → sampled frame 0 only
+    assert len(frames[frames["media_id"] == 2]) == 1
+
+
+def test_real_decoder_gated():
+    with pytest.raises(NotImplementedError):
+        MM.RealImageDecoder()
+
+
+def test_ann_lsh_is_subset_quality():
+    """LSH results must be drawn from the same scoring rule: every
+    (query, vec) pair it returns appears in the brute-force full ranking
+    with the same rounded cosine."""
+    from bioontologykg_ray.stages.ann import ann_topk_bruteforce, ann_topk_lsh
+
+    rng = np.random.RandomState(5)
+    n, dim = 200, 16
+    emb = rng.standard_normal((n, dim)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(emb)})
+    ds = rd.from_pandas(df).repartition(4)
+    bf = ann_topk_bruteforce(ds, [0, 1], k=200).to_pandas()  # full ranking
+    lsh = ann_topk_lsh(ds, [0, 1], k=10, nbits=3, dim=dim).to_pandas()
+    bf_cos = {(q, v): c for q, v, c in bf[["query_id", "vec_id", "cos"]].itertuples(index=False)}
+    for q, v, c in lsh[["query_id", "vec_id", "cos"]].itertuples(index=False):
+        assert bf_cos[(q, v)] == pytest.approx(c, abs=2e-6)
