@@ -1,0 +1,158 @@
+"""Source readers (SURVEY.md §2.1 S1-S6 parity).
+
+- S1  headered TSV/CSV stream (`LOAD CSV WITH HEADERS ... FIELDTERMINATOR`,
+      `cql/import/cosmic/import_cosmic_genes.cql:29`)
+- S2  per-column array mapping (`apoc.load.csv {array:true, arraySep:";"}`,
+      `cql/import/uniprot/load_uniprot.cql:7-20`)
+- S3  positional headerless CSV with SKIP n (`cql/import/import_hpo.cql:30-46`)
+- S5/S6 OBO ontology parser (pronto/obonet equivalents,
+      `src/BioOntologyKG/importers/import_go_obo.py:64-145`) — ontology
+      files are small dimension inputs, parsed driver-side and lifted
+      into Datasets (`ray.data.from_arrow`).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.csv as pacsv
+import ray.data
+
+from bioontologykg_ray.functions.text import split_list
+
+
+def read_tsv(path: str | list[str], columns: list[str] | None = None,
+             delimiter: str = "\t") -> ray.data.Dataset:
+    """S1 — headered delimited text as a streaming Dataset."""
+    ds = ray.data.read_csv(
+        path, parse_options=pacsv.ParseOptions(delimiter=delimiter)
+    )
+    return ds.select_columns(columns) if columns else ds
+
+
+def read_csv_typed(
+    path: str | list[str],
+    array_cols: dict[str, str] | None = None,
+    delimiter: str = ",",
+) -> ray.data.Dataset:
+    """S2 — headered CSV with per-column list splitting
+    (``array_cols={'xrefs': ';'}`` ≙ apoc's ``{array:true, arraySep:';'}``)."""
+    ds = read_tsv(path, delimiter=delimiter)
+    if not array_cols:
+        return ds
+
+    def split(t: pa.Table) -> pa.Table:
+        for col, sep in array_cols.items():
+            idx = t.schema.get_field_index(col)
+            t = t.set_column(idx, col, split_list(t[col], sep))
+        return t
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+def read_positional_csv(
+    path: str | list[str],
+    names: list[str],
+    skip_rows: int = 0,
+    delimiter: str = ",",
+) -> ray.data.Dataset:
+    """S3 — headerless CSV: `LOAD CSV ... SKIP n` + row[i] access becomes
+    named columns."""
+    return ray.data.read_csv(
+        path,
+        parse_options=pacsv.ParseOptions(delimiter=delimiter),
+        read_options=pacsv.ReadOptions(column_names=names, skip_rows=skip_rows),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OBO (S5/S6) — minimal [Term]-stanza parser: id, name, namespace, def,
+# synonym, xref, alt_id, is_obsolete, is_a, relationship. Mirrors what the
+# reference extracts via pronto (import_go_obo.py:75-145): term records
+# with list attributes + (subject, predicate, object) triples.
+# ---------------------------------------------------------------------------
+
+def parse_obo(path: str) -> tuple[pa.Table, pa.Table]:
+    """Returns (terms, relationships). Predicates are upper-cased on the
+    relationship table, as the reference does on materialize
+    (import_go_obo.py:256)."""
+    terms: list[dict] = []
+    rels: list[tuple[str, str, str]] = []
+    cur: dict | None = None
+    in_term = False
+
+    def flush():
+        nonlocal cur
+        if in_term and cur and "id" in cur:
+            terms.append(cur)
+        cur = None
+
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line == "[Term]":
+                flush()
+                in_term = True
+                cur = {"synonyms": [], "xrefs": [], "alt_ids": [], "is_obsolete": False}
+                continue
+            if line.startswith("["):  # [Typedef] etc.
+                flush()
+                in_term = False
+                continue
+            if not in_term or cur is None or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            val = val.strip()
+            if key == "id":
+                cur["id"] = val
+            elif key == "name":
+                cur["name"] = val
+            elif key == "namespace":
+                cur["namespace"] = val
+            elif key == "def":
+                cur["definition"] = val.split('"')[1] if '"' in val else val
+            elif key == "synonym":
+                cur["synonyms"].append(val.split('"')[1] if '"' in val else val)
+            elif key == "xref":
+                cur["xrefs"].append(val.split(" ")[0])
+            elif key == "alt_id":
+                cur["alt_ids"].append(val)
+            elif key == "is_obsolete":
+                cur["is_obsolete"] = val.lower() == "true"
+            elif key == "is_a":
+                target = val.split("!")[0].strip()
+                rels.append((cur.get("id", ""), "IS_A", target))
+            elif key == "relationship":
+                parts = val.split("!")[0].split()
+                if len(parts) >= 2:
+                    rels.append((cur.get("id", ""), parts[0].upper(), parts[1]))
+    flush()
+
+    terms_tbl = pa.table(
+        {
+            "term_id": pa.array([t.get("id", "") for t in terms], pa.string()),
+            "name": pa.array([t.get("name", "") for t in terms], pa.string()),
+            "namespace": pa.array([t.get("namespace", "") for t in terms], pa.string()),
+            "definition": pa.array([t.get("definition", "") for t in terms], pa.string()),
+            "synonyms": pa.array([t["synonyms"] for t in terms], pa.list_(pa.string())),
+            "xrefs": pa.array([t["xrefs"] for t in terms], pa.list_(pa.string())),
+            "alt_ids": pa.array([t["alt_ids"] for t in terms], pa.list_(pa.string())),
+            "is_obsolete": pa.array([t["is_obsolete"] for t in terms], pa.bool_()),
+        }
+    )
+    rels_tbl = pa.table(
+        {
+            "subject_id": pa.array([r[0] for r in rels], pa.string()),
+            "predicate": pa.array([r[1] for r in rels], pa.string()),
+            "object_id": pa.array([r[2] for r in rels], pa.string()),
+        }
+    )
+    return terms_tbl, rels_tbl
+
+
+def read_obo(path: str) -> dict[str, ray.data.Dataset]:
+    """S5 — OBO → two Datasets (terms, relationships)."""
+    terms, rels = parse_obo(path)
+    return {
+        "terms": ray.data.from_arrow(terms),
+        "relationships": ray.data.from_arrow(rels),
+    }

@@ -1,0 +1,98 @@
+"""Source reader tests (S1-S6) over tiny fixtures."""
+
+import os
+import textwrap
+
+import pytest
+
+from bioontologykg_ray.sources import readers as R
+
+OBO = textwrap.dedent(
+    """\
+    format-version: 1.2
+
+    [Term]
+    id: GO:0000001
+    name: mitochondrion inheritance
+    namespace: biological_process
+    def: "The distribution of mitochondria." [GOC:mcc]
+    synonym: "mitochondrial inheritance" EXACT []
+    xref: Wikipedia:Mito
+    alt_id: GO:0009999
+    is_a: GO:0048308 ! organelle inheritance
+
+    [Term]
+    id: GO:0000002
+    name: mitochondrial genome maintenance
+    namespace: biological_process
+    is_obsolete: true
+    relationship: part_of GO:0000001 ! mitochondrion inheritance
+
+    [Typedef]
+    id: part_of
+    """
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("src")
+    (d / "genes.tsv").write_text(
+        "gene_id\tgene_symbol\tstart_pos\nG1\tTP53\t100\nG2\tBRCA1\t\n"
+    )
+    (d / "typed.csv").write_text("id,xrefs\n1,a;b; ;c\n2,\n")
+    (d / "positional.csv").write_text("#junk\n#junk2\nX1,alpha\nX2,beta\n")
+    (d / "mini.obo").write_text(OBO)
+    return str(d)
+
+
+def test_read_tsv_headers(fixture_dir):
+    ds = R.read_tsv(os.path.join(fixture_dir, "genes.tsv"))
+    df = ds.to_pandas().sort_values("gene_id").reset_index(drop=True)
+    assert list(df.columns) == ["gene_id", "gene_symbol", "start_pos"]
+    assert df["gene_symbol"].tolist() == ["TP53", "BRCA1"]
+    # empty numeric cell → null (toInteger empty-guard semantics)
+    assert df["start_pos"].isna().tolist() == [False, True]
+
+
+def test_read_csv_typed_arrays(fixture_dir):
+    ds = R.read_csv_typed(
+        os.path.join(fixture_dir, "typed.csv"), array_cols={"xrefs": ";"}
+    )
+    df = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(df["xrefs"][0]) == ["a", "b", "c"]  # trimmed, empties dropped
+    assert list(df["xrefs"][1]) == []
+
+
+def test_read_positional_skip(fixture_dir):
+    ds = R.read_positional_csv(
+        os.path.join(fixture_dir, "positional.csv"),
+        names=["code", "label"],
+        skip_rows=2,
+    )
+    df = ds.to_pandas().sort_values("code").reset_index(drop=True)
+    assert df["code"].tolist() == ["X1", "X2"]
+
+
+def test_parse_obo(fixture_dir):
+    terms, rels = R.parse_obo(os.path.join(fixture_dir, "mini.obo"))
+    t = terms.to_pandas().set_index("term_id")
+    assert t.loc["GO:0000001", "name"] == "mitochondrion inheritance"
+    assert list(t.loc["GO:0000001", "synonyms"]) == ["mitochondrial inheritance"]
+    assert list(t.loc["GO:0000001", "alt_ids"]) == ["GO:0009999"]
+    assert bool(t.loc["GO:0000002", "is_obsolete"]) is True
+    r = rels.to_pandas()
+    assert ("GO:0000001", "IS_A", "GO:0048308") in set(
+        map(tuple, r.itertuples(index=False))
+    )
+    assert ("GO:0000002", "PART_OF", "GO:0000001") in set(
+        map(tuple, r.itertuples(index=False))
+    )
+    # Typedef stanza must not leak into terms
+    assert "part_of" not in t.index
+
+
+def test_read_obo_datasets(fixture_dir):
+    out = R.read_obo(os.path.join(fixture_dir, "mini.obo"))
+    assert out["terms"].count() == 2
+    assert out["relationships"].count() == 2
