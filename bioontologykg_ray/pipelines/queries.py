@@ -1013,3 +1013,190 @@ def oracle_for_sf(sf: float) -> dict:
     d["kg_extract_triples"] = _sql_kg_extract(sf)
     d["kg_ordered_turns"] = _sql_kg_ordered(sf)
     return d
+
+
+# =========================================================================
+# round-1 additions: prefix/containment joins, duplicate groups,
+# enrichment, explicit hash join, embedding stage
+# =========================================================================
+
+def q_word_prefix_doc_counts(sf_dir: str):
+    """J3/J4 — broadcast symbol-table containment join: the distinct
+    first tokens of part names (the 'alias trie' small side) matched
+    against document text; counts docs containing each word."""
+    parts = rd.read_parquet(_p(sf_dir, "part"), columns=["p_name"]).to_pandas()
+    words = sorted({p.split(" ")[0] for p in parts["p_name"]})
+    words_ref = ray.put(words)
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    class Count:
+        def __init__(self, ref):
+            self.words = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rows = [
+                {"word": w, "n_docs": int(df["text"].str.contains(w, regex=False).sum())}
+                for w in self.words
+            ]
+            return pd.DataFrame(rows)
+
+    partials = docs.map_batches(
+        Count, fn_constructor_kwargs={"ref": words_ref},
+        batch_format="pandas", batch_size=None, concurrency=(1, 2),
+    )
+    out = (
+        partials.to_pandas().groupby("word", as_index=False)["n_docs"].sum()
+    )
+    out = out[out["n_docs"] > 0].reset_index(drop=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+SQL_WORD_PREFIX_DOC_COUNTS = """
+SELECT w.word, count(*) AS n_docs
+FROM (SELECT DISTINCT split_part(p_name, ' ', 1) AS word FROM part) w
+JOIN documents d ON d.text LIKE '%' || w.word || '%'
+GROUP BY w.word
+"""
+
+
+def q_docs_containing_spark(sf_dir: str):
+    """J4 — containment scan (`toLower(title) CONTAINS q` analogue)."""
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = docs.map_batches(
+        lambda df: df.loc[df["text"].str.contains("spark", regex=False), ["doc_id"]],
+        batch_format="pandas",
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    return out
+
+
+SQL_DOCS_CONTAINING_SPARK = "SELECT doc_id FROM documents WHERE text LIKE '%spark%'"
+
+
+def q_duplicate_text_groups(sf_dir: str):
+    """A3 — duplicate groups: collect per content hash, keep size>1
+    (`remediate_duplicate_pubmed_ids.cql:1-13`) over the seeded
+    exact-duplicate corpus."""
+    corpus = _docs_plus_exact_copies(sf_dir)
+
+    def h(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"text_md5": df["text"].map(TS.md5_hex)})
+
+    counts = grouped_count(corpus.map_batches(h, batch_format="pandas"), ["text_md5"])
+    out = counts.to_pandas()
+    return out[out["n"] > 1].reset_index(drop=True)
+
+
+SQL_DUPLICATE_TEXT_GROUPS = f"""
+WITH corpus AS ({_CORPUS_EXACT_SQL})
+SELECT md5(text) AS text_md5, count(*) AS n FROM corpus
+GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_event_enrichment(sf_dir: str):
+    """M9 URL constructor + M10 CASE code→label enrichment."""
+    from bioontologykg_ray.functions.text import case_lookup, concat_url
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type"])
+    labels = {
+        "purchase": "Purchase Completed",
+        "signup": "Account Created",
+        "error": "Error Raised",
+    }
+
+    def enrich(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "url": concat_url("https://events.example.org/e/", t["event_id"]),
+                "label": case_lookup(t["event_type"], labels, default="Other"),
+            }
+        )
+
+    return ds.map_batches(enrich, batch_format="pyarrow")
+
+
+SQL_EVENT_ENRICHMENT = """
+SELECT event_id,
+       'https://events.example.org/e/' || CAST(event_id AS VARCHAR) AS url,
+       CASE event_type WHEN 'purchase' THEN 'Purchase Completed'
+                       WHEN 'signup' THEN 'Account Created'
+                       WHEN 'error' THEN 'Error Raised'
+                       ELSE 'Other' END AS label
+FROM events
+"""
+
+
+def q_revenue_by_segment_hashjoin(sf_dir: str):
+    """The same J1 stitch as revenue_by_segment but via the EXPLICIT
+    partitioned hash join (both-sides-large pattern) instead of a
+    broadcast — exercises stages/joins.hash_join against the oracle."""
+    li = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]), batch_format="pyarrow"
+    )
+    joined = J.hash_join(li, orders, on="l_orderkey", num_buckets=16)
+    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    c2s = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    joined = J.broadcast_lookup(joined, c2s, "o_custkey", "segment")
+
+    def add_rev(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df[["segment", "revenue"]]
+
+    out = grouped_agg(
+        joined.map_batches(add_rev, batch_format="pandas"),
+        ["segment"],
+        {"revenue": ("revenue", "sum"), "n": ("revenue", "count")},
+    ).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+def q_doc_embeddings(sf_dir: str):
+    """T1/T2/T3 — batched actor-pool embedding with provenance; the
+    model is the deterministic hash embedder (rows-only check)."""
+    from bioontologykg_ray.stages.embed import embed_texts_stage
+
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    emb = embed_texts_stage(docs, dim=32, pooling="mean", concurrency=2)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "embedding_model": df["embedding_model"],
+                "e0": [round(float(np.asarray(v)[0]), 6) for v in df["embedding"]],
+            }
+        )
+
+    return emb.map_batches(project, batch_format="pandas")
+
+
+QUERIES.update(
+    {
+        "word_prefix_doc_counts": q_word_prefix_doc_counts,
+        "docs_containing_spark": q_docs_containing_spark,
+        "duplicate_text_groups": q_duplicate_text_groups,
+        "event_enrichment": q_event_enrichment,
+        "revenue_by_segment_hashjoin": q_revenue_by_segment_hashjoin,
+        "doc_embeddings": q_doc_embeddings,
+    }
+)
+ORACLE.update(
+    {
+        "word_prefix_doc_counts": SQL_WORD_PREFIX_DOC_COUNTS,
+        "docs_containing_spark": SQL_DOCS_CONTAINING_SPARK,
+        "duplicate_text_groups": SQL_DUPLICATE_TEXT_GROUPS,
+        "event_enrichment": SQL_EVENT_ENRICHMENT,
+        "revenue_by_segment_hashjoin": SQL_REVENUE_SEGMENT,
+        # doc_embeddings: rows-only (model output not SQL-expressible)
+    }
+)
