@@ -144,3 +144,48 @@ def test_distributed_union_find_matches_driver_path(corpus):
     d1 = dist.to_pandas().set_index("node")["root"].to_dict()
     d2 = drv.to_pandas().set_index("node")["root"].to_dict()
     assert d1 == d2 and len(d1) > 0
+
+
+@pytest.mark.parametrize(
+    "topology",
+    ["chain", "star", "mixed"],
+    ids=["chain-16-deep", "hub-star-80", "random-mixed"],
+)
+def test_union_find_fixpoint_topologies(topology):
+    """Fixpoint proof (SURVEY §7.5): the distributed loop must converge
+    within max_iters=12 on (a) a 16-deep chain — needs the pointer-jump
+    O(log D) acceleration, (b) an 80-edge hub star — needs salting to
+    spread fan-in, (c) a random mix — and must equal the driver path."""
+    import random
+
+    import pyarrow as pa
+    import ray
+
+    from bioontologykg_ray.stages.canonicalize import connected_components
+
+    if topology == "chain":
+        pairs = [(f"N:{i:04d}", f"N:{i+1:04d}") for i in range(16)]
+    elif topology == "star":
+        pairs = [("N:9999", f"N:{i:04d}") for i in range(80)]
+    else:
+        rng = random.Random(13)
+        pairs = [
+            (f"N:{rng.randrange(120):04d}", f"N:{rng.randrange(120):04d}")
+            for _ in range(150)
+        ]
+    tbl = pa.table(
+        {"a": pa.array([p[0] for p in pairs]), "b": pa.array([p[1] for p in pairs])}
+    )
+    dist = connected_components(
+        ray.data.from_arrow(tbl), max_iters=12, salt=2, driver_threshold=0
+    ).to_pandas()
+    drv = connected_components(
+        ray.data.from_arrow(tbl), driver_threshold=10**9
+    ).to_pandas()
+    d1 = dict(zip(dist["node"], dist["root"]))
+    d2 = dict(zip(drv["node"], drv["root"]))
+    assert d1 == d2
+    if topology == "chain":
+        assert set(d1.values()) == {"N:0000"}
+    if topology == "star":
+        assert set(d1.values()) == {"N:0000"}
