@@ -18,7 +18,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from bioontologykg_ray.functions import textstats as TS
 from bioontologykg_ray.stages import joins as J
@@ -201,8 +200,6 @@ FROM lineitem
 
 def q_early_shipments(sf_dir: str):
     """M13 predicate + S1 filter pushdown at the parquet read."""
-    import pyarrow.dataset as pads
-
     cutoff = pd.Timestamp("1995-06-01")
     ds = rd.read_parquet(
         _p(sf_dir, "lineitem"),
