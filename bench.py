@@ -132,10 +132,10 @@ def run_bench() -> dict:
 
 def run_kg_only() -> dict:
     """Scaling-mode payload: ONLY the headline KG pipeline, over the
-    ``$GRAFT_KG_SF`` synthetic corpus (default 1.0 ≈ 2.4M turns, large
+    ``$GRAFT_KG_SF`` synthetic corpus (default 4.0 ≈ 9.6M turns, large
     enough that compute dominates fixed shuffle latency)."""
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    kg_sf = float(os.environ.get("GRAFT_KG_SF", "1.0"))
+    kg_sf = float(os.environ.get("GRAFT_KG_SF", "4.0"))
 
     import ray
 

@@ -46,12 +46,15 @@ from bioontologykg_ray.stages.ordering import order_conversations
 
 
 def _read_blocks() -> int:
-    """Block count for the transcript read: ~4 blocks per CPU, capped.
-    Left to its own devices Ray splits small files into hundreds of tiny
-    blocks and every downstream range shuffle goes quadratic in block
-    count; at 100 TB the cap keeps blocks ~100-500 MB instead."""
+    """Block count for the transcript read: ≈ one in-flight block per
+    core. Left to its own devices Ray splits small files into hundreds
+    of tiny blocks and every downstream shuffle pays per-fragment
+    object-store overhead — measured at sf4/32cpu: 32 blocks → 49 s,
+    128 blocks → 91 s for the same pipeline. On a cluster `cpus` is the
+    cluster total, so this still means one block per core, with
+    ``DataContext.target_max_block_size`` as the real size cap."""
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(16, min(cpus * 4, 256))
+    return max(8, min(cpus, 64))
 
 
 def load_ontology(ontology_path: str) -> pa.Table:
