@@ -1009,6 +1009,7 @@ def oracle_for_sf(sf: float) -> dict:
     d = dict(ORACLE)
     d["kg_extract_triples"] = _sql_kg_extract(sf)
     d["kg_ordered_turns"] = _sql_kg_ordered(sf)
+    d["kg_linked_unambiguous"] = _sql_kg_linked_unambiguous(sf)
     return d
 
 
@@ -1197,3 +1198,124 @@ ORACLE.update(
         # doc_embeddings: rows-only (model output not SQL-expressible)
     }
 )
+
+
+def q_event_seq_numbers(sf_dir: str):
+    """Ordered per-key running counter (row_number over (user, ts)) via
+    sorted-block apply with a vectorized cross-user cumcount — the
+    deterministic-pagination / ordered-scan pattern (O3) as a window fn."""
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
+        df["seq"] = df.groupby("user_id").cumcount().astype("int64") + 1
+        out = df[["user_id", "event_id", "seq"]].copy()
+        out["ts_us"] = (
+            df["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        )
+        return out
+
+    return sorted_group_apply(ds, "user_id", apply)
+
+
+SQL_EVENT_SEQ_NUMBERS = """
+SELECT user_id, event_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq,
+       epoch_us(ts) AS ts_us
+FROM events
+"""
+
+
+def q_kg_linked_unambiguous(sf_dir: str):
+    """Exact SQL-checkable slice of the flagship: ordering + extraction +
+    linking restricted to UNAMBIGUOUS aliases (the embedding-scored
+    ambiguous minority is excluded on both sides — SQL can rebuild the
+    alias dictionary from the ontology parquet but not the hashed-BoW
+    context scores)."""
+    from bioontologykg_ray.pipelines.kg import load_ontology
+    from bioontologykg_ray.stages.extract import extract_triples
+    from bioontologykg_ray.stages.linker import build_alias_index, link_triples
+    from bioontologykg_ray.stages.ordering import order_conversations
+
+    p = _synth_paths(sf_dir)
+    ontology = load_ontology(p["ontology"])
+    index = build_alias_index(ontology)
+    index_ref = ray.put(index)
+    amb = frozenset(index["ambiguous"].keys())
+    amb_ref = ray.put(amb)
+
+    ds = rd.read_parquet(p["transcripts"])
+    raw = extract_triples(order_conversations(ds), dim=_KG_CFG.embedding_dim,
+                          ambiguous=ray.put(frozenset()))
+    flagged = link_triples(raw, index_ref, concurrency=4)
+
+    class KeepUnambiguous:
+        def __init__(self, ref):
+            self.amb = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            keep = (
+                df["linked"]
+                & ~df["subj_surface"].str.lower().isin(self.amb)
+                & ~df["obj_surface"].str.lower().isin(self.amb)
+            )
+            return df.loc[keep, ["subj", "pred", "obj", "conv_id", "turn_idx"]]
+
+    return flagged.map_batches(
+        KeepUnambiguous, fn_constructor_kwargs={"ref": amb_ref},
+        batch_format="pandas", concurrency=2,
+    )
+
+
+def _sql_kg_linked_unambiguous(sf: float) -> str:
+    tdir = os.path.join(SY.synth_dir(sf), "transcripts", "*.parquet")
+    ont = os.path.join(SY.synth_dir(sf), "ontology_terms.parquet")
+    pat = TRIPLE_PATTERN.replace("'", "''")
+    return f"""
+WITH ont AS (SELECT * FROM read_parquet('{ont}')),
+surf AS (
+  SELECT lower(trim(name)) AS alias, term_id FROM ont WHERE NOT is_obsolete
+  UNION ALL
+  SELECT lower(trim(unnest(synonyms))), term_id FROM ont WHERE NOT is_obsolete),
+grouped AS (SELECT alias, min(term_id) AS term_id, count(*) AS n
+            FROM surf GROUP BY alias),
+una AS (SELECT alias, term_id FROM grouped WHERE n = 1),
+m AS (
+  SELECT conv_id, turn_idx,
+         unnest(regexp_extract_all(text, '{pat}')) AS mt
+  FROM read_parquet('{tdir}')),
+triples AS (
+  SELECT lower(regexp_extract(mt, '{pat}', 1)) AS s_alias,
+         CASE regexp_extract(mt, '{pat}', 2)
+           WHEN 'is the same as' THEN 'SAME_AS'
+           WHEN 'interacts with' THEN 'INTERACTS_WITH'
+           WHEN 'is part of' THEN 'PART_OF'
+           WHEN 'regulates' THEN 'REGULATES'
+           WHEN 'is a' THEN 'IS_A' END AS pred,
+         lower(regexp_extract(mt, '{pat}', 3)) AS o_alias,
+         conv_id, turn_idx
+  FROM m)
+SELECT u1.term_id AS subj, t.pred, u2.term_id AS obj, t.conv_id, t.turn_idx
+FROM triples t
+JOIN una u1 ON t.s_alias = u1.alias
+JOIN una u2 ON t.o_alias = u2.alias
+"""
+
+
+QUERIES.update(
+    {
+        "event_seq_numbers": q_event_seq_numbers,
+        "kg_linked_unambiguous": q_kg_linked_unambiguous,
+    }
+)
+ORACLE.update(
+    {
+        "event_seq_numbers": SQL_EVENT_SEQ_NUMBERS,
+        "kg_linked_unambiguous": _sql_kg_linked_unambiguous(0.01),
+    }
+)
+
+
+_ORACLE_FOR_SF_EXTRA = True  # marker: oracle_for_sf below must refresh kg SQL
