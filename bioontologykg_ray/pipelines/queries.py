@@ -33,6 +33,9 @@ from bioontologykg_ray.stages import ann as ANN
 from bioontologykg_ray.stages import multimodal as MM
 
 
+from bioontologykg_ray.util import clamp_pool as _clamp
+
+
 def _p(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -1249,7 +1252,7 @@ def q_kg_linked_unambiguous(sf_dir: str):
     ds = rd.read_parquet(p["transcripts"])
     raw = extract_triples(order_conversations(ds), dim=_KG_CFG.embedding_dim,
                           ambiguous=ray.put(frozenset()))
-    flagged = link_triples(raw, index_ref, concurrency=4)
+    flagged = link_triples(raw, index_ref, concurrency=4)  # clamped inside
 
     class KeepUnambiguous:
         def __init__(self, ref):
@@ -1265,7 +1268,7 @@ def q_kg_linked_unambiguous(sf_dir: str):
 
     return flagged.map_batches(
         KeepUnambiguous, fn_constructor_kwargs={"ref": amb_ref},
-        batch_format="pandas", concurrency=2,
+        batch_format="pandas", concurrency=_clamp(2),
     )
 
 

@@ -70,10 +70,12 @@ def embed_texts_stage(
     concurrency: int = 4,
 ) -> ray.data.Dataset:
     """The T1-shaped stage: fixed actor pool, batched encode."""
+    from bioontologykg_ray.util import clamp_pool
+
     return ds.map_batches(
         HashEmbedder,
         fn_constructor_kwargs={"dim": dim, "pooling": pooling, "text_col": text_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=clamp_pool(concurrency),
     )

@@ -178,8 +178,12 @@ def link_triples(
 
     FIXED-size actor pool with whole-block batches: Ray's autoscaling
     pool ramps far too slowly for a short stage (measured 38.5s vs 11.7s
-    on 10M triples). Size ``concurrency`` ≤ half the CPUs so the
+    on 10M triples). The pool is clamped to ≤ half the CPUs so the
     stateless stages sharing the execution never starve."""
+    from bioontologykg_ray.util import clamp_pool
+
+    if isinstance(concurrency, int):
+        concurrency = clamp_pool(concurrency)
     return raw.map_batches(
         EntityLinker,
         fn_constructor_kwargs={"index_ref": index_ref},
