@@ -50,6 +50,8 @@ def _consume(res) -> int:
 def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf_dir):
+        raise SystemExit(f"GRAFT_SF_DIR does not exist: {sf_dir}")
 
     import ray
 

@@ -127,7 +127,10 @@ def run_kg_pipeline(
     # (D3 semantics: the redundant node is gone, not self-referential)
     facts = canon.filter(expr="pred != 'SAME_AS'")
     facts = canonicalize_symmetric(facts, cfg.symmetric_predicates)
-    edges = count_triples(facts)
+    # materialize: the deduped edge table is compact and has two
+    # consumers (caller + node building) — lazy it would re-run the
+    # rewrite+count lineage per consumer
+    edges = count_triples(facts).materialize()
 
     nodes = build_nodes(edges, ontology, cfg)
     return {

@@ -232,11 +232,11 @@ def make_transcripts(sf: float, seed: int = 42) -> pa.Table:
     return tbl.take(pa.array(perm))
 
 
-def synth_dir(sf: float, root: str = "/tmp/bioontologykg_ray/synth") -> str:
+def synth_dir(sf: float, root: str = "/tmp/biokg-ray-synth") -> str:
     return os.path.join(root, f"v{GENERATOR_VERSION}-sf{sf}")
 
 
-def ensure_synth(sf: float, seed: int = 42, root: str = "/tmp/bioontologykg_ray/synth",
+def ensure_synth(sf: float, seed: int = 42, root: str = "/tmp/biokg-ray-synth",
                  n_shards: int = 8) -> str:
     """Write (once, idempotently) the synthetic corpus for ``sf``.
 
