@@ -5,16 +5,22 @@
   tables (J1 node-key resolution, J2 FK stitches, M10 lookups).
 - ``semi_join`` / ``anti_join``: broadcast key set + vectorized isin
   (J5 existence checks / skip-already-imported).
-- ``hash_join``: both sides large → explicit partitioned hash join
-  (bucket column + co-group), the portable shuffle-join pattern.
+- ``cogroup_attach``: both sides large, right side unique-per-key →
+  sort-based co-group join with ZERO driver-side state. This is the
+  scale path for "attach per-key payload to a big stream" (dedup
+  verify stages, canonical-mapping application at web-scale entity
+  counts) — the fix for round-1's driver-collected shingle sets.
+- ``hash_join``: both sides large, general many-to-many → explicit
+  partitioned hash join (vectorized bucket column + co-group).
 """
 
 from __future__ import annotations
 
-import zlib
+from typing import Callable
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data
 
@@ -79,35 +85,177 @@ def anti_join(ds: ray.data.Dataset, keys: set, key_col: str) -> ray.data.Dataset
                           batch_format="pandas", batch_size=None, concurrency=(1, 4))
 
 
+# ---------------------------------------------------------------------------
+# sort-based co-group attach (the de-drivered "join payload onto stream")
+# ---------------------------------------------------------------------------
+
+def cogroup_attach(
+    left: ray.data.Dataset,
+    left_key: str,
+    left_spec: dict[str, pa.DataType],
+    right: ray.data.Dataset,
+    right_key: str,
+    right_spec: dict[str, pa.DataType],
+    fills: dict,
+    post: Callable[[pd.DataFrame], pd.DataFrame],
+    empty_out: pd.DataFrame,
+    key_type: pa.DataType = pa.int64(),
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Attach ``right_spec`` columns (from a dataset with AT MOST ONE row
+    per key) onto every ``left`` row sharing the key — entirely as a
+    distributed sort + per-group vectorized merge. No broadcast, no
+    ``ray.put`` of corpus-derived state, no driver materialization: this
+    is the 100-TB path for verify joins and mapping application.
+
+    Mechanics: both sides map into one ENVELOPE schema (``__k`` + all
+    columns, explicitly Arrow-typed so every block — including empty
+    ones — has an identical schema; missing cells get the typed sentinel
+    from ``fills``, never NaN — see ADVICE on NaN-padding dtype
+    coercion), union, then one range sort on ``__k`` with block-local
+    merges (stages/agg.sorted_group_apply contract: complete key groups
+    per task, block-edge keys in a second small pass).
+
+    ``post`` runs on the merged frame INSIDE the same task — verify /
+    filter / project without another pass over the data. It must accept
+    an empty input and return ``empty_out``-shaped frames. With
+    ``how='left'`` the right columns contain NaN/None where the key had
+    no payload row; ``post`` is responsible for coalescing.
+    """
+    lcols = list(left_spec)
+    rcols = list(right_spec)
+    env_fields = (
+        [("__k", key_type)]
+        + [(c, left_spec[c]) for c in lcols]
+        + [(c, right_spec[c]) for c in rcols]
+        + [("__p", pa.int8())]
+    )
+
+    def _envelope(t: pa.Table, key: str, present: dict, side: int) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for name, typ in env_fields:
+            if name == "__k":
+                cols[name] = t[key].combine_chunks().cast(key_type)
+            elif name == "__p":
+                cols[name] = pa.array(np.full(n, side, dtype=np.int8))
+            elif name in present:
+                cols[name] = t[name].combine_chunks().cast(typ)
+            else:
+                cols[name] = pa.array([fills[name]] * n, typ)
+        return pa.table(cols)
+
+    l_env = left.map_batches(
+        lambda t: _envelope(t, left_key, left_spec, 0), batch_format="pyarrow"
+    )
+    r_env = right.map_batches(
+        lambda t: _envelope(t, right_key, right_spec, 1), batch_format="pyarrow"
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty_out.copy()
+        l = df.loc[df["__p"] == 0, ["__k"] + lcols]
+        r = df.loc[df["__p"] == 1, ["__k"] + rcols]
+        if l.empty or (r.empty and how == "inner"):
+            return empty_out.copy()
+        out = l.merge(r, on="__k", how=how).drop(columns="__k")
+        return post(out)
+
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    return sorted_group_apply(l_env.union(r_env), "__k", merge, empty_out)
+
+
+# ---------------------------------------------------------------------------
+# partitioned hash join (general many-to-many, both sides large)
+# ---------------------------------------------------------------------------
+
+def _arrow_to_nullable(t) -> str:
+    """Arrow/numpy dtype → pandas NULLABLE dtype (so padded NA cells
+    never coerce int64→float64 and every union block shares one schema).
+    Ray reports numpy dtypes (or plain Python types) for pandas-backed
+    datasets, arrow DataTypes for arrow-backed ones — handle both."""
+    if isinstance(t, pa.DataType):
+        if pa.types.is_integer(t):
+            return "Int64"
+        if pa.types.is_floating(t):
+            return "Float64"
+        if pa.types.is_boolean(t):
+            return "boolean"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        return "object"
+    try:
+        dt = np.dtype(t)
+    except TypeError:
+        return "object"
+    if np.issubdtype(dt, np.integer):
+        return "Int64"
+    if np.issubdtype(dt, np.floating):
+        return "Float64"
+    if np.issubdtype(dt, np.bool_):
+        return "boolean"
+    return "object"
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     on: str,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     how: str = "inner",
 ) -> ray.data.Dataset:
-    """Partitioned hash join: both sides get a bucket = crc32(key) % B
-    column, co-group on bucket, pandas merge per bucket. Hot keys can be
-    salted into sub-buckets by raising ``num_buckets``; B is the explicit
-    shuffle width. Prefer ``broadcast_lookup`` whenever one side is
-    dimension-sized."""
+    """Partitioned hash join: both sides get a vectorized bucket =
+    hash(key) % B column, co-group on bucket, pandas merge per bucket.
+    Hot keys can be salted into sub-buckets by raising ``num_buckets``;
+    B is the explicit shuffle width and defaults to 4× the cluster CPU
+    count (scales with the cluster, not a constant — each bucket task
+    holds 1/B of both sides). Prefer ``broadcast_lookup`` whenever one
+    side is dimension-sized and ``cogroup_attach`` when the right side
+    is unique-per-key.
 
-    def add_bucket(side: str):
+    Dtype discipline (ADVICE round 1): missing columns are padded with
+    typed ``pd.NA`` on pandas NULLABLE dtypes, never ``np.nan`` — so
+    int64 join keys are never coerced to float64 (exactness above 2^53)
+    and output dtypes match the inputs. Inner joins restore the exact
+    input dtypes on output."""
+    if num_buckets is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_buckets = max(32, 4 * cpus)
+
+    lschema, rschema = left.schema(), right.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    all_cols = list(dict.fromkeys(lcols + rcols))
+    dtype_map: dict[str, str] = {}
+    for name, typ in zip(lschema.names, lschema.types):
+        dtype_map[name] = _arrow_to_nullable(typ)
+    for name, typ in zip(rschema.names, rschema.types):
+        dtype_map.setdefault(name, _arrow_to_nullable(typ))
+
+    def pad_bucket(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["__bucket"] = [
-                zlib.crc32(str(v).encode()) % num_buckets for v in df[on]
-            ]
-            df["__side"] = side
-            return df
+            out = df.copy()
+            # vectorized, process-stable bucketing (no per-row Python);
+            # integer keys normalize to int64 so both sides hash alike
+            key = out[on].to_numpy()
+            if np.issubdtype(key.dtype, np.integer):
+                key = key.astype(np.int64)
+            out["__bucket"] = (
+                pd.util.hash_array(key, categorize=False) % num_buckets
+            ).astype(np.int64)
+            out["__side"] = side
+            for c in all_cols:
+                if c not in out.columns:
+                    out[c] = pd.Series(pd.NA, index=out.index, dtype=dtype_map[c])
+                elif dtype_map[c] != "object":
+                    out[c] = out[c].astype(dtype_map[c])
+            return out[all_cols + ["__bucket", "__side"]]
 
         return fn
 
-    l = left.map_batches(add_bucket("l"), batch_format="pandas")
-    r = right.map_batches(add_bucket("r"), batch_format="pandas")
-
-    lcols = [c for c in left.schema().names]
-    rcols = [c for c in right.schema().names]
+    l = left.map_batches(pad_bucket("l"), batch_format="pandas")
+    r = right.map_batches(pad_bucket("r"), batch_format="pandas")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == "l"][lcols]
@@ -116,18 +264,16 @@ def hash_join(
                        indicator=(how == "left_anti"))
         if how == "left_anti":
             out = out[out["_merge"] == "left_only"][lcols]
+        if how in ("inner", "left_anti"):
+            # no NAs can remain → give back plain numpy dtypes
+            for c in out.columns:
+                if str(out[c].dtype) == "Int64":
+                    out[c] = out[c].astype("int64")
+                elif str(out[c].dtype) == "Float64":
+                    out[c] = out[c].astype("float64")
+                elif str(out[c].dtype) == "string":
+                    out[c] = out[c].astype(object)
         return out
 
-    # union requires identical schemas → align columns with NaN padding
-    all_cols = list(dict.fromkeys(lcols + rcols)) + ["__bucket", "__side"]
-
-    def pad(df: pd.DataFrame) -> pd.DataFrame:
-        for c in all_cols:
-            if c not in df.columns:
-                df[c] = np.nan
-        return df[all_cols]
-
-    u = l.map_batches(pad, batch_format="pandas").union(
-        r.map_batches(pad, batch_format="pandas")
-    )
+    u = l.union(r)
     return u.groupby("__bucket").map_groups(merge, batch_format="pandas")

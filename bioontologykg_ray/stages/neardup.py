@@ -19,6 +19,14 @@ Ray's per-key-accumulator aggregate:
 - embedding:  label-blocked pairwise cosine (the general form blocks by
               coarse quantization bucket)
 
+Scale discipline (round-2 fix): NOTHING corpus-derived is collected to
+the driver or ``ray.put``-broadcast. Per-doc state needed by a verify
+step (shingle sets, set sizes) is attached to the candidate-pair stream
+with ``stages/joins.cogroup_attach`` — a distributed sort-based
+co-group join keyed first on ``a`` then on ``b``. The candidate stream
+(post-LSH, ≪ corpus) is the only thing that carries payload through the
+two sorts, and the verify computation happens inside the join task.
+
 All pair outputs are (id_a < id_b, score rounded to 1e-6) so results are
 deterministic and order-insensitive.
 """
@@ -39,9 +47,18 @@ from bioontologykg_ray.stages.agg import (
     sorted_group_apply,
     two_phase_agg,
 )
+from bioontologykg_ray.stages.joins import cogroup_attach
 
 _EMPTY_PAIRS = pd.DataFrame(
     {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
+)
+
+_EMPTY_SCORED = pd.DataFrame(
+    {
+        "doc_a": pd.Series(dtype=np.int64),
+        "doc_b": pd.Series(dtype=np.int64),
+        "jaccard": pd.Series(dtype=np.float64),
+    }
 )
 
 
@@ -75,24 +92,22 @@ def exact_dedup_docs(ds: ray.data.Dataset, id_col: str = "doc_id",
 # --------------------------------------------------------------------------
 
 def _pairs_apply(key_col: str):
-    """Vectorized-within-task pair emitter: receives complete key groups
-    (sorted-block contract, stages/agg.py), emits all (a < b) doc pairs
-    per group."""
+    """Fully vectorized pair emitter: receives complete key groups
+    (sorted-block contract, stages/agg.py) and emits all (a < b) doc
+    pairs per group via ONE block-local self-merge — no per-group Python
+    dispatch (the round-1 groupby loop over ~10^5 tiny bands was the
+    candidate-generation hot spot)."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, g in df.groupby(key_col, sort=False):
-            ids = np.unique(g["doc_id"].to_numpy())
-            if ids.size >= 2:
-                ia, ib = np.triu_indices(ids.size, 1)
-                out_a.append(ids[ia])
-                out_b.append(ids[ib])
-        if not out_a:
+        if df.empty:
             return _EMPTY_PAIRS.copy()
+        d = df[[key_col, "doc_id"]].drop_duplicates()
+        m = d.merge(d, on=key_col, suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
         return pd.DataFrame(
             {
-                "a": np.concatenate(out_a).astype(np.int64),
-                "b": np.concatenate(out_b).astype(np.int64),
+                "a": m["doc_id_a"].to_numpy(np.int64),
+                "b": m["doc_id_b"].to_numpy(np.int64),
             }
         )
 
@@ -103,62 +118,99 @@ def _pairs_apply(key_col: str):
 # exact n-gram Jaccard via inverted shingle index
 # --------------------------------------------------------------------------
 
+_EMPTY_SIZED_PAIRS = pd.DataFrame(
+    {c: pd.Series(dtype=np.int64) for c in ("a", "b", "sz_a", "sz_b")}
+)
+
+
+def _sized_pairs_apply(key_col: str):
+    """Pair emitter that carries each doc's set size along with the pair
+    (the postings already know it — no sizes join needed anywhere)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY_SIZED_PAIRS.copy()
+        # sz is functionally dependent on doc_id → dedup on (key, doc)
+        d = df[[key_col, "doc_id", "sz"]].drop_duplicates([key_col, "doc_id"])
+        m = d.merge(d, on=key_col, suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return pd.DataFrame(
+            {
+                "a": m["doc_id_a"].to_numpy(np.int64),
+                "b": m["doc_id_b"].to_numpy(np.int64),
+                "sz_a": m["sz_a"].to_numpy(np.int64),
+                "sz_b": m["sz_b"].to_numpy(np.int64),
+            }
+        )
+
+    return fn
+
+
 def ngram_jaccard_pairs(
     ds: ray.data.Dataset, n: int = 3, tau: float = 0.5
 ) -> ray.data.Dataset:
     """All doc pairs with exact word-n-gram Jaccard ≥ tau.
 
     shingle-explode → pair-emit per shingle (sorted-block apply) →
-    pair-count = |A∩B|; per-doc set sizes are broadcast (small side)
-    for the final |A∪B| division. Ultra-frequent shingles are the skew
-    hazard at scale — the cap would be applied identically in engine
-    and oracle."""
+    pair-count = |A∩B|. Each posting carries its doc's set size, so
+    |A∪B| = sz_a + sz_b - c is known right at the count — the classic
+    size-annotated inverted index from the similarity-join literature.
+    No sizes broadcast, no driver dict, no extra join, and the exploded
+    corpus is never materialized (single consumer streams it).
+    Ultra-frequent shingles are the skew hazard at scale — the cap
+    would be applied identically in engine and oracle."""
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        rows_s, rows_d = [], []
+        rows_s, rows_d, rows_z = [], [], []
         for did, text in zip(df["doc_id"], df["text"]):
-            for s in H.shingle_strings(text, n):
+            sh = H.shingle_strings(text, n)
+            for s in sh:
                 rows_s.append(s)
                 rows_d.append(did)
-        return pd.DataFrame({"shingle": rows_s, "doc_id": np.asarray(rows_d, np.int64)})
+                rows_z.append(len(sh))
+        # postings carry the 64-bit shingle hash, not the string: int
+        # keys sort/merge ~3× faster and the hash is vectorized
+        # (collision odds ~(#shingles)²/2^64 ≈ 1e-7 at sf1 — negligible,
+        # and the exact-Jaccard SQL oracle would catch one)
+        h = (
+            pd.util.hash_array(np.asarray(rows_s, dtype=object), categorize=False)
+            .astype(np.int64)
+            if rows_s
+            else np.empty(0, np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "shingle": h,
+                "doc_id": np.asarray(rows_d, np.int64),
+                "sz": np.asarray(rows_z, np.int64),
+            }
+        )
 
-    exploded = ds.map_batches(explode, batch_format="pandas").materialize()
-
-    sizes_df = grouped_count(exploded, ["doc_id"]).to_pandas()
-    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n"])))
-
-    pairs = sorted_group_apply(exploded, "shingle", _pairs_apply("shingle"), _EMPTY_PAIRS)
-    inter = grouped_count(pairs, ["a", "b"], out_col="c", sorted_combine=True)
-    return _finish_jaccard(inter, sizes_ref, tau)
-
-
-def _finish_jaccard(inter: ray.data.Dataset, sizes_ref, tau: float) -> ray.data.Dataset:
-    class Finish:
-        def __init__(self, ref, tau):
-            self.sizes = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            self.tau = tau
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            a = df["a"].to_numpy()
-            b = df["b"].to_numpy()
-            c = df["c"].to_numpy().astype(np.float64)
-            na = pd.Series(a).map(self.sizes).to_numpy(dtype=np.float64)
-            nb = pd.Series(b).map(self.sizes).to_numpy(dtype=np.float64)
-            union = na + nb - c
-            j = np.where(union > 0, c / np.maximum(union, 1e-12), 1.0)
-            keep = j >= self.tau
-            return pd.DataFrame(
-                {
-                    "doc_a": a[keep].astype(np.int64),
-                    "doc_b": b[keep].astype(np.int64),
-                    "jaccard": np.round(j[keep], 6),
-                }
-            )
-
-    return inter.map_batches(
-        Finish, fn_constructor_kwargs={"ref": sizes_ref, "tau": tau},
-        batch_format="pandas", concurrency=(1, 2),
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    pairs = sorted_group_apply(
+        exploded, "shingle", _sized_pairs_apply("shingle"), _EMPTY_SIZED_PAIRS
     )
+    # sz_a/sz_b are functions of (a, b) → same groups, counts unchanged
+    inter = grouped_count(
+        pairs, ["a", "b", "sz_a", "sz_b"], out_col="c", sorted_combine=True
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY_SCORED.copy()
+        c = df["c"].to_numpy(np.float64)
+        union = df["sz_a"].to_numpy(np.float64) + df["sz_b"].to_numpy(np.float64) - c
+        j = c / np.maximum(union, 1e-12)
+        keep = j >= tau
+        return pd.DataFrame(
+            {
+                "doc_a": df["a"].to_numpy(np.int64)[keep],
+                "doc_b": df["b"].to_numpy(np.int64)[keep],
+                "jaccard": np.round(j[keep], 6),
+            }
+        )
+
+    return inter.map_batches(finish, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
@@ -176,7 +228,13 @@ def minhash_lsh_pairs(
 
     With r=2, b=32 the miss probability at j=0.6 is (1-0.36)^32 ≈ 6e-7,
     so the verified output equals the exact-Jaccard result in practice
-    (the SQL oracle runs the exact computation)."""
+    (the SQL oracle runs the exact computation).
+
+    The verify step is fully distributed (round-2 fix): per-doc shingle
+    sets ride as packed uint64 bytes and are joined onto the candidate
+    stream with cogroup_attach (key ``a``, then key ``b``); the exact
+    Jaccard runs inside the second join task. Only candidates — the
+    small post-LSH stream — carry a shingle set through a sort."""
     a_p, b_p = H.minhash_params(num_perm)
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -193,44 +251,108 @@ def minhash_lsh_pairs(
     cand = sorted_group_apply(bands, "band", _pairs_apply("band"), _EMPTY_PAIRS)
     cand = grouped_distinct(cand, ["a", "b"])
 
-    # shingle sets: small side broadcast (at 100 TB: hash-partitioned join
-    # of pair→shingle-set instead)
-    def sets(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    sets_ds = ds.map_batches(
+        lambda t: pa.table(
             {
-                "doc_id": df["doc_id"].astype(np.int64),
-                "sh": [np.sort(H.shingle_hashes(t, n)) for t in df["text"]],
+                "key": t["doc_id"].combine_chunks().cast(pa.int64()),
+                "pa_": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "pb_": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "sh": pa.array(
+                    [
+                        np.sort(H.shingle_hashes(s, n)).tobytes()
+                        for s in t["text"].to_pylist()
+                    ],
+                    pa.binary(),
+                ),
+                "is_set": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def probes(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().cast(pa.int64())
+        b = t["b"].combine_chunks().cast(pa.int64())
+        n_rows = t.num_rows
+        return pa.table(
+            {
+                "key": pa.concat_arrays([a, b]),
+                "pa_": pa.concat_arrays([a, a]),
+                "pb_": pa.concat_arrays([b, b]),
+                "sh": pa.array([b""] * (2 * n_rows), pa.binary()),
+                "is_set": pa.array(np.zeros(2 * n_rows, np.int8)),
             }
         )
 
-    sets_df = ds.map_batches(sets, batch_format="pandas").to_pandas()
-    sets_ref = ray.put(dict(zip(sets_df["doc_id"], sets_df["sh"])))
+    probe_rows = cand.map_batches(probes, batch_format="pyarrow")
 
-    class Verify:
-        def __init__(self, ref, tau):
-            self.sets = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            self.tau = tau
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            a_l, b_l, j_l = [], [], []
-            for a, b in zip(df["a"], df["b"]):
-                j = H.jaccard(self.sets[a], self.sets[b])
-                if j >= self.tau:
-                    a_l.append(a)
-                    b_l.append(b)
-                    j_l.append(round(j, 6))
-            return pd.DataFrame(
-                {
-                    "doc_a": np.asarray(a_l, np.int64),
-                    "doc_b": np.asarray(b_l, np.int64),
-                    "jaccard": np.asarray(j_l, np.float64),
-                }
-            )
-
-    return cand.map_batches(
-        Verify, fn_constructor_kwargs={"ref": sets_ref, "tau": tau},
-        batch_format="pandas", concurrency=(1, 2),
+    empty_sided = pd.DataFrame(
+        {
+            "pa_": pd.Series(dtype=np.int64),
+            "pb_": pd.Series(dtype=np.int64),
+            "side": pd.Series(dtype=np.int8),
+            "sh": pd.Series(dtype=object),
+        }
     )
+
+    def attach_sets(df: pd.DataFrame) -> pd.DataFrame:
+        """Complete key groups: ≤1 set row + k probe rows per doc key."""
+        sets_r = df.loc[df["is_set"] == 1, ["key", "sh"]]
+        probes_r = df.loc[df["is_set"] == 0, ["key", "pa_", "pb_"]]
+        if sets_r.empty or probes_r.empty:
+            return empty_sided.copy()
+        m = probes_r.merge(sets_r, on="key", how="inner")
+        return pd.DataFrame(
+            {
+                "pa_": m["pa_"].to_numpy(np.int64),
+                "pb_": m["pb_"].to_numpy(np.int64),
+                "side": (m["key"].to_numpy() == m["pb_"].to_numpy()).astype(np.int8),
+                "sh": m["sh"].to_numpy(),
+            }
+        )
+
+    sided = sorted_group_apply(
+        probe_rows.union(sets_ds), "key", attach_sets, empty_sided
+    )
+    # pin the Arrow schema: empty pandas blocks infer `sh` as null-typed,
+    # which would break the next sort's schema union
+    sided = sided.map_batches(
+        lambda t: pa.table(
+            {
+                "pa_": t["pa_"].combine_chunks().cast(pa.int64()),
+                "pb_": t["pb_"].combine_chunks().cast(pa.int64()),
+                "side": t["side"].combine_chunks().cast(pa.int8()),
+                "sh": t["sh"].combine_chunks().cast(pa.binary()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY_SCORED.copy()
+        a_l, b_l, j_l = [], [], []
+        for (a, b), g in df.groupby(["pa_", "pb_"], sort=False):
+            if len(g) != 2:
+                continue  # a side's set row was missing — drop the pair
+            g = g.sort_values("side")
+            sa, sb = g["sh"].iloc[0], g["sh"].iloc[1]
+            j = H.jaccard(
+                np.frombuffer(sa, dtype=np.uint64), np.frombuffer(sb, dtype=np.uint64)
+            )
+            if j >= tau:
+                a_l.append(a)
+                b_l.append(b)
+                j_l.append(round(j, 6))
+        return pd.DataFrame(
+            {
+                "doc_a": np.asarray(a_l, np.int64),
+                "doc_b": np.asarray(b_l, np.int64),
+                "jaccard": np.asarray(j_l, np.float64),
+            }
+        )
+
+    return sorted_group_apply(sided, ["pa_", "pb_"], verify, _EMPTY_SCORED)
 
 
 # --------------------------------------------------------------------------
@@ -239,7 +361,10 @@ def minhash_lsh_pairs(
 
 def simhash_pairs(ds: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Dataset:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
-    Banded buckets guarantee recall for distance < #bands (=4)."""
+    Banded buckets guarantee EXACT recall for distance < #bands (=4,
+    pigeonhole), so with max_hamming=3 the output equals the all-pairs
+    Hamming scan — which is what the SQL oracle computes (token hash is
+    md5-low64, DuckDB ``md5_number_lower``-compatible)."""
 
     def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
         keys, dids, sigs = [], [], []
@@ -257,33 +382,30 @@ def simhash_pairs(ds: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Datase
     bands = ds.map_batches(sig_rows, batch_format="pandas")
 
     def pairs_with_sig(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, g in df.groupby("band", sort=False):
-            g = g.drop_duplicates("doc_id").sort_values("doc_id")
-            ids = g["doc_id"].to_numpy()
-            sigs = g["sig"].to_numpy()
-            if ids.size < 2:
-                continue
-            ia, ib = np.triu_indices(ids.size, 1)
-            ham = np.array(
-                [H.hamming64(int(sigs[i]), int(sigs[j])) for i, j in zip(ia, ib)],
-                dtype=np.int64,
-            )
-            keep = ham <= max_hamming
-            if keep.any():
-                out.append(
-                    pd.DataFrame(
-                        {"a": ids[ia][keep].astype(np.int64),
-                         "b": ids[ib][keep].astype(np.int64),
-                         "ham": ham[keep]}
-                    )
-                )
-        if not out:
-            return pd.DataFrame(
-                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
-                 "ham": pd.Series(dtype=np.int64)}
-            )
-        return pd.concat(out, ignore_index=True)
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+             "ham": pd.Series(dtype=np.int64)}
+        )
+        if df.empty:
+            return empty
+        d = df.drop_duplicates(["band", "doc_id"])
+        m = d.merge(d, on="band", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if m.empty:
+            return empty
+        # vectorized popcount of the XORed signatures (no per-pair Python)
+        x = np.bitwise_xor(
+            m["sig_a"].to_numpy(np.uint64), m["sig_b"].to_numpy(np.uint64)
+        )
+        ham = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {
+                "a": m["doc_id_a"].to_numpy(np.int64)[keep],
+                "b": m["doc_id_b"].to_numpy(np.int64)[keep],
+                "ham": ham[keep],
+            }
+        )
 
     empty = pd.DataFrame(
         {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),

@@ -159,3 +159,39 @@ def test_ann_lsh_is_subset_quality():
     bf_cos = {(q, v): c for q, v, c in bf[["query_id", "vec_id", "cos"]].itertuples(index=False)}
     for q, v, c in lsh[["query_id", "vec_id", "cos"]].itertuples(index=False):
         assert bf_cos[(q, v)] == pytest.approx(c, abs=2e-6)
+
+
+def test_cogroup_attach_inner_and_left():
+    """Sort-based co-group attach: payload joined onto a keyed stream
+    with zero driver state; inner drops missing keys, left keeps them."""
+    pairs = rd.from_pandas(pd.DataFrame({"a": [1, 1, 2, 9], "b": [2, 3, 3, 9]}))
+    payload = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2, 3], "sz": [10, 20, 30]}))
+    i64 = pa.int64()
+    empty = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in ("a", "b", "sz")})
+    out = J.cogroup_attach(
+        pairs, "a", {"a": i64, "b": i64},
+        payload, "doc_id", {"sz": i64},
+        fills={"a": -1, "b": -1, "sz": -1},
+        post=lambda df: df.astype(np.int64) if not df.empty else empty.copy(),
+        empty_out=empty,
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    want = pd.DataFrame(
+        {"a": [1, 1, 2], "b": [2, 3, 3], "sz": [10, 10, 20]}
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+    def post_left(df):
+        if df.empty:
+            return empty.copy()
+        df = df.copy()
+        df["sz"] = df["sz"].fillna(-7)
+        return df.astype(np.int64)
+
+    out_l = J.cogroup_attach(
+        pairs, "a", {"a": i64, "b": i64},
+        payload, "doc_id", {"sz": i64},
+        fills={"a": -1, "b": -1, "sz": -1},
+        post=post_left, empty_out=empty, how="left",
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert out_l[out_l["a"] == 9]["sz"].tolist() == [-7]
+    assert len(out_l) == 4
