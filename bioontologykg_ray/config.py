@@ -3,12 +3,13 @@
 Mirrors the reference's pydantic ``Settings`` surface
 (`src/BioOntologyKG/embedding/settings.py:7-30`: batch size, model name,
 data dir) but for a Ray Data pipeline: per-stage batch sizes, actor-pool
-concurrency, embedding dimension, and shuffle knobs.
+concurrency, embedding dimension, and shuffle knobs. Every knob here is
+read somewhere — dead config was deleted in round 2 (ADVICE).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)
@@ -17,11 +18,9 @@ class PipelineConfig:
     # batches, SURVEY.md §4.1; here the streaming executor does the batching)
     extract_batch_size: int = 4096
     link_batch_size: int | None = None  # None → whole blocks
-    embed_batch_size: int = 1024
 
     # --- actor pools (stateful stages, SURVEY.md §2.4)
     link_concurrency: int = 4
-    embed_concurrency: int = 4
 
     # --- embedding space (reference: 768-d PubMedBERT; ours: deterministic
     # hash embeddings, dim configurable — 32 in tests)
@@ -30,22 +29,28 @@ class PipelineConfig:
     # --- shuffle / skew handling
     union_find_max_iters: int = 12
     salt_buckets: int = 16          # hot-key salting factor for two-phase aggs
-    num_output_partitions: int = 16
 
     # --- linking semantics
-    min_link_score: float = -1.0    # cosine floor for ambiguous-alias resolution
+    min_link_score: float = -1.0    # cosine floor for ambiguous-alias
+                                    # resolution: best candidate below the
+                                    # floor → the triple dead-letters
     embed_all_contexts: bool = False  # True → ctx embedding for EVERY matched
                                       # turn (what a transformer embedder costs);
                                       # False → only ambiguous-alias turns
     drop_obsolete: bool = True      # obsolete ontology terms must not link
 
+    # --- canonical-mapping application routing: label sets up to this
+    # size broadcast as a dict (ray.put once, read per actor); larger
+    # sets apply via a partitioned co-group join (no driver collect)
+    broadcast_mapping_max: int = 5_000_000
+
     # --- predicates whose edges are undirected → canonical (lo, hi) key
     # (reference: uniprot_intact.cql:31-40 symmetric-pair dedup)
     symmetric_predicates: tuple = ("INTERACTS_WITH", "SAME_AS")
 
-    # --- output
-    output_dir: str = "/tmp/bioontologykg_ray/out"
-    write_manifests: bool = True
+    # --- scratch root for the streamed flagged-triples intermediate
+    # (written once, re-read column-pruned; never pinned in plasma)
+    scratch_root: str = "/tmp/bioontologykg_ray/scratch"
 
     def __post_init__(self):
         if self.embedding_dim <= 0:

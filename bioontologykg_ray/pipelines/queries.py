@@ -1169,16 +1169,21 @@ def q_doc_embeddings(sf_dir: str):
     docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     emb = embed_texts_stage(docs, dim=32, pooling="mean", concurrency=2)
 
-    def project(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def project(t: pa.Table) -> pa.Table:
+        # Arrow-native: a pandas roundtrip would make `embedding` an
+        # object column of arrays (un-sizeable by Ray's estimator —
+        # the round-1 empty-batch `vectorize` warnings)
+        flat = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64)
+        e0 = np.round(flat.reshape(t.num_rows, 32)[:, 0], 6) if t.num_rows else flat
+        return pa.table(
             {
-                "doc_id": df["doc_id"],
-                "embedding_model": df["embedding_model"],
-                "e0": [round(float(np.asarray(v)[0]), 6) for v in df["embedding"]],
+                "doc_id": t["doc_id"],
+                "embedding_model": t["embedding_model"],
+                "e0": pa.array(e0, pa.float64()),
             }
         )
 
-    return emb.map_batches(project, batch_format="pandas")
+    return emb.map_batches(project, batch_format="pyarrow")
 
 
 QUERIES.update(

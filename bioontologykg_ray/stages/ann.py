@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -86,7 +87,11 @@ def ann_topk_bruteforce(
     """Exact cosine top-k for each query vector (excluding itself)."""
     qset = set(query_ids)
     qdf = ds.map_batches(
-        lambda df: df[df["vec_id"].isin(qset)], batch_format="pandas"
+        # Arrow-native filter: a pandas batch would carry `embedding` as
+        # an object column Ray's size estimator can't measure (noisy
+        # empty-batch `vectorize` warnings in round 1)
+        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=pa.array(sorted(qset)))),
+        batch_format="pyarrow",
     ).to_pandas().sort_values("vec_id")
     ref = ray.put({"qids": qdf["vec_id"].to_numpy(), "Q": _as_matrix(qdf["embedding"])})
     partials = ds.map_batches(
@@ -123,7 +128,11 @@ def ann_topk_lsh(
     planes = np.random.RandomState(seed).standard_normal((nbits, dim))
     qset = set(query_ids)
     qdf = ds.map_batches(
-        lambda df: df[df["vec_id"].isin(qset)], batch_format="pandas"
+        # Arrow-native filter: a pandas batch would carry `embedding` as
+        # an object column Ray's size estimator can't measure (noisy
+        # empty-batch `vectorize` warnings in round 1)
+        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=pa.array(sorted(qset)))),
+        batch_format="pyarrow",
     ).to_pandas().sort_values("vec_id")
     Q = _as_matrix(qdf["embedding"])
     qb = srp_bucket(_normalize(Q), planes)

@@ -89,15 +89,24 @@ def build_alias_index(ontology: pa.Table, drop_obsolete: bool = True) -> dict:
     }
 
 
-def resolve_ambiguous(candidates: list[str], cand_emb: np.ndarray, ctx: np.ndarray) -> str:
+def resolve_ambiguous(
+    candidates: list[str], cand_emb: np.ndarray, ctx: np.ndarray,
+    min_score: float = -1.0,
+) -> str | None:
     """argmax cosine(ctx, candidate), scores rounded to 1e-6; ties →
     smallest term_id. Embeddings are pre-L2-normalized, so the dot IS
-    the cosine. Identical arithmetic in the single-process oracle."""
+    the cosine. The dot runs in float64 so the DuckDB oracle
+    (``list_inner_product`` over DOUBLE[]) computes bit-identical
+    scores. Best score below ``min_score`` → None (the mention
+    dead-letters; ADVICE round 1 — the floor used to be dead config)."""
     best_tid, best_score = None, None
+    ctx64 = ctx.astype(np.float64)
     for tid, row in zip(candidates, cand_emb):
-        score = round(float(np.dot(row, ctx)), 6)
+        score = round(float(np.dot(row.astype(np.float64), ctx64)), 6)
         if best_score is None or score > best_score:
             best_tid, best_score = tid, score
+    if best_score is not None and best_score < min_score:
+        return None
     return best_tid
 
 
@@ -111,13 +120,14 @@ class EntityLinker:
     whose alias is genuinely ambiguous fall into the Python scoring
     loop (embedding cosine, reference T5/T6 semantics)."""
 
-    def __init__(self, index_ref):
+    def __init__(self, index_ref, min_score: float = -1.0):
         idx = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
         self.unamb: dict = idx["unambiguous"]
         self.amb: dict = idx["ambiguous"]
         self.unamb_keys = idx["unamb_keys"]
         self.unamb_vals = idx["unamb_vals"]
         self.amb_keys = idx["amb_keys"]
+        self.min_score = min_score
 
     def _lookup(self, surfaces: pa.ChunkedArray, ctx_mat: np.ndarray):
         """Returns (resolved string array with nulls, norm python list)."""
@@ -134,7 +144,7 @@ class EntityLinker:
             out = resolved.combine_chunks().to_pylist()
             for r in amb_rows:
                 hit = self.amb[norm_py[r]]
-                out[r] = resolve_ambiguous(hit[0], hit[1], ctx_mat[r])
+                out[r] = resolve_ambiguous(hit[0], hit[1], ctx_mat[r], self.min_score)
             resolved = pa.array(out, pa.string())
         return resolved
 
@@ -173,6 +183,7 @@ def link_triples(
     index_ref,
     batch_size: int | None = None,
     concurrency: int | tuple = 4,
+    min_score: float = -1.0,
 ) -> ray.data.Dataset:
     """Raw triples → linked triples (+dead-letter rows flagged).
 
@@ -186,7 +197,7 @@ def link_triples(
         concurrency = clamp_pool(concurrency)
     return raw.map_batches(
         EntityLinker,
-        fn_constructor_kwargs={"index_ref": index_ref},
+        fn_constructor_kwargs={"index_ref": index_ref, "min_score": min_score},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
