@@ -555,9 +555,32 @@ def q_doc_fingerprints(sf_dir: str):
 SQL_DOC_FINGERPRINTS = "SELECT doc_id, md5(substr(text, 1, 100)) AS fp FROM documents"
 
 
+SQL_ROLLING_FINGERPRINTS = """
+WITH RECURSIVE pw(j, p) AS (
+  SELECT 0, 1::UBIGINT UNION ALL SELECT j + 1, (p * 257) % 2147483647 FROM pw WHERE j < 15),
+d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+win AS (
+  SELECT doc_id, i.i, least(16, n) AS k
+  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(n - 16 + 1, 1))) AS i) i),
+ch AS (
+  SELECT w.doc_id, w.i, j.j, ord(substr(d.text, w.i + j.j, 1))::UBIGINT AS c, w.k
+  FROM win w JOIN d USING (doc_id),
+       LATERAL (SELECT unnest(generate_series(0, w.k - 1)) AS j) j),
+h AS (
+  SELECT doc_id, i, sum(c * p.p) % 2147483647 AS hv
+  FROM ch JOIN pw p ON p.j = ch.k - 1 - ch.j
+  GROUP BY doc_id, i)
+SELECT d.doc_id, CAST(coalesce(min(h.hv), 0) AS BIGINT) AS fp_roll
+FROM d LEFT JOIN h USING (doc_id) GROUP BY d.doc_id
+"""
+
+
 def q_rolling_fingerprints(sf_dir: str):
-    """Rolling-hash winnowing fingerprint (content-defined; no SQL
-    equivalent — rows-only check)."""
+    """Rolling-hash winnowing fingerprint: min over all 16-char windows
+    of the base-257 polynomial hash mod 2^31-1 over the text. The SQL
+    oracle unrolls the same polynomial (window × char-position lattice,
+    modular power table via recursive CTE) — exact for ASCII text,
+    where Python's utf-8 bytes and SQL's ord(codepoint) agree."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
@@ -677,9 +700,32 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6
 
 
 def q_simhash_dup_pairs(sf_dir: str):
-    """SimHash near-dup pairs (hamming ≤ 3); signature-based, rows-only
-    check (no SQL equivalent of the bit-level signature)."""
+    """SimHash near-dup pairs (hamming ≤ 3). With 4 bands and
+    max_hamming=3 the banding recall is exact (pigeonhole), and the
+    token hash is md5-low64 — so the SQL oracle recomputes the
+    identical signatures with ``md5_number_lower`` and compares the
+    all-pairs Hamming scan (exact at oracle scale)."""
     return ND.simhash_pairs(_docs_plus_truncated_copies(sf_dir), max_hamming=3)
+
+
+SQL_SIMHASH_DUP_PAIRS = f"""
+WITH corpus AS ({_CORPUS_TRUNC_SQL}),
+toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM corpus),
+bits AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (md5_number_lower(tok) >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY doc_id, b.bit),
+sig0 AS (
+  SELECT doc_id, bit_or(CASE WHEN acc > 0 THEN 1::UBIGINT << bit ELSE 0::UBIGINT END) AS s
+  FROM bits GROUP BY doc_id),
+sig AS (SELECT c.doc_id, coalesce(s.s, 0::UBIGINT) AS s
+        FROM (SELECT DISTINCT doc_id FROM corpus) c LEFT JOIN sig0 s USING (doc_id))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+"""
 
 
 def q_embedding_neardup(sf_dir: str):
@@ -785,6 +831,78 @@ FROM documents
 """
 
 
+def q_bmp_image_stats(sf_dir: str):
+    """REAL image decode: deterministic 24-bit BMP payloads (gradient
+    pixel=(x+y+doc_id)%256) decoded with the pure-numpy BMP decoder;
+    stats computed from actual pixels. SQL recomputes them from the
+    generation formula over a (x, y) lattice."""
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"])
+    return MM.decode_bmp_stats(MM.attach_bmp_payload(docs))
+
+
+SQL_BMP_IMAGE_STATS = """
+WITH dims AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 3 AS h FROM documents),
+px AS (
+  SELECT doc_id, w, h, (x.x + y.y + doc_id) % 256 AS v
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y)
+SELECT doc_id AS media_id,
+       CAST(min(w) AS BIGINT) AS width,
+       CAST(min(h) AS BIGINT) AS height,
+       CAST(min(w) * min(h) AS BIGINT) AS n_pixels,
+       round(avg(v), 6) AS mean_pixel
+FROM px GROUP BY doc_id
+"""
+
+
+def q_import_nodes(sf_dir: str):
+    """Declarative tabular importer (the reference's LOAD-CSV family as
+    one spec-driven operator): headered TSV → rename/cast/split/lookup
+    → MERGE on key with per-column policies (first / overwrite /
+    concat — `david_gene_name.cql:40-43` precedent)."""
+    from bioontologykg_ray.sources.importer import ColumnSpec, TableSpec, import_table
+    from bioontologykg_ray.sources.readers import read_tsv
+
+    d = SY.ensure_synth(sf_of(sf_dir))
+    ds = read_tsv(os.path.join(d, "import_nodes.tsv"), delimiter="\t")
+    spec = TableSpec(
+        key="node_id",
+        order="row_no",
+        columns=(
+            ColumnSpec("row_no", type="int64"),
+            ColumnSpec("node_id"),
+            ColumnSpec("name"),
+            ColumnSpec("aliases", split="|"),
+            ColumnSpec("weight", type="float64"),
+            ColumnSpec("flag", out="flag_label", lookup={"Y": "yes", "N": "no"}),
+        ),
+        merge={
+            "name": "first",        # ON CREATE wins
+            "aliases": "concat",    # concat-on-match
+            "weight": "last",       # SET overwrite
+            "flag_label": "first",
+        },
+    )
+    return import_table(ds, spec)
+
+
+def _sql_import_nodes(sf: float) -> str:
+    path = os.path.join(SY.synth_dir(sf), "import_nodes.tsv")
+    return f"""
+WITH t AS (SELECT * FROM read_csv('{path}', delim='\t', header=true)),
+lk AS (SELECT *, CASE flag WHEN 'Y' THEN 'yes' WHEN 'N' THEN 'no' END AS flag_label FROM t)
+SELECT node_id,
+  arg_min(name, row_no) AS name,
+  string_agg(aliases, '|' ORDER BY row_no)
+    FILTER (WHERE aliases IS NOT NULL AND aliases != '') AS aliases,
+  arg_max(weight, row_no) FILTER (WHERE weight IS NOT NULL) AS weight,
+  arg_min(flag_label, row_no) FILTER (WHERE flag_label IS NOT NULL) AS flag_label,
+  count(*) AS n_rows
+FROM lk GROUP BY node_id
+"""
+
+
 def q_frame_sample_counts(sf_dir: str):
     """Video-style frame sampling explode, counted per media id."""
     docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -883,9 +1001,12 @@ def _sql_kg_ordered(sf: float) -> str:
 
 
 def q_kg_linked_triples(sf_dir: str):
-    """Entity-linked triples (alias dict + embedding disambiguation) —
-    non-SQL-expressible (hashed-BoW context scoring); rows-only check,
-    exact-match-vs-oracle covered in tests/test_kg_pipeline.py."""
+    """Entity-linked triples (alias dict + embedding-scored ambiguous
+    resolution). SQL-oracled since round 2: the synth corpus ships the
+    model's per-turn context embeddings as a data table
+    (turn_ctx.parquet), so DuckDB can replay the argmax-cosine
+    resolution with identical float64 arithmetic — the model inference
+    stays outside SQL, the *linking logic* is fully verified."""
     return _kg_results(sf_dir)["linked"]
 
 
@@ -908,6 +1029,153 @@ def q_kg_component_labels(sf_dir: str):
     """Union-find output: node → canonical root for every node touched
     by a same-as edge."""
     return _kg_results(sf_dir)["labels"]
+
+
+def _sql_kg_prefix(sf: float) -> str:
+    """Shared WITH-clause body replaying the WHOLE flagship in SQL:
+    extraction → alias dictionary → unambiguous + embedding-scored
+    ambiguous linking (scores from the shipped turn_ctx table, float64
+    inner product rounded to 1e-6, ties → min term_id — identical
+    arithmetic to stages/linker.resolve_ambiguous) → same-as graph →
+    connected components (recursive transitive closure, min-id root) →
+    canonical rewrite → symmetric ordering → edge counts → nodes."""
+    tdir = os.path.join(SY.synth_dir(sf), "transcripts", "*.parquet")
+    ont = os.path.join(SY.synth_dir(sf), "ontology_terms.parquet")
+    ctxp = os.path.join(SY.synth_dir(sf), "turn_ctx.parquet")
+    pat = TRIPLE_PATTERN.replace("'", "''")
+    return f"""
+WITH RECURSIVE
+ont AS (SELECT * FROM read_parquet('{ont}')),
+surf AS (
+  SELECT lower(trim(name)) AS alias, term_id FROM ont WHERE NOT is_obsolete
+  UNION ALL
+  SELECT lower(trim(unnest(synonyms))), term_id FROM ont WHERE NOT is_obsolete),
+cand AS (SELECT DISTINCT alias, term_id FROM surf),
+gcount AS (SELECT alias, count(*) AS n FROM cand GROUP BY alias),
+una AS (SELECT c.alias, min(c.term_id) AS term_id FROM cand c
+        JOIN gcount g USING (alias) WHERE g.n = 1 GROUP BY c.alias),
+ambal AS (SELECT alias FROM gcount WHERE n > 1),
+acand AS (SELECT c.alias, c.term_id, o.embedding FROM cand c
+          JOIN ont o USING (term_id)
+          WHERE c.alias IN (SELECT alias FROM ambal)),
+m AS (
+  SELECT conv_id, turn_idx,
+         unnest(regexp_extract_all(text, '{pat}')) AS mt
+  FROM read_parquet('{tdir}')),
+triples AS (
+  SELECT regexp_extract(mt, '{pat}', 1) AS subj_surface,
+         lower(regexp_extract(mt, '{pat}', 1)) AS s_alias,
+         CASE regexp_extract(mt, '{pat}', 2)
+           WHEN 'is the same as' THEN 'SAME_AS'
+           WHEN 'interacts with' THEN 'INTERACTS_WITH'
+           WHEN 'is part of' THEN 'PART_OF'
+           WHEN 'regulates' THEN 'REGULATES'
+           WHEN 'is a' THEN 'IS_A' END AS pred,
+         regexp_extract(mt, '{pat}', 3) AS obj_surface,
+         lower(regexp_extract(mt, '{pat}', 3)) AS o_alias,
+         conv_id, turn_idx
+  FROM m),
+need AS (
+  SELECT DISTINCT alias, conv_id, turn_idx FROM (
+    SELECT s_alias AS alias, conv_id, turn_idx FROM triples
+    UNION ALL
+    SELECT o_alias, conv_id, turn_idx FROM triples)
+  WHERE alias IN (SELECT alias FROM ambal)),
+ctx AS (SELECT * FROM read_parquet('{ctxp}')),
+scored AS (
+  SELECT n.alias, n.conv_id, n.turn_idx, a.term_id,
+         round(list_inner_product(CAST(x.ctx_emb AS DOUBLE[]),
+                                  CAST(a.embedding AS DOUBLE[])), 6) AS score
+  FROM need n
+  JOIN ctx x USING (conv_id, turn_idx)
+  JOIN acand a USING (alias)),
+resolved AS (
+  SELECT alias, conv_id, turn_idx, term_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY alias, conv_id, turn_idx
+      ORDER BY score DESC, term_id) AS rn
+    FROM scored) WHERE rn = 1),
+linkedall AS (
+  SELECT t.subj_surface, t.obj_surface, t.pred, t.conv_id, t.turn_idx,
+         coalesce(u1.term_id, r1.term_id) AS subj,
+         coalesce(u2.term_id, r2.term_id) AS obj
+  FROM triples t
+  LEFT JOIN una u1 ON u1.alias = t.s_alias
+  LEFT JOIN resolved r1 ON r1.alias = t.s_alias
+       AND r1.conv_id = t.conv_id AND r1.turn_idx = t.turn_idx
+  LEFT JOIN una u2 ON u2.alias = t.o_alias
+  LEFT JOIN resolved r2 ON r2.alias = t.o_alias
+       AND r2.conv_id = t.conv_id AND r2.turn_idx = t.turn_idx),
+linked AS (SELECT subj, pred, obj, conv_id, turn_idx FROM linkedall
+           WHERE subj IS NOT NULL AND obj IS NOT NULL),
+dead AS (SELECT subj_surface, obj_surface, pred,
+                CASE WHEN subj IS NULL THEN 'unlinked_subject'
+                     ELSE 'unlinked_object' END AS reason,
+                conv_id, turn_idx
+         FROM linkedall WHERE subj IS NULL OR obj IS NULL),
+sa AS (
+  SELECT subj AS a, obj AS b FROM linked WHERE pred = 'SAME_AS'
+  UNION ALL
+  SELECT term_id, unnest(alt_ids) FROM ont),
+e AS (SELECT DISTINCT a, b FROM sa),
+-- NOTE: inside a WITH RECURSIVE list DuckDB 1.0 runs plain UNION CTEs
+-- as UNION ALL — dedup explicitly
+und AS (SELECT DISTINCT a, b FROM
+        (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)),
+nodes_g AS (SELECT DISTINCT node FROM
+            (SELECT a AS node FROM und UNION ALL SELECT b FROM und)),
+reach(node, r) AS (
+  SELECT node, node FROM nodes_g
+  UNION
+  SELECT reach.node, und.b FROM reach JOIN und ON reach.r = und.a),
+labels AS (SELECT node, min(r) AS root FROM reach GROUP BY node),
+mapping AS (SELECT node, root FROM labels WHERE node != root),
+canon AS (SELECT coalesce(m1.root, l.subj) AS subj, l.pred,
+                 coalesce(m2.root, l.obj) AS obj
+          FROM linked l
+          LEFT JOIN mapping m1 ON m1.node = l.subj
+          LEFT JOIN mapping m2 ON m2.node = l.obj),
+facts AS (SELECT * FROM canon WHERE pred != 'SAME_AS'),
+sym AS (SELECT
+  CASE WHEN pred IN ('INTERACTS_WITH','SAME_AS') AND subj > obj
+       THEN obj ELSE subj END AS src,
+  pred AS predicate,
+  CASE WHEN pred IN ('INTERACTS_WITH','SAME_AS') AND subj > obj
+       THEN subj ELSE obj END AS dst
+  FROM facts),
+edges AS (SELECT src, predicate, dst, count(*) AS n_mentions
+          FROM sym GROUP BY src, predicate, dst),
+endpoints AS (SELECT DISTINCT node_id FROM
+              (SELECT src AS node_id FROM edges UNION ALL SELECT dst FROM edges)),
+nodes AS (SELECT e.node_id,
+  coalesce(o.namespace, 'stub') AS label,
+  coalesce(o.name, e.node_id) AS name,
+  CASE WHEN o.term_id IS NULL THEN '{{"createdBy": "edge_builder"}}'
+       ELSE '{{"definition": "' || o.definition || '"}}' END AS props
+  FROM endpoints e LEFT JOIN ont o ON o.term_id = e.node_id)
+"""
+
+
+def _sql_kg_linked(sf: float) -> str:
+    return _sql_kg_prefix(sf) + "SELECT subj, pred, obj, conv_id, turn_idx FROM linked"
+
+
+def _sql_kg_edges(sf: float) -> str:
+    return _sql_kg_prefix(sf) + "SELECT src, predicate, dst, n_mentions FROM edges"
+
+
+def _sql_kg_nodes(sf: float) -> str:
+    return _sql_kg_prefix(sf) + "SELECT node_id, label, name, props FROM nodes"
+
+
+def _sql_kg_dead(sf: float) -> str:
+    return _sql_kg_prefix(sf) + (
+        "SELECT subj_surface, obj_surface, pred, reason, conv_id, turn_idx FROM dead"
+    )
+
+
+def _sql_kg_labels(sf: float) -> str:
+    return _sql_kg_prefix(sf) + "SELECT node, root FROM labels"
 
 
 # =========================================================================
@@ -951,9 +1219,12 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "label_embedding_stats": q_label_embedding_stats,
-    # multimodal plumbing
+    # multimodal plumbing (+ real BMP decode kernel)
     "image_metadata": q_image_metadata,
     "frame_sample_counts": q_frame_sample_counts,
+    "bmp_image_stats": q_bmp_image_stats,
+    # declarative importer
+    "import_nodes": q_import_nodes,
     # KG flagship
     "kg_extract_triples": q_kg_extract_triples,
     "kg_ordered_turns": q_kg_ordered_turns,
@@ -998,11 +1269,19 @@ ORACLE = {
     "label_embedding_stats": SQL_LABEL_EMBEDDING_STATS,
     "image_metadata": SQL_IMAGE_METADATA,
     "frame_sample_counts": SQL_FRAME_SAMPLE_COUNTS,
+    "rolling_fingerprints": SQL_ROLLING_FINGERPRINTS,
+    "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
+    "bmp_image_stats": SQL_BMP_IMAGE_STATS,
+    "import_nodes": _sql_import_nodes(0.01),
     "kg_extract_triples": _sql_kg_extract(0.01),
     "kg_ordered_turns": _sql_kg_ordered(0.01),
-    # rows-only (non-SQL-expressible): rolling_fingerprints,
-    # simhash_dup_pairs, ann_topk_lsh, kg_linked_triples,
-    # kg_canonical_edges, kg_nodes, kg_dead_letter, kg_component_labels
+    "kg_linked_triples": _sql_kg_linked(0.01),
+    "kg_canonical_edges": _sql_kg_edges(0.01),
+    "kg_nodes": _sql_kg_nodes(0.01),
+    "kg_dead_letter": _sql_kg_dead(0.01),
+    "kg_component_labels": _sql_kg_labels(0.01),
+    # rows-only (non-SQL-expressible): ann_topk_lsh (recall<1 by
+    # design), doc_embeddings (model output)
 }
 
 
@@ -1012,7 +1291,13 @@ def oracle_for_sf(sf: float) -> dict:
     d = dict(ORACLE)
     d["kg_extract_triples"] = _sql_kg_extract(sf)
     d["kg_ordered_turns"] = _sql_kg_ordered(sf)
+    d["kg_linked_triples"] = _sql_kg_linked(sf)
+    d["kg_canonical_edges"] = _sql_kg_edges(sf)
+    d["kg_nodes"] = _sql_kg_nodes(sf)
+    d["kg_dead_letter"] = _sql_kg_dead(sf)
+    d["kg_component_labels"] = _sql_kg_labels(sf)
     d["kg_linked_unambiguous"] = _sql_kg_linked_unambiguous(sf)
+    d["import_nodes"] = _sql_import_nodes(sf)
     return d
 
 

@@ -61,6 +61,96 @@ class HashEmbedder:
         )
 
 
+class TransformerEmbedder:
+    """Real-model actor matching the reference embedder contract
+    (`src/BioOntologyKG/embedding/PubMedBERTEmbedder.py:19-140`):
+    tokenizer+model loaded ONCE per actor in ``__init__`` (optionally
+    onto CUDA when the stage reserves GPUs), texts pre-truncated to
+    ``char_limit`` (2000, `entrez_gene_embedding.py:10`) then tokenized
+    to ``max_tokens`` (512 — BERT max len), pooling ∈ {'cls', 'mean',
+    'max'} over the last hidden state (mean/max are attention-masked),
+    output L2-normalized float32.
+
+    Construction REQUIRES torch + transformers; in environments without
+    them (this sandbox) it raises ImportError and ``make_embedder``
+    falls back to :class:`HashEmbedder` — the fallback selection is the
+    unit-tested contract."""
+
+    def __init__(self, model_name: str = "microsoft/BiomedNLP-PubMedBERT-base-uncased-abstract",
+                 pooling: str = "mean", text_col: str = "text",
+                 out_col: str = "embedding", char_limit: int = TEXT_CHAR_LIMIT,
+                 max_tokens: int = 512, device: str | None = None):
+        import torch  # guarded: ImportError routes make_embedder to the hash fallback
+        from transformers import AutoModel, AutoTokenizer
+
+        if pooling not in ("cls", "mean", "max"):
+            raise ValueError(pooling)
+        self.torch = torch
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+        self.model = AutoModel.from_pretrained(model_name)
+        self.device = device or ("cuda" if torch.cuda.is_available() else "cpu")
+        self.model.to(self.device).eval()
+        self.model_name = model_name
+        self.pooling = pooling
+        self.text_col = text_col
+        self.out_col = out_col
+        self.char_limit = char_limit
+        self.max_tokens = max_tokens
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = [(s or "")[: self.char_limit] for s in t[self.text_col].to_pylist()]
+        with self.torch.no_grad():
+            enc = self.tokenizer(
+                texts, padding=True, truncation=True, max_length=self.max_tokens,
+                return_tensors="pt",
+            ).to(self.device)
+            hidden = self.model(**enc).last_hidden_state  # (n, L, d)
+            if self.pooling == "cls":
+                v = hidden[:, 0]
+            else:
+                mask = enc["attention_mask"].unsqueeze(-1)
+                if self.pooling == "mean":
+                    v = (hidden * mask).sum(1) / mask.sum(1).clamp(min=1)
+                else:
+                    v = hidden.masked_fill(mask == 0, float("-inf")).max(1).values
+            v = self.torch.nn.functional.normalize(v, dim=1)
+            out = v.cpu().numpy().astype(np.float32)
+        emb = pa.FixedSizeListArray.from_arrays(pa.array(out.ravel()), out.shape[1])
+        t = t.append_column(self.out_col, emb)
+        return t.append_column(
+            "embedding_model", pa.array([self.model_name] * len(texts), pa.string())
+        )
+
+
+def make_embedder(backend: str = "auto", **kwargs):
+    """Embedder factory: ('auto'|'transformer'|'hash') → (cls, ctor
+    kwargs). 'auto' probes for torch+transformers and falls back to the
+    deterministic HashEmbedder when absent (the reference contract with
+    the model swapped for a hermetic stand-in)."""
+    if backend == "hash":
+        return HashEmbedder, kwargs
+    try:
+        import torch  # noqa: F401
+        import transformers  # noqa: F401
+
+        t_kwargs = {
+            k: v for k, v in kwargs.items()
+            if k in ("model_name", "pooling", "text_col", "out_col",
+                     "char_limit", "max_tokens", "device")
+        }
+        return TransformerEmbedder, t_kwargs
+    except ImportError:
+        if backend == "transformer":
+            raise
+        kwargs = {
+            k: v for k, v in kwargs.items()
+            if k in ("dim", "pooling", "text_col", "out_col", "char_limit")
+        }
+        if kwargs.get("pooling") == "cls":  # hash stand-in has no CLS token
+            kwargs["pooling"] = "mean"
+        return HashEmbedder, kwargs
+
+
 def embed_texts_stage(
     ds: ray.data.Dataset,
     dim: int = 32,
@@ -68,14 +158,26 @@ def embed_texts_stage(
     text_col: str = "text",
     batch_size: int = 1024,
     concurrency: int = 4,
+    backend: str = "hash",
+    num_gpus: float = 0,
 ) -> ray.data.Dataset:
-    """The T1-shaped stage: fixed actor pool, batched encode."""
+    """The T1-shaped stage: fixed actor pool, batched encode.
+
+    ``backend='auto'`` uses the real transformer when torch is
+    installed; ``num_gpus`` is forwarded to the actor pool so each
+    embedder actor reserves a GPU slice (the reference's single-process
+    `.to('cuda')` becomes per-actor placement)."""
     from bioontologykg_ray.util import clamp_pool
 
+    cls, kw = make_embedder(
+        backend, dim=dim, pooling=pooling, text_col=text_col
+    )
+    ray_kwargs = {"num_gpus": num_gpus} if num_gpus else {}
     return ds.map_batches(
-        HashEmbedder,
-        fn_constructor_kwargs={"dim": dim, "pooling": pooling, "text_col": text_col},
+        cls,
+        fn_constructor_kwargs=kw,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=clamp_pool(concurrency),
+        **ray_kwargs,
     )

@@ -82,6 +82,127 @@ class FakeImageDecoder:
         )
 
 
+# ---------------------------------------------------------------------------
+# REAL decode path: uncompressed 24-bit BMP, pure numpy (round 2 — one
+# image format is decoded from actual pixel bytes, no imaging library)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(px: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit bottom-up BMP bytes (BITMAPINFOHEADER,
+    4-byte-aligned rows) — the standard uncompressed Windows format."""
+    h, w, _ = px.shape
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = px[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up, BGR
+    data = rows.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + data
+
+
+def decode_bmp(buf: bytes) -> "np.ndarray":
+    """24-bit uncompressed BMP bytes → (h, w, 3) uint8 RGB. Pure numpy:
+    header fields little-endian, rows 4-byte aligned, positive height =
+    bottom-up, pixels stored BGR."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    comp = int.from_bytes(buf[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.frombuffer(buf, np.uint8, stride * abs(h), off).reshape(abs(h), stride)
+    px = rows[:, : 3 * w].reshape(abs(h), w, 3)
+    if h > 0:
+        px = px[::-1]
+    return px[:, :, ::-1]
+
+
+def attach_bmp_payload(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
+    """Deterministic real-image fixture: per doc, a (h, w) gradient
+    pattern pixel=(x+y+doc_id)%256 encoded as a genuine 24-bit BMP —
+    so the decode stage exercises actual pixel decoding and the SQL
+    oracle can recompute the statistics from the generation formula."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        payloads = []
+        for did in ids:
+            w = did % 13 + 4
+            h = did % 7 + 3
+            y, x = np.mgrid[0:h, 0:w]
+            v = ((x + y + did) % 256).astype(np.uint8)
+            payloads.append(encode_bmp(np.stack([v, v, v], axis=-1)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "media_type": pa.array(["image/bmp"] * len(ids), pa.string()),
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class BmpStatsDecoder:
+    """Actor-pool stage over REAL decoded pixels: width/height from the
+    header, mean intensity over the decoded array — the plumbing AND
+    the kernel are genuine (contrast FakeImageDecoder)."""
+
+    def __init__(self):
+        self.decoded = 0
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws, hs, means = [], [], []
+        for buf in t["payload"].to_pylist():
+            px = decode_bmp(buf)
+            h, w, _ = px.shape
+            ws.append(w)
+            hs.append(h)
+            means.append(round(float(px.astype(np.float64).mean()), 6))
+        self.decoded += t.num_rows
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "n_pixels": pa.array(
+                    [w * h for w, h in zip(ws, hs)], pa.int64()
+                ),
+                "mean_pixel": pa.array(means, pa.float64()),
+            }
+        )
+
+
+def decode_bmp_stats(
+    ds: ray.data.Dataset, batch_size: int = 256, concurrency: int | tuple = (1, 4)
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        BmpStatsDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class RealImageDecoder:
     """Integration point for a real decoder (PIL). Not available in this
     container — construction fails fast with NotImplementedError."""

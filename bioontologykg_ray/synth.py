@@ -64,7 +64,7 @@ FILLER = [
 FACT_PHRASES = [p for p, pred in REL_PHRASES.items() if pred != "SAME_AS"]
 
 NAMESPACES = ["entity_class_a", "entity_class_b", "entity_class_c"]
-GENERATOR_VERSION = 2
+GENERATOR_VERSION = 3  # v3: + turn_ctx.parquet, import_nodes.tsv
 BASE_TS = datetime(2025, 1, 1, 0, 0, 0)
 
 # Structural constants (period choices are co-prime so features overlap)
@@ -232,6 +232,54 @@ def make_transcripts(sf: float, seed: int = 42) -> pa.Table:
     return tbl.take(pa.array(perm))
 
 
+def make_turn_ctx(tbl: pa.Table, dim: int = schemas.EMBED_DIM) -> pa.Table:
+    """Per-turn context embeddings for turns that carry an ambiguous
+    alias ('amb-' mention) — the ONLY turns whose embedding the linker
+    ever consumes. This is the embedding model's output shipped as
+    DATA: with it, the DuckDB oracle can verify the ambiguous-alias
+    resolution (argmax over round(list_inner_product, 6)) and therefore
+    the whole linked/canonical/node chain, while the model inference
+    itself stays non-SQL. Rows are tiny (~3% of turns × dim floats)."""
+    conv = tbl["conv_id"].to_pylist()
+    turn = tbl["turn_idx"].to_pylist()
+    texts = tbl["text"].to_pylist()
+    c_out, t_out, e_out = [], [], []
+    for c, t, x in zip(conv, turn, texts):
+        if "amb-" in x:
+            c_out.append(c)
+            t_out.append(t)
+            e_out.append(embed_text(x, dim))
+    flat = (
+        np.concatenate(e_out).astype(np.float32) if e_out else np.empty(0, np.float32)
+    )
+    return pa.table(
+        {
+            "conv_id": pa.array(c_out, pa.string()),
+            "turn_idx": pa.array(t_out, pa.int32()),
+            "ctx_emb": pa.FixedSizeListArray.from_arrays(pa.array(flat), dim),
+        }
+    )
+
+
+def make_import_tsv(sf: float) -> str:
+    """Headered TSV fixture for the declarative tabular importer
+    (SURVEY §2: the reference's ~20 LOAD CSV scripts). Deliberately
+    exercises: pipe-separated list column, empty→null numeric cast,
+    code→label lookup, and DUPLICATE KEYS (~1.5 rows/key) so per-column
+    merge policies (first / overwrite / concat) are observable.
+    ``row_no`` is the explicit arrival order the merge policies use."""
+    n = max(60, int(sf * 6000))
+    n_keys = max(40, (2 * n) // 3)
+    lines = ["row_no\tnode_id\tname\taliases\tweight\tflag"]
+    for i in range(n):
+        key = f"N{(i * 7) % n_keys:05d}"
+        aliases = "|".join(f"al-{i}-{k}" for k in range(i % 3))
+        weight = "" if i % 11 == 0 else str((i % 97) / 10)
+        flag = ("Y", "N", "")[i % 3]
+        lines.append(f"{i}\t{key}\tname-{key}-{i}\t{aliases}\t{weight}\t{flag}")
+    return "\n".join(lines) + "\n"
+
+
 def synth_dir(sf: float, root: str = "/tmp/biokg-ray-synth") -> str:
     return os.path.join(root, f"v{GENERATOR_VERSION}-sf{sf}")
 
@@ -256,6 +304,9 @@ def ensure_synth(sf: float, seed: int = 42, root: str = "/tmp/biokg-ray-synth",
             break
         pq.write_table(sl, os.path.join(d, "transcripts", f"part-{s:04d}.parquet"))
     pq.write_table(make_ontology(sf, seed), os.path.join(d, "ontology_terms.parquet"))
+    pq.write_table(make_turn_ctx(tbl), os.path.join(d, "turn_ctx.parquet"))
+    with open(os.path.join(d, "import_nodes.tsv"), "w") as f:
+        f.write(make_import_tsv(sf))
     with open(done, "w") as f:
         f.write("ok")
     return d

@@ -152,3 +152,83 @@ def test_resume_refuses_stale_grouping(tmp_path):
             os.path.join(d, "ontology_terms.parquet"),
             out, cfg, n_parts=2,
         )
+
+
+def test_embedder_backend_fallback():
+    """No torch/transformers in this container: 'auto' must fall back
+    to the hash embedder, 'transformer' must raise, and the stage must
+    still produce L2-normalized float32 embeddings + provenance."""
+    import pyarrow as pa
+
+    from bioontologykg_ray.stages.embed import (
+        HashEmbedder,
+        embed_texts_stage,
+        make_embedder,
+    )
+
+    cls, kw = make_embedder("auto", dim=16, pooling="cls")
+    assert cls is HashEmbedder
+    assert kw["pooling"] == "mean"  # hash stand-in has no CLS token
+    with pytest.raises(ImportError):
+        make_embedder("transformer")
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": [1, 2], "text": ["alpha beta", "gamma delta epsilon"]})
+    )
+    out = embed_texts_stage(docs, dim=16, backend="auto", concurrency=1).to_pandas()
+    assert list(out["embedding_model"]) == ["hash-bow-v1"] * 2
+    for v in out["embedding"]:
+        assert abs(float(np.linalg.norm(np.asarray(v))) - 1.0) < 1e-5
+
+
+def test_bmp_roundtrip_exact():
+    from bioontologykg_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(3)
+    for w, h in ((1, 1), (5, 3), (16, 9), (13, 7)):
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+    with pytest.raises(ValueError):
+        decode_bmp(b"JUNK")
+
+
+def test_import_table_merge_policies():
+    from bioontologykg_ray.sources.importer import (
+        ColumnSpec,
+        TableSpec,
+        import_table,
+    )
+
+    raw = pd.DataFrame(
+        {
+            "row_no": [0, 1, 2, 3],
+            "k": ["a", "b", "a", "a"],
+            "name": ["first-a", "only-b", "second-a", "third-a"],
+            "als": ["x|y", "", "z", ""],
+            "w": ["", "1.5", "2.5", ""],
+            "code": ["", "Y", "N", "Y"],
+        }
+    )
+    spec = TableSpec(
+        key="k",
+        order="row_no",
+        columns=(
+            ColumnSpec("row_no", type="int64"),
+            ColumnSpec("k"),
+            ColumnSpec("name"),
+            ColumnSpec("als", split="|"),
+            ColumnSpec("w", type="float64"),
+            ColumnSpec("code", out="label", lookup={"Y": "yes", "N": "no"}),
+        ),
+        merge={"name": "first", "als": "concat", "w": "last", "label": "first"},
+    )
+    out = (
+        import_table(rd.from_pandas(raw), spec)
+        .to_pandas().set_index("k").sort_index()
+    )
+    assert out.loc["a", "name"] == "first-a"          # ON CREATE wins
+    assert out.loc["a", "als"] == "x|y|z"             # ordered concat
+    assert float(out.loc["a", "w"]) == 2.5            # last non-null overwrite
+    assert out.loc["a", "label"] == "no"              # first non-null
+    assert int(out.loc["a", "n_rows"]) == 3
+    assert out.loc["b", "name"] == "only-b" and int(out.loc["b", "n_rows"]) == 1
