@@ -101,6 +101,10 @@ def run_bench() -> dict:
     n_linked = res["linked"].count()
     kg_sec = time.time() - t0
     queries["kg_pipeline"] = round(kg_sec, 3)
+    import shutil
+
+    if res.get("scratch"):
+        shutil.rmtree(res["scratch"], ignore_errors=True)
 
     n_turns = sum(
         pq.read_metadata(f).num_rows
@@ -176,6 +180,10 @@ def run_kg_only() -> dict:
     )
     n_edges = res["edges"].count()
     sec = time.time() - t0
+    import shutil
+
+    if res.get("scratch"):
+        shutil.rmtree(res["scratch"], ignore_errors=True)
     out = {
         "kg_sec": round(sec, 3),
         "turns": n_turns,

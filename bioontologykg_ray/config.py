@@ -48,8 +48,14 @@ class PipelineConfig:
     # (reference: uniprot_intact.cql:31-40 symmetric-pair dedup)
     symmetric_predicates: tuple = ("INTERACTS_WITH", "SAME_AS")
 
-    # --- scratch root for the streamed flagged-triples intermediate
-    # (written once, re-read column-pruned; never pinned in plasma)
+    # --- flagged-corpus intermediate routing: the linked/dead/same-as
+    # consumers either share one plasma materialization (fast, bounded:
+    # only while the estimated flagged size fits spill_fraction of the
+    # object store) or a scratch-parquet spill (one streaming write,
+    # column-pruned/predicate-pushed re-reads — the 100-TB path, where
+    # the intermediate belongs on disk). Estimated size ≈ 3× input
+    # parquet bytes (measured inflation of flagged vs transcripts).
+    spill_fraction: float = 0.25
     scratch_root: str = "/tmp/bioontologykg_ray/scratch"
 
     def __post_init__(self):

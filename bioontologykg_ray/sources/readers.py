@@ -156,3 +156,92 @@ def read_obo(path: str) -> dict[str, ray.data.Dataset]:
         "terms": ray.data.from_arrow(terms),
         "relationships": ray.data.from_arrow(rels),
     }
+
+
+# ---------------------------------------------------------------------------
+# BibTeX (S8) — the reference ingests ReadCube BibTeX exports
+# (`src/BioOntologyKG/importers/readcube/readcube_abstract_embeddings.py`):
+# @entry{key, field = {value}, ...} records with brace-wrapped values.
+# Like OBO, a bibliography is a small dimension input: parsed driver-side,
+# lifted into a Dataset. Values get the M3 brace cleanup.
+# ---------------------------------------------------------------------------
+
+def parse_bibtex(text: str) -> pa.Table:
+    """BibTeX entries → (entry_type, cite_key, fields...) arrow table.
+    Handles nested braces and quoted values; field names lowercased;
+    values brace-cleaned (functions/text.clean_braces)."""
+    from bioontologykg_ray.functions.text import clean_braces
+
+    entries: list[dict] = []
+    i, n = 0, len(text)
+    while i < n:
+        at = text.find("@", i)
+        if at < 0:
+            break
+        brace = text.find("{", at)
+        if brace < 0:
+            break
+        etype = text[at + 1 : brace].strip().lower()
+        if etype in ("comment", "preamble"):
+            i = brace + 1
+            continue
+        # find the matching close brace of the entry
+        depth, j = 1, brace + 1
+        while j < n and depth:
+            if text[j] == "{":
+                depth += 1
+            elif text[j] == "}":
+                depth -= 1
+            j += 1
+        body = text[brace + 1 : j - 1]
+        i = j
+        key, _, rest = body.partition(",")
+        fields: dict[str, str] = {"entry_type": etype, "cite_key": key.strip()}
+        k = 0
+        while k < len(rest):
+            eq = rest.find("=", k)
+            if eq < 0:
+                break
+            name = rest[k:eq].strip().strip(",").strip().lower()
+            v = eq + 1
+            while v < len(rest) and rest[v] in " \t\r\n":
+                v += 1
+            if v < len(rest) and rest[v] == "{":
+                depth, w = 1, v + 1
+                while w < len(rest) and depth:
+                    if rest[w] == "{":
+                        depth += 1
+                    elif rest[w] == "}":
+                        depth -= 1
+                    w += 1
+                val = rest[v + 1 : w - 1]
+                k = w
+            elif v < len(rest) and rest[v] == '"':
+                w = rest.find('"', v + 1)
+                w = len(rest) if w < 0 else w
+                val = rest[v + 1 : w]
+                k = w + 1
+            else:
+                w = rest.find(",", v)
+                w = len(rest) if w < 0 else w
+                val = rest[v:w].strip()
+                k = w
+            if name:
+                cleaned = clean_braces(val)  # arrow kernel; accepts scalars
+                fields[name] = cleaned.as_py() if hasattr(cleaned, "as_py") else str(cleaned)
+        entries.append(fields)
+
+    cols = ["entry_type", "cite_key"]
+    for e in entries:
+        for f in e:
+            if f not in cols:
+                cols.append(f)
+    return pa.table(
+        {c: pa.array([e.get(c) for e in entries], pa.string()) for c in cols}
+    )
+
+
+def read_bibtex(path: str) -> ray.data.Dataset:
+    """S8 — BibTeX file → Dataset of entries."""
+    with open(path) as f:
+        return ray.data.from_arrow(parse_bibtex(f.read()))

@@ -121,11 +121,16 @@ def ann_topk_lsh(
     nbits: int = 4,
     dim: int = 64,
     seed: int = 11,
+    n_tables: int = 8,
 ) -> ray.data.Dataset:
     """Approximate top-k: both sides bucketed by sign random projection;
-    a query only scores vectors in its bucket. Same output schema as the
-    brute-force variant; recall depends on nbits."""
-    planes = np.random.RandomState(seed).standard_normal((nbits, dim))
+    a query only scores vectors that share its bucket in AT LEAST ONE of
+    ``n_tables`` independent hash tables (standard multi-table LSH —
+    per-table miss prob p^nbits compounds to (1-p^nbits)^L misses).
+    Same output schema as the brute-force variant; recall measured in
+    BASELINE.md (recall@10 vs brute force on the driver embeddings)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables, nbits, dim))
     qset = set(query_ids)
     qdf = ds.map_batches(
         # Arrow-native filter: a pandas batch would carry `embedding` as
@@ -135,7 +140,7 @@ def ann_topk_lsh(
         batch_format="pyarrow",
     ).to_pandas().sort_values("vec_id")
     Q = _as_matrix(qdf["embedding"])
-    qb = srp_bucket(_normalize(Q), planes)
+    qb = np.stack([srp_bucket(_normalize(Q), p) for p in planes], axis=1)  # (nq, L)
     ref = ray.put(
         {"qids": qdf["vec_id"].to_numpy(), "Q": Q, "qb": qb, "planes": planes}
     )
@@ -151,10 +156,10 @@ def ann_topk_lsh(
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             ids = df["vec_id"].to_numpy()
             M = _normalize(_as_matrix(df["embedding"]))
-            mb = srp_bucket(M, self.planes)
+            mb = np.stack([srp_bucket(M, p) for p in self.planes], axis=1)  # (n, L)
             out_q, out_v, out_c = [], [], []
             for qi, qid in enumerate(self.qids):
-                sel = (mb == self.qb[qi]) & (ids != qid)
+                sel = (mb == self.qb[qi]).any(axis=1) & (ids != qid)
                 if not sel.any():
                     continue
                 cand_ids, cand = ids[sel], M[sel]

@@ -24,11 +24,13 @@ def test_read_block_count_policy():
     MB = 1 << 20
     # tiny input on a 32-core box: floor = cores (one in-flight block each)
     assert read_block_count(100 * MB, 32) == 32
-    # sf4-sized input (~1 GB): still the core floor, never 128 fragments
-    assert read_block_count(1024 * MB, 32) == 32
-    # big input: bytes dominate — ~64 MB per block, NO constant cap
-    assert read_block_count(10_000_000 * MB, 32) == -(-10_000_000 * MB // (64 * MB))
-    assert read_block_count(10_000_000 * MB, 32) > 100_000
+    # sf4-sized input (~1.2 GB): core floor at 32 AND at 8 cores (the
+    # measured sweet spots), never 128 fragments
+    assert read_block_count(1228 * MB, 32) == 32
+    assert read_block_count(1228 * MB, 8) == 8
+    # big input: bytes dominate — ~256 MB per block, NO constant cap
+    assert read_block_count(10_000_000 * MB, 32) == -(-10_000_000 * MB // (256 * MB))
+    assert read_block_count(10_000_000 * MB, 32) > 39_000
     # empty input still parallelizes the (empty) read
     assert read_block_count(0, 4) == 8
 
@@ -232,3 +234,27 @@ def test_import_table_merge_policies():
     assert out.loc["a", "label"] == "no"              # first non-null
     assert int(out.loc["a", "n_rows"]) == 3
     assert out.loc["b", "name"] == "only-b" and int(out.loc["b", "n_rows"]) == 1
+
+
+def test_spill_and_plasma_paths_identical(tmp_path):
+    """The flagged-corpus intermediate routes through plasma (small) or
+    scratch parquet (forced via scratch_dir) — byte-identical graphs."""
+    from bioontologykg_ray import synth
+    from bioontologykg_ray.config import PipelineConfig
+    from bioontologykg_ray.pipelines.kg import run_kg_pipeline
+
+    d = synth.ensure_synth(0.001)
+    args = (os.path.join(d, "transcripts"), os.path.join(d, "ontology_terms.parquet"))
+    plasma = run_kg_pipeline(*args, PipelineConfig())
+    assert plasma["scratch"] is None  # sf0.001 fits the plasma budget
+    spill = run_kg_pipeline(*args, PipelineConfig(), scratch_dir=str(tmp_path / "s"))
+    assert spill["scratch"] is not None
+
+    def edges_df(res):
+        return (
+            res["edges"].to_pandas()
+            .sort_values(["src", "predicate", "dst"]).reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(edges_df(plasma), edges_df(spill))
+    assert plasma["dead_letter"].count() == spill["dead_letter"].count()

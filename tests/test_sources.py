@@ -96,3 +96,32 @@ def test_read_obo_datasets(fixture_dir):
     out = R.read_obo(os.path.join(fixture_dir, "mini.obo"))
     assert out["terms"].count() == 2
     assert out["relationships"].count() == 2
+
+
+def test_bibtex_reader(tmp_path):
+    bib = r"""
+@article{smith2020,
+  title = {A {Nested} Study of Things},
+  author = {Smith, Jane and Doe, John},
+  year = 2020,
+  journal = "Nature Things",
+}
+@comment{ignore me}
+@book{doe2021,
+  title = {Another {Work}},
+  publisher = {Pub Co}
+}
+"""
+    p = tmp_path / "refs.bib"
+    p.write_text(bib)
+    from bioontologykg_ray.sources.readers import read_bibtex
+
+    df = read_bibtex(str(p)).to_pandas().set_index("cite_key")
+    assert len(df) == 2
+    assert df.loc["smith2020", "entry_type"] == "article"
+    assert df.loc["smith2020", "title"] == "A Nested Study of Things"
+    assert df.loc["smith2020", "author"] == "Smith, Jane and Doe, John"
+    assert df.loc["smith2020", "year"] == "2020"
+    assert df.loc["smith2020", "journal"] == "Nature Things"
+    assert df.loc["doe2021", "publisher"] == "Pub Co"
+    assert df.loc["doe2021", "year"] is None or df.loc["doe2021", "year"] != df.loc["doe2021", "year"]
