@@ -82,6 +82,20 @@ def quality_label(n_tokens: int, stopword_ratio: float) -> str:
     return "ok"
 
 
+# GPT-2-style pre-tokenizer shape: contractions, letter runs, digit
+# runs, non-space symbol runs (RE2-compatible — no lookarounds — so the
+# DuckDB oracle runs the IDENTICAL pattern)
+BPE_PRETOKEN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+_BPE = re.compile(BPE_PRETOKEN)
+
+
+def bpe_token_count(text: str) -> int:
+    """Pre-tokenizer piece count — the standard fast proxy for BPE token
+    budgets (each piece splits into ≥1 BPE tokens; piece count is the
+    scheduling/truncation metric a data pipeline actually uses)."""
+    return len(_BPE.findall(text))
+
+
 def md5_hex(text: str) -> str:
     return hashlib.md5(text.encode("utf-8")).hexdigest()
 

@@ -535,6 +535,32 @@ FROM toks
 """
 
 
+def q_token_counts(sf_dir: str):
+    """Token counting for training-data budgeting: whitespace tokens +
+    BPE-ish pre-tokenizer pieces (GPT-2-style regex, RE2-compatible so
+    the SQL oracle runs the identical pattern)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "ws_tokens": [TS.token_count(t) for t in df["text"]],
+                "bpe_tokens": [TS.bpe_token_count(t) for t in df["text"]],
+            }
+        ).astype({"ws_tokens": "int64", "bpe_tokens": "int64"})
+
+    return ds.map_batches(counts, batch_format="pandas")
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS ws_tokens,
+       len(regexp_extract_all(text, '{TS.BPE_PRETOKEN.replace(chr(39), chr(39) * 2)}')) AS bpe_tokens
+FROM documents
+"""
+
+
 def q_lang_counts(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
 
@@ -801,6 +827,15 @@ def q_ann_topk_lsh(sf_dir: str):
     path; recall < 1 → rows-only check)."""
     ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return ANN.ann_topk_lsh(ds, ANN_QUERY_IDS, k=10, nbits=4, dim=64)
+
+
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF coarse-quantizer approximate top-k (16 cells, probe 4):
+    centroids train on a bounded sample, assignment + partial top-k in
+    one vectorized pass (recall<1 by design → rows-only check; recall
+    vs brute force recorded in BASELINE.md)."""
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ANN.ann_topk_ivf(ds, ANN_QUERY_IDS, k=10, n_cells=16, nprobe=4)
 
 
 def q_label_embedding_stats(sf_dir: str):
@@ -1231,6 +1266,7 @@ QUERIES = {
     "props_k_stats": q_props_k_stats,
     # text analysis
     "doc_stats": q_doc_stats,
+    "token_counts": q_token_counts,
     "lang_counts": q_lang_counts,
     "doc_fingerprints": q_doc_fingerprints,
     "rolling_fingerprints": q_rolling_fingerprints,
@@ -1243,6 +1279,7 @@ QUERIES = {
     # similarity search
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "label_embedding_stats": q_label_embedding_stats,
     # multimodal plumbing (+ real BMP decode kernel)
     "image_metadata": q_image_metadata,
@@ -1284,6 +1321,7 @@ ORACLE = {
     "first_event_per_user": SQL_FIRST_EVENT_PER_USER,
     "props_k_stats": SQL_PROPS_K_STATS,
     "doc_stats": SQL_DOC_STATS,
+    "token_counts": SQL_TOKEN_COUNTS,
     "lang_counts": SQL_LANG_COUNTS,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "exact_dedup": SQL_EXACT_DEDUP,

@@ -428,11 +428,18 @@ def simhash_pairs(ds: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Datase
 # --------------------------------------------------------------------------
 
 def embedding_neardup_pairs(
-    ds: ray.data.Dataset, tau: float = 0.30, block_col: str = "label"
+    ds: ray.data.Dataset, tau: float = 0.30, block_col: str = "label",
+    tile: int = 2048,
 ) -> ray.data.Dataset:
     """Pairs within a blocking key whose cosine ≥ tau. The blocking key
     stands in for a coarse quantization bucket (IVF cell) at scale;
-    block count is small, so per-block map_groups dispatch is fine."""
+    block count is small, so per-block map_groups dispatch is fine.
+
+    Memory is BOUNDED regardless of block size (round-2 fix for the
+    hot-block hazard): the cosine matrix is computed in row TILES of
+    ``tile`` — peak extra memory tile × block instead of block², with
+    identical output. A truly hot cell's O(b²) OUTPUT is inherent to
+    exact all-pairs semantics; re-block (finer quantizer) to shrink it."""
 
     def per_block(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id")
@@ -440,15 +447,32 @@ def embedding_neardup_pairs(
         M = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
         nrm = np.linalg.norm(M, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
-        C = (M / nrm) @ (M / nrm).T
-        ia, ib = np.triu_indices(ids.size, 1)
-        cos = np.round(C[ia, ib], 6)
-        keep = cos >= tau
+        Mn = M / nrm
+        n = ids.size
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, n, tile):
+            i1 = min(i0 + tile, n)
+            C = Mn[i0:i1] @ Mn[i0:].T          # rows i0..i1 vs cols i0..n
+            r, c = np.nonzero(np.round(C, 6) >= tau)
+            keep = (c + i0) > (r + i0)          # strict upper triangle
+            r, c = r[keep], c[keep]
+            if r.size:
+                out_a.append(ids[r + i0])
+                out_b.append(ids[c + i0])
+                out_c.append(np.round(C[r, c], 6))
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(dtype=np.int64),
+                    "vec_b": pd.Series(dtype=np.int64),
+                    "cos": pd.Series(dtype=np.float64),
+                }
+            )
         return pd.DataFrame(
             {
-                "vec_a": ids[ia][keep].astype(np.int64),
-                "vec_b": ids[ib][keep].astype(np.int64),
-                "cos": cos[keep],
+                "vec_a": np.concatenate(out_a).astype(np.int64),
+                "vec_b": np.concatenate(out_b).astype(np.int64),
+                "cos": np.concatenate(out_c),
             }
         )
 
