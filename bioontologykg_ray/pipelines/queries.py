@@ -916,6 +916,29 @@ FROM px GROUP BY doc_id
 """
 
 
+def q_wav_audio_stats(sf_dir: str):
+    """REAL audio decode: deterministic PCM16 WAV payloads
+    (v[i]=((doc_id+i)*37)%2048-1024, n=doc_id%800+100 samples @8kHz)
+    decoded with the pure-numpy RIFF/WAVE parser; duration + RMS from
+    actual samples. SQL recomputes them from the generation formula."""
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"])
+    return MM.decode_wav_stats(MM.attach_wav_payload(docs))
+
+
+SQL_WAV_AUDIO_STATS = """
+WITH dims AS (SELECT doc_id, doc_id % 800 + 100 AS n FROM documents),
+sm AS (
+  SELECT doc_id, n, ((doc_id + i.i) * 37) % 2048 - 1024 AS v
+  FROM dims, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) i)
+SELECT doc_id AS media_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(min(n) AS BIGINT) AS n_samples,
+       round(min(n) / 8000.0, 6) AS duration_s,
+       round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms
+FROM sm GROUP BY doc_id
+"""
+
+
 def q_import_nodes(sf_dir: str):
     """Declarative tabular importer (the reference's LOAD-CSV family as
     one spec-driven operator): headered TSV → rename/cast/split/lookup
@@ -1285,6 +1308,7 @@ QUERIES = {
     "image_metadata": q_image_metadata,
     "frame_sample_counts": q_frame_sample_counts,
     "bmp_image_stats": q_bmp_image_stats,
+    "wav_audio_stats": q_wav_audio_stats,
     # declarative importer
     "import_nodes": q_import_nodes,
     # KG flagship
@@ -1335,6 +1359,7 @@ ORACLE = {
     "rolling_fingerprints": SQL_ROLLING_FINGERPRINTS,
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
     "bmp_image_stats": SQL_BMP_IMAGE_STATS,
+    "wav_audio_stats": SQL_WAV_AUDIO_STATS,
     "import_nodes": _sql_import_nodes(0.01),
     "kg_extract_triples": _sql_kg_extract(0.01),
     "kg_ordered_turns": _sql_kg_ordered(0.01),

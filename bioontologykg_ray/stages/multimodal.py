@@ -5,12 +5,14 @@ structs; decode / feature-extract / resize / frame-sample run as
 actor-pool ``map_batches`` stages with SMALL batch sizes (a batch ×
 concurrency of decoded frames must fit a worker heap).
 
-The decode kernels themselves are STUBS — no imaging/audio libraries
-exist in this container. ``FakeImageDecoder`` derives deterministic
-metadata from the payload bytes so the Ray-side plumbing (schema, batch
-sizing, actor signature, output layout) is real and tested;
-``RealImageDecoder`` shows the intended integration point and raises
-``NotImplementedError`` unless PIL is importable.
+Decode kernels (round 2): TWO real pure-numpy codecs with no external
+libraries — 24-bit uncompressed BMP (``encode_bmp``/``decode_bmp``) and
+PCM16 mono WAV (``encode_wav``/``decode_wav``) — both round-trip-tested
+and oracle-checked from actually-decoded pixels/samples. Compressed
+formats (JPEG/PNG/MP3) still need an imaging library:
+``FakeImageDecoder`` keeps that plumbing tested with deterministic
+metadata, and ``RealImageDecoder`` marks the PIL integration point
+(raises ``NotImplementedError`` unless PIL is importable).
 """
 
 from __future__ import annotations
@@ -267,4 +269,121 @@ def sample_frames(ds: ray.data.Dataset, stride: int = 4,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, 2),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode path: PCM16 mono WAV, pure numpy (round 2 — audio as
+# a first-class opaque-binary column with a genuine decode kernel)
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
+    """int16 PCM samples → RIFF/WAVE bytes (mono, 16-bit)."""
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * 2
+    return (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + (1).to_bytes(2, "little")            # mono
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (2).to_bytes(2, "little")            # block align
+        + (16).to_bytes(2, "little")           # bits/sample
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+
+
+def decode_wav(buf: bytes) -> tuple[int, "np.ndarray"]:
+    """RIFF/WAVE bytes → (sample_rate, int16 sample array). Walks the
+    chunk list (fmt before data, arbitrary extra chunks tolerated);
+    PCM16 mono only — anything else raises."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt != 1:
+                raise ValueError(f"unsupported WAV format code {fmt}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError(f"unsupported WAV layout (bits={bits}, ch={channels})")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def attach_wav_payload(ds: ray.data.Dataset, id_col: str = "doc_id",
+                       sample_rate: int = 8000) -> ray.data.Dataset:
+    """Deterministic real-audio fixture: per doc, n=(doc_id%800+100)
+    samples of v[i]=((doc_id+i)*37)%2048-1024 encoded as genuine PCM16
+    WAV — the decode stage exercises actual sample decoding and the SQL
+    oracle recomputes the statistics from the formula."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        payloads = []
+        for did in ids:
+            n = did % 800 + 100
+            i = np.arange(n, dtype=np.int64)
+            v = ((did + i) * 37 % 2048 - 1024).astype(np.int16)
+            payloads.append(encode_wav(v, sample_rate))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "media_type": pa.array(["audio/wav"] * len(ids), pa.string()),
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class WavStatsDecoder:
+    """Actor-pool stage over REAL decoded samples: rate from the header,
+    duration and RMS over the decoded PCM array."""
+
+    def __init__(self):
+        self.decoded = 0
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rates, ns, durs, rms = [], [], [], []
+        for buf in t["payload"].to_pylist():
+            rate, v = decode_wav(buf)
+            rates.append(rate)
+            ns.append(len(v))
+            durs.append(round(len(v) / rate, 6))
+            rms.append(
+                round(float(np.sqrt(np.mean(v.astype(np.float64) ** 2))), 6)
+            )
+        self.decoded += t.num_rows
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "sample_rate": pa.array(rates, pa.int64()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "duration_s": pa.array(durs, pa.float64()),
+                "rms": pa.array(rms, pa.float64()),
+            }
+        )
+
+
+def decode_wav_stats(
+    ds: ray.data.Dataset, batch_size: int = 256, concurrency: int | tuple = (1, 4)
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        WavStatsDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
     )

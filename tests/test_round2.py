@@ -258,3 +258,14 @@ def test_spill_and_plasma_paths_identical(tmp_path):
 
     pd.testing.assert_frame_equal(edges_df(plasma), edges_df(spill))
     assert plasma["dead_letter"].count() == spill["dead_letter"].count()
+
+
+def test_wav_roundtrip_exact():
+    from bioontologykg_ray.stages.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(9)
+    v = rng.randint(-32768, 32768, size=777, dtype=np.int16)
+    rate, out = decode_wav(encode_wav(v, 16000))
+    assert rate == 16000 and np.array_equal(out, v)
+    with pytest.raises(ValueError):
+        decode_wav(b"NOTWAV")
