@@ -1609,6 +1609,48 @@ FROM events
 """
 
 
+def q_events_asof_signup(sf_dir: str):
+    """AS-OF JOIN (backward): every purchase event matched to the same
+    user's most recent prior-or-equal signup — the classic as-of
+    operator Ray Data lacks, built as one user-key range sort + a
+    vectorized block-local pd.merge_asof (stages/windows.asof_join_prior)."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    return W.asof_join_prior(ds, "purchase", "signup")
+
+
+SQL_EVENTS_ASOF_SIGNUP = """
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       s.event_id AS right_event_id, epoch_us(s.ts) AS right_ts_us
+FROM events p LEFT JOIN LATERAL (
+  SELECT event_id, ts FROM events s
+  WHERE s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+  ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) s ON true
+WHERE p.event_type = 'purchase'
+"""
+
+
+def q_signup_errors_1h(sf_dir: str):
+    """RANGE JOIN: per signup, the count of that user's error events in
+    the following hour — prefix-sum + double asof probe
+    (stages/windows.range_count_after), no per-pair work."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    return W.range_count_after(ds, "signup", "error", window_s=3600)
+
+
+SQL_SIGNUP_ERRORS_1H = """
+SELECT g.event_id, g.user_id, epoch_us(g.ts) AS ts_us,
+       (SELECT count(*) FROM events e
+        WHERE e.user_id = g.user_id AND e.event_type = 'error'
+          AND epoch_us(e.ts) > epoch_us(g.ts)
+          AND epoch_us(e.ts) <= epoch_us(g.ts) + 3600000000) AS n_right
+FROM events g WHERE g.event_type = 'signup'
+"""
+
+
 def q_kg_linked_unambiguous(sf_dir: str):
     """Exact SQL-checkable slice of the flagship: ordering + extraction +
     linking restricted to UNAMBIGUOUS aliases (the embedding-scored
@@ -1688,12 +1730,16 @@ JOIN una u2 ON t.o_alias = u2.alias
 QUERIES.update(
     {
         "event_seq_numbers": q_event_seq_numbers,
+        "events_asof_signup": q_events_asof_signup,
+        "signup_errors_1h": q_signup_errors_1h,
         "kg_linked_unambiguous": q_kg_linked_unambiguous,
     }
 )
 ORACLE.update(
     {
         "event_seq_numbers": SQL_EVENT_SEQ_NUMBERS,
+        "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
+        "signup_errors_1h": SQL_SIGNUP_ERRORS_1H,
         "kg_linked_unambiguous": _sql_kg_linked_unambiguous(0.01),
     }
 )

@@ -71,3 +71,139 @@ def session_counts(ds: ray.data.Dataset, gap_s: int = 1800) -> ray.data.Dataset:
          "n_sessions": pd.Series(dtype=np.int64)}
     )
     return sorted_group_apply(ds, "user_id", apply, empty)
+
+
+def asof_join_prior(
+    ds: ray.data.Dataset,
+    left_type: str,
+    right_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> ray.data.Dataset:
+    """AS-OF JOIN — an operator Ray Data lacks natively: for every
+    ``left_type`` event, attach the most recent prior-or-equal
+    ``right_type`` event of the SAME user (classic backward as-of;
+    e.g. purchase → its governing signup). Partitioning assumption: one
+    range sort on the user key gives complete user groups per block
+    (stages/agg.sorted_group_apply contract); within a block the match
+    is ONE vectorized ``pd.merge_asof(by=user)`` — no per-user Python.
+    Ties (equal ts) resolve to the highest event_id, mirrored exactly
+    by the SQL oracle's ORDER BY ts DESC, event_id DESC LIMIT 1."""
+
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series(dtype=np.int64),
+            "user_id": pd.Series(dtype=np.int64),
+            "ts_us": pd.Series(dtype=np.int64),
+            "right_event_id": pd.Series(dtype="Int64"),
+            "right_ts_us": pd.Series(dtype="Int64"),
+        }
+    )
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        left = df.loc[df["event_type"] == left_type,
+                      [user_col, ts_col, "event_id"]]
+        right = df.loc[df["event_type"] == right_type,
+                       [user_col, ts_col, "event_id"]].rename(
+            columns={"event_id": "right_event_id"}
+        )
+        if left.empty:
+            return empty.copy()
+        right = right.rename(columns={ts_col: "r_ts"})
+        left = left.sort_values([ts_col, "event_id"], kind="mergesort")
+        right = right.sort_values(["r_ts", "right_event_id"], kind="mergesort")
+        m = pd.merge_asof(
+            left, right, left_on=ts_col, right_on="r_ts", by=user_col,
+            direction="backward", allow_exact_matches=True,
+        )
+        r_ns = m["r_ts"].astype("datetime64[ns]")
+        r_us = pd.Series(r_ns.view("int64") // 1000, dtype="Int64").mask(r_ns.isna())
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].to_numpy(np.int64),
+                "user_id": m[user_col].to_numpy(np.int64),
+                "ts_us": (
+                    m[ts_col].astype("datetime64[ns]").astype("int64") // 1000
+                ),
+                "right_event_id": m["right_event_id"].astype("Int64"),
+                "right_ts_us": r_us,
+            }
+        )
+
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    return sorted_group_apply(ds, user_col, apply, empty)
+
+
+def range_count_after(
+    ds: ray.data.Dataset,
+    left_type: str,
+    right_type: str,
+    window_s: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> ray.data.Dataset:
+    """RANGE (interval) JOIN — count, per ``left_type`` event, the same
+    user's ``right_type`` events in the window (t, t + window_s]. Built
+    without any per-pair work: the right stream carries a per-user
+    cumulative count, and two vectorized backward ``merge_asof`` probes
+    (at t + w and at t) difference to the interval count — the standard
+    prefix-sum formulation of a range join. One user-key range sort;
+    complete user groups per block (sorted_group_apply contract)."""
+
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series(dtype=np.int64),
+            "user_id": pd.Series(dtype=np.int64),
+            "ts_us": pd.Series(dtype=np.int64),
+            "n_right": pd.Series(dtype=np.int64),
+        }
+    )
+    w_us = window_s * 1_000_000
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        d = df.copy()
+        d["ts_us"] = d[ts_col].astype("datetime64[ns]").astype("int64") // 1000
+        left = d.loc[d["event_type"] == left_type, [user_col, "ts_us", "event_id"]]
+        if left.empty:
+            return empty.copy()
+        right = d.loc[d["event_type"] == right_type, [user_col, "ts_us"]].rename(
+            columns={"ts_us": "r_us"}
+        )
+        right = right.sort_values([user_col, "r_us"], kind="mergesort")
+        right["cum"] = right.groupby(user_col).cumcount() + 1
+        right = right.sort_values(["r_us", "cum"], kind="mergesort")
+
+        def probe(at: pd.Series) -> np.ndarray:
+            probe_df = pd.DataFrame(
+                {user_col: left[user_col].to_numpy(), "k": at.to_numpy(),
+                 "event_id": left["event_id"].to_numpy()}
+            ).sort_values(["k", "event_id"], kind="mergesort")
+            m = pd.merge_asof(
+                probe_df, right[[user_col, "r_us", "cum"]],
+                left_on="k", right_on="r_us", by=user_col,
+                direction="backward", allow_exact_matches=True,
+            )
+            return (
+                m.set_index("event_id")["cum"].fillna(0).astype(np.int64)
+            )
+
+        hi = probe(left["ts_us"] + w_us)
+        lo = probe(left["ts_us"])
+        n = (hi - lo).reindex(left["event_id"].to_numpy()).to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": left["event_id"].to_numpy(np.int64),
+                "user_id": left[user_col].to_numpy(np.int64),
+                "ts_us": left["ts_us"].to_numpy(np.int64),
+                "n_right": n.astype(np.int64),
+            }
+        )
+
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    return sorted_group_apply(ds, user_col, apply, empty)
