@@ -1,0 +1,149 @@
+"""Property-style randomized cross-checks: distributed operators vs
+brute-force pandas references, and engine hashing vs DuckDB kernels
+(the SQL-oracle contracts, verified without the conformance harness)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _random_events(seed: int, n: int = 400, users: int = 12) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.randint(0, 3_600_000, size=n), unit="s"
+    )
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts,
+            "user_id": rng.randint(0, users, size=n).astype(np.int64),
+            "event_type": rng.choice(["purchase", "signup", "error"], size=n),
+        }
+    )
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_asof_join_matches_bruteforce(seed):
+    from bioontologykg_ray.stages.windows import asof_join_prior
+
+    df = _random_events(seed)
+    out = (
+        asof_join_prior(rd.from_pandas(df).repartition(5), "purchase", "signup")
+        .to_pandas().set_index("event_id").sort_index()
+    )
+    purchases = df[df["event_type"] == "purchase"]
+    signups = df[df["event_type"] == "signup"]
+    assert len(out) == len(purchases)
+    for _, p in purchases.iterrows():
+        cand = signups[
+            (signups["user_id"] == p["user_id"]) & (signups["ts"] <= p["ts"])
+        ].sort_values(["ts", "event_id"])
+        got = out.loc[p["event_id"], "right_event_id"]
+        if cand.empty:
+            assert pd.isna(got)
+        else:
+            assert got == cand.iloc[-1]["event_id"]
+
+
+@pytest.mark.parametrize("seed", [4, 5])
+def test_range_count_matches_bruteforce(seed):
+    from bioontologykg_ray.stages.windows import range_count_after
+
+    df = _random_events(seed)
+    w_us = 600 * 1_000_000
+    out = (
+        range_count_after(
+            rd.from_pandas(df).repartition(4), "signup", "error", window_s=600
+        )
+        .to_pandas().set_index("event_id").sort_index()
+    )
+    us = df["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    df = df.assign(us=us)
+    signups = df[df["event_type"] == "signup"]
+    errors = df[df["event_type"] == "error"]
+    assert len(out) == len(signups)
+    for _, s in signups.iterrows():
+        n = int(
+            (
+                (errors["user_id"] == s["user_id"])
+                & (errors["us"] > s["us"])
+                & (errors["us"] <= s["us"] + w_us)
+            ).sum()
+        )
+        assert int(out.loc[s["event_id"], "n_right"]) == n
+
+
+def test_simhash_and_rolling_match_duckdb_kernels():
+    """The two hash contracts the SQL oracles rely on, checked directly:
+    md5_low64 == md5_number_lower, and the engine's rolling min-hash ==
+    the SQL polynomial-lattice formulation, on random-ish strings."""
+    import bioontologykg_ray.functions.hashing as H
+    from bioontologykg_ray.functions.textstats import rolling_min_hash
+
+    rng = np.random.RandomState(7)
+    words = ["alpha", "beta", "x1", "Zz", "kinase-9", "...", "a'b"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.randint(0, 30)))
+        for _ in range(40)
+    ] + ["", "short", "x" * 15, "y" * 16, "z" * 17]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    toks = con.sql(
+        "SELECT doc_id, md5_number_lower(unnest(regexp_extract_all(text, '\\S+'))) AS h FROM t"
+    ).df()
+    for did, g in toks.groupby("doc_id"):
+        eng = [H.md5_low64(tk) for tk in texts[did].split()]
+        assert [int(x) for x in g["h"]] == eng
+    roll = con.sql("""
+WITH RECURSIVE pw(j, p) AS (
+  SELECT 0, 1::UBIGINT UNION ALL SELECT j + 1, (p * 257) % 2147483647 FROM pw WHERE j < 15),
+d AS (SELECT doc_id, text, length(text) AS n FROM t),
+win AS (SELECT doc_id, i.i, least(16, n) AS k FROM d,
+        LATERAL (SELECT unnest(generate_series(1, greatest(n - 16 + 1, 1))) AS i) i),
+ch AS (SELECT w.doc_id, w.i, j.j, ord(substr(d.text, w.i + j.j, 1))::UBIGINT AS c, w.k
+       FROM win w JOIN d USING (doc_id),
+            LATERAL (SELECT unnest(generate_series(0, w.k - 1)) AS j) j),
+h AS (SELECT doc_id, i, sum(c * p.p) % 2147483647 AS hv
+      FROM ch JOIN pw p ON p.j = ch.k - 1 - ch.j GROUP BY doc_id, i)
+SELECT d.doc_id, CAST(coalesce(min(h.hv), 0) AS BIGINT) AS fp
+FROM d LEFT JOIN h USING (doc_id) GROUP BY d.doc_id
+""").df().set_index("doc_id")["fp"]
+    for did, text in enumerate(texts):
+        assert int(roll.loc[did]) == rolling_min_hash(text)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_cogroup_attach_matches_pandas_merge(seed):
+    from bioontologykg_ray.stages.joins import cogroup_attach
+
+    rng = np.random.RandomState(seed)
+    left = pd.DataFrame(
+        {
+            "a": rng.randint(0, 30, size=200).astype(np.int64),
+            "b": rng.randint(0, 1000, size=200).astype(np.int64),
+        }
+    )
+    keys = np.arange(0, 30, 2, dtype=np.int64)  # only even keys have payload
+    payload = pd.DataFrame({"doc_id": keys, "sz": (keys * 7).astype(np.int64)})
+    i64 = pa.int64()
+    empty = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in ("a", "b", "sz")})
+    out = (
+        cogroup_attach(
+            rd.from_pandas(left).repartition(6), "a", {"a": i64, "b": i64},
+            rd.from_pandas(payload).repartition(3), "doc_id", {"sz": i64},
+            fills={"a": -1, "b": -1, "sz": -1},
+            post=lambda df: df.astype(np.int64) if not df.empty else empty.copy(),
+            empty_out=empty,
+        )
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    want = (
+        left.merge(payload.rename(columns={"doc_id": "a"}), on="a", how="inner")
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
