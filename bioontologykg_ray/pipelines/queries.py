@@ -734,6 +734,34 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
 """
 
 
+def q_ngram_dup_pairs_capped(sf_dir: str):
+    """The 100-TB skew guard exercised end-to-end: same exact-Jaccard
+    inverted index but shingles appearing in > 4 docs are dropped
+    before pair emission (inside the already-co-located group task —
+    zero extra passes). The oracle applies the IDENTICAL cap, so the
+    approximation itself is value-checked, not just the exact path."""
+    return ND.ngram_jaccard_pairs(
+        _docs_plus_truncated_copies(sf_dir), n=3, tau=0.5, max_doc_freq=4
+    )
+
+
+_SHINGLE_SQL_CAPPED = _SHINGLE_SQL.replace(
+    "inter AS (",
+    "shf AS (\n"
+    "  SELECT * FROM sh WHERE shingle IN (\n"
+    "    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 4)),\n"
+    "inter AS (",
+).replace("FROM sh a JOIN sh b", "FROM shf a JOIN shf b")
+
+SQL_NGRAM_DUP_PAIRS_CAPPED = f"""
+WITH corpus AS ({_CORPUS_TRUNC_SQL}),
+{_SHINGLE_SQL_CAPPED}
+SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+"""
+
+
 def q_minhash_dup_pairs(sf_dir: str):
     """MinHash(64) + LSH(32 bands × 2 rows) candidates, exact-Jaccard
     verified at τ=0.6 (miss prob ≈ 6e-7 at the threshold → equals the
@@ -1296,6 +1324,7 @@ QUERIES = {
     # dedup family
     "exact_dedup": q_exact_dedup,
     "ngram_dup_pairs": q_ngram_dup_pairs,
+    "ngram_dup_pairs_capped": q_ngram_dup_pairs_capped,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -1350,6 +1379,7 @@ ORACLE = {
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_dup_pairs": SQL_NGRAM_DUP_PAIRS,
+    "ngram_dup_pairs_capped": SQL_NGRAM_DUP_PAIRS_CAPPED,
     "minhash_dup_pairs": SQL_MINHASH_DUP_PAIRS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ann_topk": SQL_ANN_TOPK,

@@ -123,15 +123,25 @@ _EMPTY_SIZED_PAIRS = pd.DataFrame(
 )
 
 
-def _sized_pairs_apply(key_col: str):
+def _sized_pairs_apply(key_col: str, max_doc_freq: int | None = None):
     """Pair emitter that carries each doc's set size along with the pair
-    (the postings already know it — no sizes join needed anywhere)."""
+    (the postings already know it — no sizes join needed anywhere).
+    ``max_doc_freq``: drop shingles appearing in more than this many
+    docs BEFORE pair emission — the hot-shingle skew cap (a stop-gram
+    in 10^6 docs would emit 10^12 pairs); applied inside the group task
+    (the group is already co-located — zero extra passes) and mirrored
+    EXACTLY by the SQL oracle's HAVING count(*) <= cap."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return _EMPTY_SIZED_PAIRS.copy()
         # sz is functionally dependent on doc_id → dedup on (key, doc)
         d = df[[key_col, "doc_id", "sz"]].drop_duplicates([key_col, "doc_id"])
+        if max_doc_freq is not None:
+            vc = d[key_col].value_counts()
+            d = d[d[key_col].isin(vc.index[vc <= max_doc_freq])]
+            if d.empty:
+                return _EMPTY_SIZED_PAIRS.copy()
         m = d.merge(d, on=key_col, suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
         return pd.DataFrame(
@@ -147,7 +157,8 @@ def _sized_pairs_apply(key_col: str):
 
 
 def ngram_jaccard_pairs(
-    ds: ray.data.Dataset, n: int = 3, tau: float = 0.5
+    ds: ray.data.Dataset, n: int = 3, tau: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> ray.data.Dataset:
     """All doc pairs with exact word-n-gram Jaccard ≥ tau.
 
@@ -188,7 +199,8 @@ def ngram_jaccard_pairs(
 
     exploded = ds.map_batches(explode, batch_format="pandas")
     pairs = sorted_group_apply(
-        exploded, "shingle", _sized_pairs_apply("shingle"), _EMPTY_SIZED_PAIRS
+        exploded, "shingle",
+        _sized_pairs_apply("shingle", max_doc_freq), _EMPTY_SIZED_PAIRS,
     )
     # sz_a/sz_b are functions of (a, b) → same groups, counts unchanged
     inter = grouped_count(
