@@ -28,7 +28,8 @@ def main(argv=None):
 
     rk = sub.add_parser("run-kg", help="partitioned resumable KG construction")
     rk.add_argument("--transcripts", required=True)
-    rk.add_argument("--ontology", required=True)
+    rk.add_argument("--ontology", required=True,
+                    help="ontology parquet OR a raw .obo file")
     rk.add_argument("--out", required=True)
     rk.add_argument("--partitions", type=int, default=None)
     rk.add_argument("--num-cpus", type=int, default=None)

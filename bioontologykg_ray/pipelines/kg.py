@@ -81,10 +81,39 @@ def _read_blocks(paths: str | list[str]) -> int:
     return read_block_count(total, cpus)
 
 
-def load_ontology(ontology_path: str) -> pa.Table:
+def load_ontology(ontology_path: str, dim: int | None = None) -> pa.Table:
     """Ontology tables are small dimension inputs (reference parses whole
-    OBO files driver-side, `import_go_obo.py:64-73`); read once, broadcast."""
+    OBO files driver-side, `import_go_obo.py:64-73`); read once, broadcast.
+
+    Accepts either the pre-materialized parquet table OR a raw ``.obo``
+    file — the reference's actual input format — which is parsed
+    (sources/readers.parse_obo) and lifted to the linker schema with
+    term embeddings computed over "name definition" (the reference
+    embeds term text the same way, `entrez_gene_embedding.py:9-21`)."""
+    if ontology_path.endswith(".obo"):
+        return ontology_table_from_obo(ontology_path, dim or DEFAULT_CONFIG.embedding_dim)
     return pq.read_table(ontology_path)
+
+
+def ontology_table_from_obo(path: str, dim: int) -> pa.Table:
+    """OBO [Term] stanzas → the F2 ontology schema (term_id, name,
+    namespace, definition, synonyms, xrefs, alt_ids, is_obsolete,
+    embedding) — the S5→K1 chain the reference runs per ontology."""
+    from bioontologykg_ray.functions.embedding import embed_text
+    from bioontologykg_ray.sources.readers import parse_obo
+
+    terms, _rels = parse_obo(path)
+    names = terms["name"].to_pylist()
+    defs = terms["definition"].to_pylist()
+    emb = (
+        np.stack([embed_text(f"{n} {d}", dim) for n, d in zip(names, defs)])
+        if names
+        else np.zeros((0, dim))
+    ).astype(np.float32)
+    return terms.append_column(
+        "embedding",
+        pa.FixedSizeListArray.from_arrays(pa.array(emb.ravel()), dim),
+    )
 
 
 def ontology_same_as_pairs(ontology: pa.Table) -> pa.Table:

@@ -269,3 +269,65 @@ def test_wav_roundtrip_exact():
     assert rate == 16000 and np.array_equal(out, v)
     with pytest.raises(ValueError):
         decode_wav(b"NOTWAV")
+
+
+def test_kg_pipeline_from_raw_obo(tmp_path):
+    """S5→K1 chain end-to-end: a raw .obo ontology drives the flagship
+    (parse → embed → alias index → link → canonicalize)."""
+    import pyarrow.parquet as pq
+
+    from bioontologykg_ray.config import PipelineConfig
+    from bioontologykg_ray.pipelines.kg import run_kg_pipeline
+
+    obo = """
+format-version: 1.2
+
+[Term]
+id: ONT:0000001
+name: alpha-1
+namespace: test_ns
+def: "definition of alpha" [src]
+synonym: "syn-alpha-1" EXACT []
+
+[Term]
+id: ONT:0000002
+name: beta-2
+namespace: test_ns
+alt_id: ONT:0000001
+
+[Term]
+id: ONT:0000003
+name: gone-3
+is_obsolete: true
+"""
+    obo_path = tmp_path / "mini.obo"
+    obo_path.write_text(obo)
+    turns = pa.table(
+        {
+            "conv_id": pa.array(["c-1", "c-1", "c-2"]),
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "role": pa.array(["user", "assistant", "user"]),
+            "text": pa.array(
+                [
+                    "please alpha-1 is a beta-2. thanks",
+                    "noted syn-alpha-1 regulates beta-2. ok",
+                    "gone-3 regulates alpha-1. hm",  # obsolete subj → dead
+                ]
+            ),
+            "tool": pa.array(["", "", ""]),
+            "ts": pa.array([0, 1, 2], pa.timestamp("us")),
+        }
+    )
+    tdir = tmp_path / "transcripts"
+    tdir.mkdir()
+    pq.write_table(turns, str(tdir / "part-0.parquet"))
+    res = run_kg_pipeline(str(tdir), str(obo_path), PipelineConfig())
+    edges = res["edges"].to_pandas()
+    # alt_id merges ONT:...2 into ONT:...1 → both facts collapse onto
+    # the canonical node; obsolete term never links
+    assert set(edges["src"]) == {"ONT:0000001"}
+    assert set(edges["dst"]) == {"ONT:0000001"}
+    assert set(edges["predicate"]) == {"IS_A", "REGULATES"}
+    dead = res["dead_letter"].to_pandas()
+    assert list(dead["subj_surface"]) == ["gone-3"]
+    assert list(dead["reason"]) == ["unlinked_subject"]
