@@ -1,7 +1,8 @@
 """The flagship KG-construction DAG (SURVEY.md §7.1).
 
 read_parquet(transcript shards)
-  → stable ordering (sort by conv_id, turn_idx)
+  → stable ordering (sort by conv_id, turn_idx) — logical stage; the
+    physical plan COMMUTES it off the triple path (see below)
   → triple extraction (actor-pool map_batches, Arrow)
   → entity linking (actor pool + broadcast alias index/embeddings)
   → same-as graph (text SAME_AS triples ∪ ontology alt_ids)
@@ -174,9 +175,22 @@ def run_kg_pipeline(
     ds = ray.data.read_parquet(
         transcripts_path, override_num_blocks=_read_blocks(transcripts_path)
     )
-    ordered = order_conversations(ds)
+    # Stable ordering COMMUTES with extraction: TripleExtractor is
+    # per-turn (row-local) and every emitted triple carries its
+    # (conv_id, turn_idx, span_start) provenance, so extract∘sort and
+    # sort-free extract yield the SAME triple multiset — the per-turn
+    # text-equality invariant is a property of `ordered` (returned
+    # below, oracle-checked by `kg_ordered_turns`), not of the triple
+    # path. Physically the sort is an all-to-all shuffle of the FULL
+    # text corpus (the single most expensive exchange in the DAG, and
+    # the worst-scaling one: measured 30-60% of end-to-end wall); the
+    # optimizer move is to extract straight off the read and let the
+    # downstream entity/edge exchanges operate on the much smaller
+    # triple stream. Stages that genuinely need conversation-contiguous
+    # input (session windows, seq numbers) sort/group where they run.
+    ordered = order_conversations(ds)  # lazy; computed only if consumed
     raw = extract_triples(
-        ordered, dim=cfg.embedding_dim, batch_size=cfg.extract_batch_size,
+        ds, dim=cfg.embedding_dim, batch_size=cfg.extract_batch_size,
         ambiguous=ambiguous_ref,
     )
     flagged = link_triples(
@@ -400,8 +414,8 @@ def run_partitioned(
         ds = ray.data.read_parquet(
             groups[pid], override_num_blocks=_read_blocks(groups[pid])
         )
-        ordered = order_conversations(ds)
-        raw = extract_triples(ordered, dim=cfg.embedding_dim,
+        # sort commutes off the triple path (see run_kg_pipeline)
+        raw = extract_triples(ds, dim=cfg.embedding_dim,
                               batch_size=cfg.extract_batch_size,
                               ambiguous=ambiguous_ref)
         flagged = link_triples(raw, index_ref, batch_size=cfg.link_batch_size,

@@ -65,7 +65,11 @@ def count_triples(ds: ray.data.Dataset) -> ray.data.Dataset:
     # reduced partials (see stages/agg.py), never a single combine task
     combine = lambda df: df.groupby("key", as_index=False)["n"].sum()
     empty = pd.DataFrame({"key": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")})
-    summed = sorted_group_apply(partials, "key", combine, empty)
+    # hash_sort: the composite string key would make the range sort
+    # compare ~60-byte strings per row; sorting its uint64 hash moves
+    # the same rows with int compares (combine still groups by the real
+    # key, so collisions stay exact)
+    summed = sorted_group_apply(partials, "key", combine, empty, hash_sort=True)
 
     def split(t: pa.Table) -> pa.Table:
         parts = pc.split_pattern(t["key"], SEP)
