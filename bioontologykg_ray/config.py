@@ -20,6 +20,12 @@ class PipelineConfig:
     link_batch_size: int | None = None  # None → whole blocks
 
     # --- actor pools (stateful stages, SURVEY.md §2.4)
+    # link_stateless=True runs entity linking as stateless tasks with a
+    # per-worker cached index (dictionary-bound lookup → use every CPU,
+    # fuse with read+extract); False reserves the fixed actor pool
+    # below — the shape for heavyweight linker state (real transformer,
+    # GPU residency; see stages/linker.link_triples)
+    link_stateless: bool = True
     link_concurrency: int = 4
 
     # --- embedding space (reference: 768-d PubMedBERT; ours: deterministic

@@ -195,7 +195,8 @@ def run_kg_pipeline(
     )
     flagged = link_triples(
         raw, index_ref, batch_size=cfg.link_batch_size,
-        concurrency=cfg.link_concurrency, min_score=cfg.min_link_score,
+        concurrency=None if cfg.link_stateless else cfg.link_concurrency,
+        min_score=cfg.min_link_score,
     )
 
     in_bytes = sum(
@@ -419,7 +420,7 @@ def run_partitioned(
                               batch_size=cfg.extract_batch_size,
                               ambiguous=ambiguous_ref)
         flagged = link_triples(raw, index_ref, batch_size=cfg.link_batch_size,
-                               concurrency=cfg.link_concurrency,
+                               concurrency=None if cfg.link_stateless else cfg.link_concurrency,
                                min_score=cfg.min_link_score)
         linked, dead = split_linked(flagged)
 

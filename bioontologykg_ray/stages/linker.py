@@ -178,21 +178,52 @@ class EntityLinker:
         )
 
 
+# Per-worker-process linker cache for the stateless-task variant (same
+# pattern as extract._TASK_STATE): the broadcast index deserializes once
+# per worker process and amortizes across every batch that worker runs.
+_TASK_LINKERS: dict[tuple, EntityLinker] = {}
+
+
+def link_batch(batch: pa.Table, index_ref=None, min_score: float = -1.0) -> pa.Table:
+    key = (index_ref.hex() if isinstance(index_ref, ray.ObjectRef) else id(index_ref),
+           min_score)
+    lk = _TASK_LINKERS.get(key)
+    if lk is None:
+        lk = _TASK_LINKERS[key] = EntityLinker(index_ref, min_score)
+    return lk(batch)
+
+
 def link_triples(
     raw: ray.data.Dataset,
     index_ref,
     batch_size: int | None = None,
-    concurrency: int | tuple = 4,
+    concurrency: int | tuple | None = None,
     min_score: float = -1.0,
 ) -> ray.data.Dataset:
     """Raw triples → linked triples (+dead-letter rows flagged).
 
-    FIXED-size actor pool with whole-block batches: Ray's autoscaling
-    pool ramps far too slowly for a short stage (measured 38.5s vs 11.7s
-    on 10M triples). The pool is clamped to ≤ half the CPUs so the
+    ``concurrency=None`` (default) runs linking as STATELESS TASKS with
+    a per-worker-process cached index: the lookup is dictionary-bound,
+    not model-bound, so tasks use every CPU (an actor pool clamped to
+    half the cores idles the other half for the whole stage) and fuse
+    with the upstream read+extract into one streaming operator. The
+    broadcast index is fetched once per worker process — NOT per batch.
+
+    Pass an int/tuple ``concurrency`` to run the FIXED-size actor pool
+    instead — the right shape when linking holds heavyweight state (a
+    real transformer embedder, GPU residency): Ray's autoscaling pool
+    ramps far too slowly for short stages (measured 38.5s vs 11.7s on
+    10M triples), and the pool is clamped to ≤ half the CPUs so the
     stateless stages sharing the execution never starve."""
     from bioontologykg_ray.util import clamp_pool
 
+    if concurrency is None:
+        return raw.map_batches(
+            link_batch,
+            fn_kwargs={"index_ref": index_ref, "min_score": min_score},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     if isinstance(concurrency, int):
         concurrency = clamp_pool(concurrency)
     return raw.map_batches(

@@ -14,7 +14,11 @@ from bioontologykg_ray.pipelines.kg import run_kg_pipeline
 from bioontologykg_ray.stages.ordering import order_conversations
 
 SF = 0.001
-CFG = PipelineConfig(link_concurrency=2, extract_batch_size=512, link_batch_size=512)
+# link_stateless=False keeps the actor-pool linking path under test;
+# the default stateless-task path is exercised by test_resume's CFG and
+# the conformance queries
+CFG = PipelineConfig(link_concurrency=2, link_stateless=False,
+                     extract_batch_size=512, link_batch_size=512)
 
 
 @pytest.fixture(scope="module")
