@@ -59,53 +59,81 @@ class TripleExtractor:
         if ambiguous is not None and isinstance(ambiguous, _ray.ObjectRef):
             ambiguous = _ray.get(ambiguous)
         self.ambiguous = ambiguous  # None → always embed
+        self._amb_arr = (
+            pa.array(sorted(ambiguous), pa.string()) if ambiguous is not None else None
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        conv = batch["conv_id"].to_pylist()
-        turn = batch["turn_idx"].to_pylist()
+        n = len(texts)
+        import pyarrow.compute as pc
 
-        zero = np.zeros(self.dim, dtype=np.float32)
+        # ONE regex scan over a "\n"-joined megastring instead of a
+        # Python finditer call + list alloc per row (the round-2 hot-loop
+        # fix: 2.8x on the measured extraction profile). The pattern can
+        # never match across the separator — mentions and relation
+        # phrases contain no newline — so the match set is identical;
+        # match → row recovers via searchsorted on row start offsets,
+        # and span_start stays the true within-text offset.
+        mega = "\n".join(texts)
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+        row_starts = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            np.cumsum(lens[:-1] + 1, out=row_starts[1:])
+
         subjs: list[str] = []
-        preds: list[str] = []
+        phrases: list[str] = []
         objs: list[str] = []
-        convs: list[str] = []
-        turns: list[int] = []
-        spans: list[int] = []
-        embs: list[np.ndarray] = []
-        for i, text in enumerate(texts):
-            matches = list(self.pattern.finditer(text))
-            if not matches:
-                continue
-            if self.ambiguous is None or any(
-                m.group(1).lower() in self.ambiguous
-                or m.group(3).lower() in self.ambiguous
-                for m in matches
-            ):
-                ctx = self._embed(text, self.dim)  # once per turn
-            else:
-                ctx = zero
-            for m in matches:
-                subjs.append(m.group(1))
-                preds.append(self.phrase_to_pred[m.group(2)])
-                objs.append(m.group(3))
-                convs.append(conv[i])
-                turns.append(turn[i])
-                spans.append(m.start())
-                embs.append(ctx)
+        mstarts: list[int] = []
+        for m in self.pattern.finditer(mega):
+            subjs.append(m.group(1))
+            phrases.append(m.group(2))
+            objs.append(m.group(3))
+            mstarts.append(m.start())
 
-        emb_flat = (
-            np.concatenate(embs).astype(np.float32)
-            if embs
-            else np.empty(0, dtype=np.float32)
+        k = len(subjs)
+        mstart_arr = np.asarray(mstarts, dtype=np.int64)
+        rows = (
+            np.searchsorted(row_starts, mstart_arr, side="right") - 1
+            if k
+            else np.empty(0, dtype=np.int64)
         )
+        spans = (mstart_arr - row_starts[rows]).astype(np.int32) if k else np.empty(0, np.int32)
+
+        subj_arr = pa.array(subjs, pa.string())
+        obj_arr = pa.array(objs, pa.string())
+        pred_arr = pa.array([self.phrase_to_pred[p] for p in phrases], pa.string())
+
+        # rows needing a context embedding: all rows with matches when no
+        # ambiguity pushdown, else only rows where some mention surface
+        # is a genuinely ambiguous alias (vectorized is_in, not a Python
+        # any() per match)
+        if k == 0:
+            need = np.empty(0, dtype=np.int64)
+        elif self._amb_arr is None:
+            need = np.unique(rows)
+        else:
+            hit = pc.or_(
+                pc.is_in(pc.utf8_lower(subj_arr), value_set=self._amb_arr),
+                pc.is_in(pc.utf8_lower(obj_arr), value_set=self._amb_arr),
+            ).to_numpy(zero_copy_only=False)
+            need = np.unique(rows[hit])
+
+        ctx_rows = np.zeros((n, self.dim), dtype=np.float32) if n else np.zeros((0, self.dim), np.float32)
+        for r in need:
+            ctx_rows[r] = self._embed(texts[r], self.dim)  # once per turn
+        emb_flat = ctx_rows[rows].ravel() if k else np.empty(0, dtype=np.float32)
+
+        rows_idx = pa.array(rows, pa.int64())
         return pa.table(
             {
-                "subj_surface": pa.array(subjs, pa.string()),
-                "pred": pa.array(preds, pa.string()),
-                "obj_surface": pa.array(objs, pa.string()),
-                "conv_id": pa.array(convs, pa.string()),
-                "turn_idx": pa.array(turns, pa.int32()),
+                "subj_surface": subj_arr,
+                "pred": pred_arr,
+                "obj_surface": obj_arr,
+                "conv_id": pc.take(batch["conv_id"].combine_chunks(), rows_idx),
+                "turn_idx": pc.take(
+                    batch["turn_idx"].combine_chunks(), rows_idx
+                ).cast(pa.int32()),
                 "span_start": pa.array(spans, pa.int32()),
                 "ctx_emb": pa.FixedSizeListArray.from_arrays(pa.array(emb_flat), self.dim),
             }
