@@ -43,6 +43,12 @@ class PipelineConfig:
     embed_all_contexts: bool = False  # True → ctx embedding for EVERY matched
                                       # turn (what a transformer embedder costs);
                                       # False → only ambiguous-alias turns
+    strict_ordering: bool = False   # True → physically run extraction on the
+                                    # (conv_id, turn_idx)-sorted corpus; False
+                                    # (default) commutes the sort off the
+                                    # triple path — same triple multiset
+                                    # (extraction is per-turn; equality is
+                                    # tested), minus the full-text all-to-all
     drop_obsolete: bool = True      # obsolete ontology terms must not link
 
     # --- canonical-mapping application routing: label sets up to this

@@ -86,24 +86,27 @@ def load_ontology(ontology_path: str, dim: int | None = None) -> pa.Table:
     """Ontology tables are small dimension inputs (reference parses whole
     OBO files driver-side, `import_go_obo.py:64-73`); read once, broadcast.
 
-    Accepts either the pre-materialized parquet table OR a raw ``.obo``
-    file — the reference's actual input format — which is parsed
-    (sources/readers.parse_obo) and lifted to the linker schema with
-    term embeddings computed over "name definition" (the reference
-    embeds term text the same way, `entrez_gene_embedding.py:9-21`)."""
-    if ontology_path.endswith(".obo"):
+    Accepts the pre-materialized parquet table, a raw ``.obo`` file, or
+    a raw ``.owl`` RDF/XML ontology (S7 — the reference feeds DOID/HPO
+    as RDF/XML through n10s, `import_disease_ontology_obo.cql:10`).
+    Raw ontologies are parsed (sources/readers.parse_obo / parse_owl)
+    and lifted to the linker schema with term embeddings computed over
+    "name definition" (the reference embeds term text the same way,
+    `entrez_gene_embedding.py:9-21`)."""
+    if ontology_path.endswith((".obo", ".owl")):
         return ontology_table_from_obo(ontology_path, dim or DEFAULT_CONFIG.embedding_dim)
     return pq.read_table(ontology_path)
 
 
 def ontology_table_from_obo(path: str, dim: int) -> pa.Table:
-    """OBO [Term] stanzas → the F2 ontology schema (term_id, name,
-    namespace, definition, synonyms, xrefs, alt_ids, is_obsolete,
-    embedding) — the S5→K1 chain the reference runs per ontology."""
+    """OBO [Term] stanzas (or OWL owl:Class elements) → the F2 ontology
+    schema (term_id, name, namespace, definition, synonyms, xrefs,
+    alt_ids, is_obsolete, embedding) — the S5/S7→K1 chain the reference
+    runs per ontology."""
     from bioontologykg_ray.functions.embedding import embed_text
-    from bioontologykg_ray.sources.readers import parse_obo
+    from bioontologykg_ray.sources.readers import parse_obo, parse_owl
 
-    terms, _rels = parse_obo(path)
+    terms, _rels = (parse_owl if path.endswith(".owl") else parse_obo)(path)
     names = terms["name"].to_pylist()
     defs = terms["definition"].to_pylist()
     emb = (
@@ -190,7 +193,8 @@ def run_kg_pipeline(
     # input (session windows, seq numbers) sort/group where they run.
     ordered = order_conversations(ds)  # lazy; computed only if consumed
     raw = extract_triples(
-        ds, dim=cfg.embedding_dim, batch_size=cfg.extract_batch_size,
+        ordered if cfg.strict_ordering else ds,
+        dim=cfg.embedding_dim, batch_size=cfg.extract_batch_size,
         ambiguous=ambiguous_ref,
     )
     flagged = link_triples(

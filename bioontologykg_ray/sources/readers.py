@@ -159,6 +159,144 @@ def read_obo(path: str) -> dict[str, ray.data.Dataset]:
 
 
 # ---------------------------------------------------------------------------
+# OWL / RDF-XML ontologies (S7) — the reference loads DOID/HPO/NCIT as
+# RDF/XML through the n10s Neo4j plugin
+# (`cql/import/import_disease_ontology_obo.cql:10`:
+# `n10s.onto.import.fetch(".../doid.owl", "RDF/XML")`;
+# `cql/import/import_hpo.cql:15-20`). Here the OBO-in-OWL profile those
+# ontologies use (owl:Class + oboInOwl annotation properties) parses with
+# the stdlib XML parser into the SAME (terms, relationships) schema as
+# parse_obo, so a raw .owl drives the flagship exactly like a raw .obo.
+# Fetching stays out of scope (sealed sandbox) — the input is a file.
+# ---------------------------------------------------------------------------
+
+_OWL_NS = {
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "oboInOwl": "http://www.geneontology.org/formats/oboInOwl#",
+    "obo": "http://purl.obolibrary.org/obo/",
+}
+
+
+def _owl_curie(uri: str) -> str:
+    """http://purl.obolibrary.org/obo/GO_0001 → GO:0001 (n10s keeps full
+    URIs; the OBO id convention is what the rest of the engine joins on)."""
+    frag = uri.rsplit("/", 1)[-1].rsplit("#", 1)[-1]
+    return frag.replace("_", ":", 1) if "_" in frag else frag
+
+
+def parse_owl(path: str) -> tuple[pa.Table, pa.Table]:
+    """OBO-in-OWL RDF/XML → (terms, relationships), schema-identical to
+    ``parse_obo``. Recognized per owl:Class: oboInOwl:id (fallback:
+    rdf:about CURIE), rdfs:label, oboInOwl:hasOBONamespace,
+    obo:IAO_0000115 (definition), hasExactSynonym/hasRelatedSynonym/
+    hasBroadSynonym/hasNarrowSynonym, hasDbXref, hasAlternativeId,
+    owl:deprecated, rdfs:subClassOf (→ IS_A; someValuesFrom restrictions
+    → upper-cased property predicate, as import_go_obo.py:256 does)."""
+    import xml.etree.ElementTree as ET
+
+    def q(prefix: str, tag: str) -> str:
+        return f"{{{_OWL_NS[prefix]}}}{tag}"
+
+    RDF_ABOUT = q("rdf", "about")
+    RDF_RESOURCE = q("rdf", "resource")
+
+    terms: list[dict] = []
+    rels: list[tuple[str, str, str]] = []
+    root = ET.parse(path).getroot()
+    for cls in root.iter(q("owl", "Class")):
+        about = cls.get(RDF_ABOUT)
+        if about is None:
+            continue  # anonymous class (e.g. inside a restriction)
+        cur = {
+            "id": "",
+            "name": "",
+            "namespace": "",
+            "definition": "",
+            "synonyms": [],
+            "xrefs": [],
+            "alt_ids": [],
+            "is_obsolete": False,
+        }
+        cur["id"] = _owl_curie(about)
+        for child in cls:
+            tag, text = child.tag, (child.text or "").strip()
+            if tag == q("oboInOwl", "id") and text:
+                cur["id"] = text
+            elif tag == q("rdfs", "label"):
+                cur["name"] = text
+            elif tag == q("oboInOwl", "hasOBONamespace"):
+                cur["namespace"] = text
+            elif tag == q("obo", "IAO_0000115"):
+                cur["definition"] = text
+            elif tag in (
+                q("oboInOwl", "hasExactSynonym"),
+                q("oboInOwl", "hasRelatedSynonym"),
+                q("oboInOwl", "hasBroadSynonym"),
+                q("oboInOwl", "hasNarrowSynonym"),
+            ):
+                if text:
+                    cur["synonyms"].append(text)
+            elif tag == q("oboInOwl", "hasDbXref"):
+                if text:
+                    cur["xrefs"].append(text)
+            elif tag == q("oboInOwl", "hasAlternativeId"):
+                if text:
+                    cur["alt_ids"].append(text)
+            elif tag == q("owl", "deprecated"):
+                cur["is_obsolete"] = text.lower() == "true"
+            elif tag == q("rdfs", "subClassOf"):
+                res = child.get(RDF_RESOURCE)
+                if res is not None:
+                    rels.append((cur["id"], "IS_A", _owl_curie(res)))
+                else:  # owl:Restriction: onProperty + someValuesFrom
+                    for restr in child.iter(q("owl", "Restriction")):
+                        prop = restr.find(q("owl", "onProperty"))
+                        val = restr.find(q("owl", "someValuesFrom"))
+                        if prop is None or val is None:
+                            continue
+                        p_uri = prop.get(RDF_RESOURCE) or ""
+                        v_uri = val.get(RDF_RESOURCE) or ""
+                        if p_uri and v_uri:
+                            # property fragment verbatim (part_of →
+                            # PART_OF) — no CURIE underscore rewrite
+                            pred = p_uri.rsplit("/", 1)[-1].rsplit("#", 1)[-1].upper()
+                            rels.append((cur["id"], pred, _owl_curie(v_uri)))
+        terms.append(cur)
+
+    terms_tbl = pa.table(
+        {
+            "term_id": pa.array([t["id"] for t in terms], pa.string()),
+            "name": pa.array([t["name"] for t in terms], pa.string()),
+            "namespace": pa.array([t["namespace"] for t in terms], pa.string()),
+            "definition": pa.array([t["definition"] for t in terms], pa.string()),
+            "synonyms": pa.array([t["synonyms"] for t in terms], pa.list_(pa.string())),
+            "xrefs": pa.array([t["xrefs"] for t in terms], pa.list_(pa.string())),
+            "alt_ids": pa.array([t["alt_ids"] for t in terms], pa.list_(pa.string())),
+            "is_obsolete": pa.array([t["is_obsolete"] for t in terms], pa.bool_()),
+        }
+    )
+    rels_tbl = pa.table(
+        {
+            "subject_id": pa.array([r[0] for r in rels], pa.string()),
+            "predicate": pa.array([r[1] for r in rels], pa.string()),
+            "object_id": pa.array([r[2] for r in rels], pa.string()),
+        }
+    )
+    return terms_tbl, rels_tbl
+
+
+def read_owl(path: str) -> dict[str, ray.data.Dataset]:
+    """S7 — OWL/RDF-XML ontology → two Datasets (terms, relationships)."""
+    terms, rels = parse_owl(path)
+    return {
+        "terms": ray.data.from_arrow(terms),
+        "relationships": ray.data.from_arrow(rels),
+    }
+
+
+# ---------------------------------------------------------------------------
 # BibTeX (S8) — the reference ingests ReadCube BibTeX exports
 # (`src/BioOntologyKG/importers/readcube/readcube_abstract_embeddings.py`):
 # @entry{key, field = {value}, ...} records with brace-wrapped values.

@@ -48,30 +48,59 @@ def build_alias_index(ontology: pa.Table, drop_obsolete: bool = True) -> dict:
     ``term_info``:   term_id → (name, namespace, embedding row index)
     ``emb``:         (n_terms, dim) float32 matrix
     """
+    def _one_chunk(col: pa.ChunkedArray) -> pa.Array:
+        c = col.combine_chunks()
+        return c if isinstance(c, pa.Array) else (
+            c.chunk(0) if c.num_chunks else pa.array([], col.type)
+        )
+
     tids = ontology["term_id"].to_pylist()
-    names = ontology["name"].to_pylist()
+    names_arr = _one_chunk(ontology["name"])
     namespaces = ontology["namespace"].to_pylist()
-    syns = ontology["synonyms"].to_pylist()
-    obso = ontology["is_obsolete"].to_pylist()
+    obso = np.asarray(
+        ontology["is_obsolete"].combine_chunks().to_numpy(zero_copy_only=False),
+        dtype=bool,
+    )
     emb = np.asarray(ontology["embedding"].combine_chunks().flatten()).reshape(
         len(tids), -1
     ).astype(np.float32)
 
-    alias_to: dict[str, list[int]] = {}
-    for row, (tid, name, syn_list, ob) in enumerate(zip(tids, names, syns, obso)):
-        if drop_obsolete and ob:
-            continue
-        for surface in [name, *(syn_list or [])]:
-            alias_to.setdefault(normalize_surface(surface), []).append(row)
+    # Vectorized (alias surface, term row) explode: names contribute one
+    # surface per term; synonyms flatten with Arrow list parent indices.
+    # Replaces a Python setdefault-per-surface loop (~8 µs/alias) that
+    # sat on the driver's serial floor (BASELINE.md Amdahl note). Within
+    # an alias the grouping order is irrelevant: single-candidate
+    # aliases have one row, ambiguous ones re-sort by term_id anyway.
+    syn_list = _one_chunk(ontology["synonyms"])
+    syn_parent = np.asarray(syn_list.value_parent_indices())
+    n_terms = len(tids)
+    rows_all = np.concatenate([np.arange(n_terms, dtype=np.int64), syn_parent])
+    surf_all = pa.concat_arrays([names_arr, syn_list.flatten()])
+    norm_all = pc.utf8_lower(pc.utf8_trim_whitespace(surf_all))
+    if drop_obsolete and obso.any():
+        keep = ~obso[rows_all]
+        rows_all = rows_all[keep]
+        norm_all = norm_all.take(pa.array(np.flatnonzero(keep)))
 
-    unambiguous: dict[str, str] = {}
+    dfx = pd.DataFrame(
+        {"alias": norm_all.to_numpy(zero_copy_only=False), "row": rows_all}
+    )
+    counts = dfx["alias"].value_counts(sort=False)
+    single_aliases = counts.index[counts.to_numpy() == 1]
+    multi_aliases = counts.index[counts.to_numpy() > 1]
+
+    first_rows = dfx.drop_duplicates("alias").set_index("alias")["row"]
+    tid_arr = np.asarray(tids, dtype=object)
+    unambiguous: dict[str, str] = dict(
+        zip(single_aliases, tid_arr[first_rows.loc[single_aliases].to_numpy()])
+    )
     ambiguous: dict[str, tuple[list[str], np.ndarray]] = {}
-    for alias, rows in alias_to.items():
-        if len(rows) == 1:
-            unambiguous[alias] = tids[rows[0]]
-        else:
-            rows = sorted(rows, key=lambda r: tids[r])  # stable tie-break order
+    if len(multi_aliases):
+        multi = dfx[dfx["alias"].isin(set(multi_aliases))]
+        for alias, g in multi.groupby("alias", sort=False):
+            rows = sorted(g["row"].tolist(), key=lambda r: tids[r])  # stable tie-break order
             ambiguous[alias] = ([tids[r] for r in rows], emb[rows])
+    names = names_arr.to_pylist()
     term_info = {
         tids[r]: (names[r], namespaces[r], r) for r in range(len(tids))
     }

@@ -193,3 +193,28 @@ def test_union_find_fixpoint_topologies(topology):
         assert set(d1.values()) == {"N:0000"}
     if topology == "star":
         assert set(d1.values()) == {"N:0000"}
+
+
+def test_ordering_commute_equality(corpus, result):
+    """The physical-plan commute (extract off the unsorted read) must
+    produce EXACTLY the same edge table as strict physical ordering
+    (extract after the (conv_id, turn_idx) sort): extraction is per-turn
+    and every triple carries its provenance, so the sort and the
+    extraction commute."""
+    import dataclasses
+
+    import pandas as pd
+
+    strict = run_kg_pipeline(
+        corpus["transcripts"], corpus["ontology"],
+        dataclasses.replace(CFG, strict_ordering=True),
+    )
+    cols = ["src", "predicate", "dst", "n_mentions"]
+    a = result["edges"].to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    b = strict["edges"].to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # linked triple multisets identical too
+    lc = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    la = result["linked"].to_pandas()[lc].sort_values(lc).reset_index(drop=True)
+    lb = strict["linked"].to_pandas()[lc].sort_values(lc).reset_index(drop=True)
+    pd.testing.assert_frame_equal(la, lb)

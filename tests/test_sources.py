@@ -125,3 +125,66 @@ def test_bibtex_reader(tmp_path):
     assert df.loc["smith2020", "journal"] == "Nature Things"
     assert df.loc["doe2021", "publisher"] == "Pub Co"
     assert df.loc["doe2021", "year"] is None or df.loc["doe2021", "year"] != df.loc["doe2021", "year"]
+
+
+OWL = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:oboInOwl="http://www.geneontology.org/formats/oboInOwl#"
+         xmlns:obo="http://purl.obolibrary.org/obo/">
+  <owl:Class rdf:about="http://purl.obolibrary.org/obo/GO_0000001">
+    <rdfs:label>mitochondrion inheritance</rdfs:label>
+    <oboInOwl:hasOBONamespace>biological_process</oboInOwl:hasOBONamespace>
+    <obo:IAO_0000115>The distribution of mitochondria.</obo:IAO_0000115>
+    <oboInOwl:hasExactSynonym>mitochondrial inheritance</oboInOwl:hasExactSynonym>
+    <oboInOwl:hasDbXref>Wikipedia:Mito</oboInOwl:hasDbXref>
+    <oboInOwl:hasAlternativeId>GO:0009999</oboInOwl:hasAlternativeId>
+    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/GO_0048308"/>
+  </owl:Class>
+  <owl:Class rdf:about="http://purl.obolibrary.org/obo/GO_0000002">
+    <rdfs:label>mitochondrial genome maintenance</rdfs:label>
+    <oboInOwl:hasOBONamespace>biological_process</oboInOwl:hasOBONamespace>
+    <owl:deprecated rdf:datatype="http://www.w3.org/2001/XMLSchema#boolean">true</owl:deprecated>
+    <rdfs:subClassOf>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="http://purl.obolibrary.org/obo/part_of"/>
+        <owl:someValuesFrom rdf:resource="http://purl.obolibrary.org/obo/GO_0000001"/>
+      </owl:Restriction>
+    </rdfs:subClassOf>
+  </owl:Class>
+</rdf:RDF>
+"""
+
+
+def test_parse_owl_matches_obo(fixture_dir, tmp_path):
+    """S7: the OWL/RDF-XML parse of the SAME ontology content must equal
+    the OBO parse — schema and values (n10s RDF/XML import parity)."""
+    owl_path = tmp_path / "mini.owl"
+    owl_path.write_text(OWL)
+    terms_owl, rels_owl = R.parse_owl(str(owl_path))
+    terms_obo, rels_obo = R.parse_obo(os.path.join(fixture_dir, "mini.obo"))
+    assert terms_owl.schema == terms_obo.schema
+    a = terms_owl.to_pandas().sort_values("term_id").reset_index(drop=True)
+    b = terms_obo.to_pandas().sort_values("term_id").reset_index(drop=True)
+    for col in ("term_id", "name", "namespace", "definition", "is_obsolete"):
+        assert a[col].tolist() == b[col].tolist(), col
+    for col in ("synonyms", "xrefs", "alt_ids"):
+        assert [list(x) for x in a[col]] == [list(x) for x in b[col]], col
+    assert sorted(map(tuple, rels_owl.to_pandas().itertuples(index=False))) == sorted(
+        map(tuple, rels_obo.to_pandas().itertuples(index=False))
+    )
+
+
+def test_owl_drives_flagship(tmp_path):
+    """A raw .owl feeds load_ontology exactly like a raw .obo (S7→K1)."""
+    owl_path = tmp_path / "mini.owl"
+    owl_path.write_text(OWL)
+    from bioontologykg_ray.pipelines.kg import load_ontology
+
+    tbl = load_ontology(str(owl_path), dim=8)
+    assert tbl.num_rows == 2
+    assert "embedding" in tbl.schema.names
+    out = R.read_owl(str(owl_path))
+    assert out["terms"].count() == 2
+    assert out["relationships"].count() == 2
