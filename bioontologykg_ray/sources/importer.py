@@ -135,4 +135,4 @@ def import_table(ds: ray.data.Dataset, spec: TableSpec) -> ray.data.Dataset:
     from bioontologykg_ray.stages.agg import sorted_group_apply
 
     typed = ds.map_batches(_apply_columns(spec), batch_format="pandas")
-    return sorted_group_apply(typed, spec.key, _merge_groups(spec))
+    return sorted_group_apply(typed, spec.key, _merge_groups(spec), hash_sort=True)

@@ -61,7 +61,9 @@ def grouped_count(
 
     if sorted_combine:
         partials = ds.map_batches(partial, batch_format="pandas")
-        return sorted_group_apply(partials, keys if len(keys) > 1 else keys[0], combine)
+        return sorted_group_apply(
+            partials, keys if len(keys) > 1 else keys[0], combine, hash_sort=True
+        )
     return two_phase_agg(ds, partial, combine, combine_partitions)
 
 

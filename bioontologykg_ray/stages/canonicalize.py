@@ -157,7 +157,9 @@ def _cogrouped_proposals(
 ) -> ray.data.Dataset:
     from bioontologykg_ray.stages.agg import sorted_group_apply
 
-    out = sorted_group_apply(keyed_union, "key", _cogroup_merge, _EMPTY_COGROUP)
+    out = sorted_group_apply(
+        keyed_union, "key", _cogroup_merge, _EMPTY_COGROUP, hash_sort=True
+    )
     return out.map_batches(
         lambda t: _cast_pair(t, ["node", "cand"]), batch_format="pyarrow"
     )
@@ -223,7 +225,7 @@ def _neighbor_min(
     if parallel_combine:
         from bioontologykg_ray.stages.agg import sorted_group_apply
 
-        return sorted_group_apply(merged, "node", combine, _EMPTY_LABELS)
+        return sorted_group_apply(merged, "node", combine, _EMPTY_LABELS, hash_sort=True)
     return merged.repartition(1).map_batches(
         combine, batch_format="pandas", batch_size=None
     )

@@ -164,7 +164,9 @@ def cogroup_attach(
 
     from bioontologykg_ray.stages.agg import sorted_group_apply
 
-    return sorted_group_apply(l_env.union(r_env), "__k", merge, empty_out)
+    return sorted_group_apply(
+        l_env.union(r_env), "__k", merge, empty_out, hash_sort=True
+    )
 
 
 # ---------------------------------------------------------------------------
