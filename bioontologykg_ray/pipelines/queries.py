@@ -1289,6 +1289,71 @@ def _sql_kg_labels(sf: float) -> str:
     return _sql_kg_prefix(sf) + "SELECT node, root FROM labels"
 
 
+def q_token_budget_bins(sf_dir: str):
+    """Training-data sequence packing: walking documents in doc_id
+    order, each doc gets bin = floor(exclusive running n_chars / 16384)
+    — contiguous ~16 KiB-cost shards via the distributed two-phase
+    prefix-sum scan (stages/scan.py: per-block sums to the driver are
+    O(#blocks); the offsets broadcast back)."""
+    from bioontologykg_ray.stages.scan import pack_by_budget
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    return pack_by_budget(ds, "doc_id", "n_chars", budget=16384.0)
+
+
+SQL_TOKEN_BUDGET_BINS = """
+SELECT doc_id, n_chars,
+       CAST(FLOOR((SUM(n_chars) OVER (ORDER BY doc_id)
+                   - n_chars) / 16384.0) AS BIGINT) AS bin
+FROM documents
+"""
+
+
+def q_train_val_split(sf_dir: str):
+    """Deterministic hash-based corpus split (90/5/5): bucket =
+    md5-low64(doc_id) % 100 — stable under any row order, resharding,
+    or incremental append (the property a training-data split needs;
+    random_shuffle-based splits are none of those). Reports per-split
+    doc counts + char volume; the same bucket rule filters the actual
+    shard writes."""
+    from bioontologykg_ray.functions.hashing import md5_low64
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.fromiter(
+            (md5_low64(str(i)) % 100 for i in df["doc_id"]),
+            dtype=np.int64, count=len(df),
+        )
+        split = np.where(b < 90, "train", np.where(b < 95, "val", "test"))
+        return pd.DataFrame({"split": split, "n_chars": df["n_chars"].to_numpy()})
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+    out = grouped_agg(
+        assigned, ["split"],
+        {"n_docs": ("n_chars", "count"), "total_chars": ("n_chars", "sum")},
+    )
+    return out.map_batches(
+        lambda df: df.assign(total_chars=df["total_chars"].astype("int64")),
+        batch_format="pandas",
+    )
+
+
+SQL_TRAIN_VAL_SPLIT = """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1
+"""
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -1317,6 +1382,8 @@ QUERIES = {
     "props_k_stats": q_props_k_stats,
     # text analysis
     "doc_stats": q_doc_stats,
+    "token_budget_bins": q_token_budget_bins,
+    "train_val_split": q_train_val_split,
     "token_counts": q_token_counts,
     "lang_counts": q_lang_counts,
     "doc_fingerprints": q_doc_fingerprints,
@@ -1374,6 +1441,8 @@ ORACLE = {
     "first_event_per_user": SQL_FIRST_EVENT_PER_USER,
     "props_k_stats": SQL_PROPS_K_STATS,
     "doc_stats": SQL_DOC_STATS,
+    "token_budget_bins": SQL_TOKEN_BUDGET_BINS,
+    "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "token_counts": SQL_TOKEN_COUNTS,
     "lang_counts": SQL_LANG_COUNTS,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,

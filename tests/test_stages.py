@@ -195,3 +195,30 @@ def test_cogroup_attach_inner_and_left():
     ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     assert out_l[out_l["a"] == 9]["sz"].tolist() == [-7]
     assert len(out_l) == 4
+
+
+def test_prefix_sum_matches_pandas():
+    """Distributed two-phase scan == pandas cumsum on the ordered frame,
+    regardless of on-disk shuffle or block boundaries."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from bioontologykg_ray.stages.scan import pack_by_budget, prefix_sum
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame(
+        {"k": rng.permutation(n), "v": rng.integers(1, 500, n).astype("int64")}
+    )
+    ds = ray.data.from_pandas(df).repartition(9)
+    got = prefix_sum(ds, "k", "v", out_col="c").to_pandas().sort_values("k")
+    want = df.sort_values("k").reset_index(drop=True)
+    want["c"] = want["v"].cumsum().astype("float64")
+    assert np.allclose(got["c"].to_numpy(), want["c"].to_numpy())
+
+    packed = pack_by_budget(ds, "k", "v", budget=1000.0).to_pandas().sort_values("k")
+    excl = want["c"].to_numpy() - want["v"].to_numpy()
+    assert (packed["bin"].to_numpy() == np.floor(excl / 1000.0).astype("int64")).all()
+    # bins are contiguous in k order and non-decreasing
+    assert (np.diff(packed["bin"].to_numpy()) >= 0).all()
