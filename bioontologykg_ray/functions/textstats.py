@@ -137,3 +137,42 @@ def doc_stats_frame(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
         quality_label(r["n_tokens"], r["stopword_ratio"]) for r in rows
     ]
     return out
+
+
+def repetition_frame(
+    df: pd.DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> pd.DataFrame:
+    """Gopher-style per-document repetition signals (Rae et al. 2021
+    §A1.1 use duplicate-line/most-common-n-gram fractions as quality
+    filters): token count, distinct tokens, most-common token count,
+    most-common bigram count, duplicate-token ratio.
+
+    Fully vectorized per batch (explode + groupby on the batch index —
+    no Python loop over rows, no shuffle: every doc is wholly inside
+    its batch). The SQL oracle replays it with UNNEST + window-free
+    GROUP BYs, so the driver verifies it value-exact.
+    """
+    toks = df[text_col].astype(str).str.strip().str.split()
+    n_tokens = toks.str.len().astype("int64")
+    ex = toks.explode().dropna()
+    grp = ex.groupby(level=0)
+    n_distinct = grp.nunique()
+    top_token = ex.groupby([ex.index, ex]).size().groupby(level=0).max()
+    nxt = grp.shift(-1)
+    big = (ex + " " + nxt).dropna()
+    if len(big):
+        top_big = big.groupby([big.index, big]).size().groupby(level=0).max()
+    else:
+        top_big = pd.Series(dtype="int64")
+    idx = df.index
+    out = pd.DataFrame({
+        id_col: df[id_col],
+        "n_tokens": n_tokens,
+        "n_distinct": n_distinct.reindex(idx).fillna(0).astype("int64"),
+        "top_token_n": top_token.reindex(idx).fillna(0).astype("int64"),
+        "top_bigram_n": top_big.reindex(idx).fillna(0).astype("int64"),
+    })
+    nt = out["n_tokens"].to_numpy(np.float64)
+    nd = out["n_distinct"].to_numpy(np.float64)
+    out["dup_ratio"] = np.where(nt > 0.0, 1.0 - nd / np.maximum(nt, 1.0), 0.0)
+    return out

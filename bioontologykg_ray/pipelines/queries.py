@@ -1354,6 +1354,64 @@ FROM b GROUP BY 1
 """
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per document (token
+    count, distinct tokens, most-common token/bigram counts, duplicate
+    ratio) — pure per-batch explode+groupby, no shuffle."""
+    from bioontologykg_ray.functions.textstats import repetition_frame
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(repetition_frame, batch_format="pandas")
+
+
+SQL_DOC_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+), pos AS (
+  SELECT doc_id, l[i] AS tok,
+         CASE WHEN i < len(l) THEN l[i] || ' ' || l[i+1] END AS bg
+  FROM toks, UNNEST(generate_series(1, len(l))) AS t(i)
+), agg AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+  FROM pos GROUP BY 1
+), tt AS (
+  SELECT doc_id, max(c) AS top_token_n FROM
+    (SELECT doc_id, tok, count(*) AS c FROM pos GROUP BY 1,2) GROUP BY 1
+), tb AS (
+  SELECT doc_id, max(c) AS top_bigram_n FROM
+    (SELECT doc_id, bg, count(*) AS c FROM pos WHERE bg IS NOT NULL GROUP BY 1,2)
+  GROUP BY 1
+)
+SELECT a.doc_id, a.n_tokens, a.n_distinct, tt.top_token_n,
+       COALESCE(tb.top_bigram_n, 0) AS top_bigram_n,
+       1.0 - a.n_distinct / CAST(a.n_tokens AS DOUBLE) AS dup_ratio
+FROM agg a JOIN tt USING(doc_id) LEFT JOIN tb USING(doc_id)
+"""
+
+
+def q_doc_len_deciles(sf_dir: str):
+    """Exact corpus-length quantiles via the value-histogram strategy
+    (stages/agg.exact_quantiles): the shuffle moves O(#distinct
+    lengths), not O(#docs); rank rule = value at ascending rank
+    ceil(q*n), replayed by the SQL oracle."""
+    from bioontologykg_ray.stages.agg import exact_quantiles
+
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["n_chars"])
+    return exact_quantiles(ds, "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+SQL_DOC_LEN_DECILES = """
+WITH ranked AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+         count(*) OVER () AS n
+  FROM documents
+), qs AS (SELECT unnest([0.1,0.25,0.5,0.75,0.9,0.99]) AS q)
+SELECT q, min(n_chars) AS value
+FROM qs JOIN ranked ON rn >= CAST(ceil(q * n) AS BIGINT)
+GROUP BY q
+"""
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -1384,6 +1442,8 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "token_budget_bins": q_token_budget_bins,
     "train_val_split": q_train_val_split,
+    "doc_repetition": q_doc_repetition,
+    "doc_len_deciles": q_doc_len_deciles,
     "token_counts": q_token_counts,
     "lang_counts": q_lang_counts,
     "doc_fingerprints": q_doc_fingerprints,
@@ -1443,6 +1503,8 @@ ORACLE = {
     "doc_stats": SQL_DOC_STATS,
     "token_budget_bins": SQL_TOKEN_BUDGET_BINS,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
+    "doc_repetition": SQL_DOC_REPETITION,
+    "doc_len_deciles": SQL_DOC_LEN_DECILES,
     "token_counts": SQL_TOKEN_COUNTS,
     "lang_counts": SQL_LANG_COUNTS,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,

@@ -221,3 +221,45 @@ def grouped_agg(
         return out
 
     return two_phase_agg(ds, partial, combine, combine_partitions)
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+) -> pd.DataFrame:
+    """EXACT distributed quantiles by value histogram.
+
+    Quantile rule (the one the SQL oracle replays): q-quantile = the
+    value at ascending rank ``ceil(q * n)`` — i.e. the smallest value v
+    with at least ``ceil(q*n)`` rows ≤ v.
+
+    Scale shape: a two-phase grouped count by value — the shuffle moves
+    O(#distinct values) rows, NOT O(#rows) — then the (value, count)
+    histogram (small by assumption) is cumsum'd on the driver. ASSUMES
+    bounded cardinality (ints, codes, lengths); for a continuous column
+    bin first (e.g. round) or the histogram itself becomes the data.
+    Contrast with a sort-based quantile (full all-to-all over every
+    row) or a t-digest (approximate): for discrete columns this is both
+    exact and the cheapest exchange.
+    """
+    import math
+
+    import numpy as np
+
+    hist = (
+        grouped_agg(ds, [col], {"n": (col, "count")})
+        .to_pandas()
+        .sort_values(col)
+        .reset_index(drop=True)
+    )
+    cum = hist["n"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(dtype="float64"),
+                             "value": pd.Series(dtype="int64")})
+    idxs = [int(np.searchsorted(cum, math.ceil(q * n), side="left")) for q in qs]
+    return pd.DataFrame({
+        "q": np.asarray(qs, dtype=np.float64),
+        "value": hist[col].iloc[idxs].to_numpy(),
+    })

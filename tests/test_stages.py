@@ -222,3 +222,42 @@ def test_prefix_sum_matches_pandas():
     assert (packed["bin"].to_numpy() == np.floor(excl / 1000.0).astype("int64")).all()
     # bins are contiguous in k order and non-decreasing
     assert (np.diff(packed["bin"].to_numpy()) >= 0).all()
+
+
+def test_repetition_frame_edges():
+    import pandas as pd
+
+    from bioontologykg_ray.functions.textstats import repetition_frame
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["solo", "a a a a", "x y x y x", "  spaced   out  "],
+    })
+    out = repetition_frame(df).set_index("doc_id")
+    assert out.loc[1].tolist() == [1, 1, 1, 0, 0.0]
+    # "a a a a": 4 tokens, 1 distinct, top token 4, top bigram "a a" ×3
+    assert out.loc[2].tolist() == [4, 1, 4, 3, 0.75]
+    # "x y x y x": top bigram "x y" ×2
+    r3 = out.loc[3]
+    assert (r3["n_tokens"], r3["n_distinct"], r3["top_token_n"],
+            r3["top_bigram_n"]) == (5, 2, 3, 2)
+    assert out.loc[4]["n_tokens"] == 2  # whitespace runs collapse
+
+
+def test_exact_quantiles_matches_rank_rule():
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from bioontologykg_ray.stages.agg import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 50, 997).astype("int64")  # heavy ties
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(7)
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99, 1.0]
+    out = exact_quantiles(ds, "v", qs).set_index("q")
+    srt = np.sort(vals)
+    for q in qs:
+        assert out.loc[q, "value"] == srt[math.ceil(q * len(vals)) - 1]
