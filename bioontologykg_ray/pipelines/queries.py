@@ -852,18 +852,20 @@ WHERE rank <= 10
 
 def q_ann_topk_lsh(sf_dir: str):
     """Approximate variant: sign-random-projection bucketing (scale
-    path; recall < 1 → rows-only check)."""
+    path; recall < 1 → rows-only check). Operating point (6 bits × 32
+    tables) chosen from the measured recall/scan-fraction sweep in
+    BASELINE.md — best recall per candidate scanned on this corpus."""
     ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    return ANN.ann_topk_lsh(ds, ANN_QUERY_IDS, k=10, nbits=4, dim=64)
+    return ANN.ann_topk_lsh(ds, ANN_QUERY_IDS, k=10, nbits=6, n_tables=32, dim=64)
 
 
 def q_ann_topk_ivf(sf_dir: str):
-    """IVF coarse-quantizer approximate top-k (16 cells, probe 4):
-    centroids train on a bounded sample, assignment + partial top-k in
-    one vectorized pass (recall<1 by design → rows-only check; recall
-    vs brute force recorded in BASELINE.md)."""
+    """IVF coarse-quantizer approximate top-k (64 cells, probe 16 —
+    from the measured recall/scan sweep in BASELINE.md): centroids
+    train on a bounded sample, assignment + partial top-k in one
+    vectorized pass (recall<1 by design → rows-only check)."""
     ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    return ANN.ann_topk_ivf(ds, ANN_QUERY_IDS, k=10, n_cells=16, nprobe=4)
+    return ANN.ann_topk_ivf(ds, ANN_QUERY_IDS, k=10, n_cells=64, nprobe=16)
 
 
 def q_label_embedding_stats(sf_dir: str):

@@ -229,7 +229,16 @@ def make_transcripts(sf: float, seed: int = 42) -> pa.Table:
             "ts": pa.array(tss, pa.timestamp("us")),
         }
     )
-    return tbl.take(pa.array(perm))
+    # chunked take: one giant take() concatenates its result into single
+    # arrays, overflowing 32-bit string offsets past ~2 GB of text
+    # (hit at sf16, 38.4M rows); per-chunk takes stay chunked
+    CHUNK = 2_000_000
+    if n <= CHUNK:
+        return tbl.take(pa.array(perm))
+    pieces = [
+        tbl.take(pa.array(perm[i:i + CHUNK])) for i in range(0, n, CHUNK)
+    ]
+    return pa.concat_tables(pieces)
 
 
 def make_turn_ctx(tbl: pa.Table, dim: int = schemas.EMBED_DIM) -> pa.Table:
