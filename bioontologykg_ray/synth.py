@@ -224,7 +224,9 @@ def make_transcripts(sf: float, seed: int = 42) -> pa.Table:
             "conv_id": pa.array(conv_ids, pa.string()),
             "turn_idx": pa.array(turn_idxs, pa.int32()),
             "role": pa.array(roles, pa.string()),
-            "text": pa.array(texts, pa.string()),
+            # large_string: 64-bit offsets — at sf16+ the corpus text
+            # passes 2 GB and 32-bit-offset take()/concat overflows
+            "text": pa.array(texts, pa.large_string()),
             "tool": pa.array(tools, pa.string()),
             "ts": pa.array(tss, pa.timestamp("us")),
         }
