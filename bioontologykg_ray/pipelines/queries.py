@@ -16,6 +16,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pqt
 import ray
 import ray.data as rd
 
@@ -40,6 +41,27 @@ def _p(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_SCHEMA_CACHE: dict = {}
+
+
+def _rp(sf_dir: str, name: str, columns=None, **kw):
+    """``read_parquet`` with the file schema re-applied METADATA-FREE.
+
+    The test tables carry pandas schema metadata that makes
+    ``hash(pyarrow.Schema)`` raise (nested dict), defeating Ray Data's
+    schema-dedup fast path: every multi-block concat/sort-reduce falls
+    into a full schema unify and logs a warning per task. Re-applying
+    the (column-pruned) schema without metadata at the scan is free and
+    keeps every downstream block's schema hashable."""
+    path = _p(sf_dir, name)
+    full = _SCHEMA_CACHE.get(path)
+    if full is None:
+        full = pqt.read_schema(path).remove_metadata()
+        _SCHEMA_CACHE[path] = full
+    sch = pa.schema([full.field(c) for c in columns]) if columns else full
+    return rd.read_parquet(path, columns=columns, schema=sch, **kw)
+
+
 def sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
     return float(m.group(1)) if m else 0.01
@@ -53,8 +75,7 @@ def sf_of(sf_dir: str) -> float:
 def q_pricing_summary(sf_dir: str):
     """A1/A2-style grouped aggregate (TPC-H Q1 shape). Column pruning at
     the read (S1); grouped sums via Ray's distributed aggregate."""
-    ds = rd.read_parquet(
-        _p(sf_dir, "lineitem"),
+    ds = _rp(sf_dir, "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"],
     )
@@ -101,8 +122,8 @@ def q_revenue_by_segment(sf_dir: str):
     n_orders = _pq.read_metadata(_p(sf_dir, "orders")).num_rows
     if n_orders > 5_000_000:
         return q_revenue_by_segment_hashjoin(sf_dir)
-    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]).to_pandas()
-    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
     # orderkey → segment composed driver-side (both dimension-sized), so
     # the fact table makes ONE fused pass: Arrow index_in lookup +
     # revenue + partial group-sum in a single STATELESS task stage.
@@ -116,8 +137,7 @@ def q_revenue_by_segment(sf_dir: str):
             "segs": pa.array(orders["o_custkey"].map(c2s), pa.string()),
         }
     )
-    li = rd.read_parquet(
-        _p(sf_dir, "lineitem"),
+    li = _rp(sf_dir, "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
 
@@ -155,7 +175,7 @@ GROUP BY c.c_mktsegment
 
 def q_top10_orders(sf_dir: str):
     """O2 top-N by value with deterministic tie-break."""
-    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    ds = _rp(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
     return out.to_pandas()
 
@@ -169,11 +189,11 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 def q_customers_per_region(sf_dir: str):
     """J8 two-hop bridge join (customer→nation→region), dimensions
     broadcast."""
-    nation = rd.read_parquet(_p(sf_dir, "nation")).to_pandas()
-    region = rd.read_parquet(_p(sf_dir, "region")).to_pandas()
+    nation = _rp(sf_dir, "nation").to_pandas()
+    region = _rp(sf_dir, "region").to_pandas()
     n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
-    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     cust = J.broadcast_lookup(cust, n2r, "c_nationkey", "regionkey")
     cust = J.broadcast_lookup(cust, r2name, "regionkey", "r_name")
     return grouped_agg(cust, ["r_name"], {"n_customers": ("regionkey", "count")}).to_pandas()
@@ -188,7 +208,7 @@ GROUP BY r.r_name
 
 
 def q_orders_per_status(sf_dir: str):
-    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderstatus"])
+    ds = _rp(sf_dir, "orders", columns=["o_orderstatus"])
     return grouped_count(ds, ["o_orderstatus"]).to_pandas()
 
 
@@ -197,7 +217,7 @@ SQL_ORDERS_PER_STATUS = "SELECT o_orderstatus, count(*) AS n FROM orders GROUP B
 
 def q_lineitem_stats(sf_dir: str):
     """A1 global stats; timestamps compared as epoch microseconds."""
-    ds = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_quantity", "l_shipdate"])
+    ds = _rp(sf_dir, "lineitem", columns=["l_quantity", "l_shipdate"])
     agg = grouped_agg(
         ds,
         [],
@@ -229,8 +249,7 @@ FROM lineitem
 def q_early_shipments(sf_dir: str):
     """M13 predicate + S1 filter pushdown at the parquet read."""
     cutoff = pd.Timestamp("1995-06-01")
-    ds = rd.read_parquet(
-        _p(sf_dir, "lineitem"),
+    ds = _rp(sf_dir, "lineitem",
         columns=["l_returnflag", "l_quantity", "l_shipdate"],
         filter=(pc.field("l_shipdate") < pa.scalar(cutoff)),
     )
@@ -251,7 +270,7 @@ GROUP BY l_returnflag
 
 def q_event_type_stats(sf_dir: str):
     """A4 conditional aggregate + distinct-count per group."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id", "value"])
+    ds = _rp(sf_dir, "events", columns=["event_type", "user_id", "value"])
     base = grouped_agg(
         ds, ["event_type"],
         {"n_events": ("value", "count"), "value_sum": ("value", "sum")},
@@ -278,7 +297,7 @@ FROM events GROUP BY event_type
 
 
 def q_top3_event_types(sf_dir: str):
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type"])
+    ds = _rp(sf_dir, "events", columns=["event_type"])
     out = grouped_count(ds, ["event_type"]).to_pandas()
     out = out.sort_values(["n", "event_type"], ascending=[False, True],
                           kind="mergesort").head(3)
@@ -293,7 +312,7 @@ GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3
 
 def q_active_users(sf_dir: str):
     """A6 threshold filter on an aggregated metric (HAVING)."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id"])
+    ds = _rp(sf_dir, "events", columns=["user_id"])
     out = grouped_count(ds, ["user_id"]).to_pandas()
     return out[out["n"] >= 20].reset_index(drop=True)
 
@@ -306,9 +325,9 @@ SELECT user_id, count(*) AS n FROM events GROUP BY user_id HAVING count(*) >= 20
 def q_building_orders(sf_dir: str):
     """J5 semi-join: orders of BUILDING-segment customers (broadcast key
     set, no shuffle)."""
-    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
     keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     sel = J.semi_join(orders, keys, "o_custkey")
     agg = grouped_agg(
         sel, [], {"n": ("o_totalprice", "count"), "total": ("o_totalprice", "sum")}
@@ -325,9 +344,9 @@ FROM orders o WHERE o.o_custkey IN
 
 def q_customers_without_orders(sf_dir: str):
     """J5 anti-join (existence): customers never seen in orders."""
-    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"]).to_pandas()
+    orders = _rp(sf_dir, "orders", columns=["o_custkey"]).to_pandas()
     have = set(orders["o_custkey"])
-    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey"])
+    cust = _rp(sf_dir, "customer", columns=["c_custkey"])
     out = J.anti_join(cust, have, "c_custkey").to_pandas()
     if out.empty:  # empty Ray datasets drop their schema in to_pandas
         out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64")})
@@ -343,7 +362,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 def q_orders_page2(sf_dir: str):
     """O3 deterministic pagination ORDER BY key SKIP/LIMIT
     (`neo4j_citation_relationship_builder.py:86-95`)."""
-    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    ds = _rp(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     page = ds.sort("o_orderkey").limit(200).to_pandas().iloc[100:200]
     return page.reset_index(drop=True)
 
@@ -355,7 +374,7 @@ SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET
 
 def q_distinct_segments(sf_dir: str):
     """A1 distinct values (D7 set-dedup)."""
-    ds = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_mktsegment"])
+    ds = _rp(sf_dir, "customer", columns=["c_mktsegment"])
     vals = sorted(ds.unique("c_mktsegment"))
     return pd.DataFrame({"c_mktsegment": vals})
 
@@ -365,7 +384,7 @@ SQL_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment FROM customer"
 
 def q_signup_or_error_users(sf_dir: str):
     """A7 set-union of two sources + distinct."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id"])
+    ds = _rp(sf_dir, "events", columns=["event_type", "user_id"])
     a = ds.filter(expr="event_type == 'signup'")
     b = ds.filter(expr="event_type == 'error'")
     u = a.union(b).unique("user_id")
@@ -380,7 +399,7 @@ SELECT DISTINCT user_id FROM events WHERE event_type IN ('signup', 'error')
 def q_part_supp_pairs(sf_dir: str):
     """D4/J6 symmetric-pair canonical dedup: distinct (lo, hi) endpoint
     pairs from lineitem's (partkey, suppkey)."""
-    ds = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"])
+    ds = _rp(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
 
     def canon(t: pa.Table) -> pa.Table:
         lo = pc.min_element_wise(t["l_partkey"], t["l_suppkey"])
@@ -404,7 +423,7 @@ FROM lineitem
 
 def q_user_sessions(sf_dir: str):
     """Session windows (gap 1800 s) per user — ordered map_groups."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_id", "ts"])
     return W.session_counts(ds, gap_s=1800).to_pandas()
 
 
@@ -422,7 +441,7 @@ FROM d GROUP BY user_id
 
 def q_hourly_windows(sf_dir: str):
     """Tumbling 1-hour windows per user (map-side bucketing, pre-agg)."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "value"])
     return W.tumbling_window_agg(ds, width_s=3600).to_pandas()
 
 
@@ -435,7 +454,7 @@ FROM events GROUP BY user_id, epoch_us(ts) // 3600000000
 
 def q_first_event_per_user(sf_dir: str):
     """D2 keep-first dedup with explicit ordering."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_id", "ts"])
     out = dedup_first_by_key(ds, ["user_id"], ["ts", "event_id"]).to_pandas()
     out["ts_us"] = out["ts"].astype("datetime64[ns]").astype("int64") // 1000
     return out[["user_id", "event_id", "ts_us"]]
@@ -450,7 +469,7 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
 def q_props_k_stats(sf_dir: str):
     """M8-style typed extraction from a JSON string column + grouped
     stats (regexp on both sides)."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "props"])
+    ds = _rp(sf_dir, "events", columns=["event_type", "props"])
 
     def extract(df: pd.DataFrame) -> pd.DataFrame:
         k = df["props"].str.extract(r'"k": (\d+)', expand=False).astype("int64")
@@ -485,7 +504,7 @@ _ALL_STOPS_SQL = "('der','und','die','the','and','of','el','la','de','le','et','
 def q_doc_stats(sf_dir: str):
     """Per-document token/quality/language stats (vectorized per batch;
     the rule-set is SQL-mirrorable by construction)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
         out = TS.doc_stats_frame(df)
@@ -539,7 +558,7 @@ def q_token_counts(sf_dir: str):
     """Token counting for training-data budgeting: whitespace tokens +
     BPE-ish pre-tokenizer pieces (GPT-2-style regex, RE2-compatible so
     the SQL oracle runs the identical pattern)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
 
     def counts(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -562,7 +581,7 @@ FROM documents
 
 
 def q_lang_counts(sf_dir: str):
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+    ds = _rp(sf_dir, "documents", columns=["text"])
 
     def pred(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"lang_pred": [TS.predict_lang(t) for t in df["text"]]})
@@ -590,7 +609,7 @@ GROUP BY lang_pred
 
 def q_doc_fingerprints(sf_dir: str):
     """M12 truncation + content hash (md5 of the first 100 chars)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -632,7 +651,7 @@ def q_rolling_fingerprints(sf_dir: str):
     oracle unrolls the same polynomial (window × char-position lattice,
     modular power table via recursive CTE) — exact for ASCII text,
     where Python's utf-8 bytes and SQL's ord(codepoint) agree."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -650,7 +669,7 @@ def q_rolling_fingerprints(sf_dir: str):
 # =========================================================================
 
 def _docs_plus_exact_copies(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
 
     def dup(t: pa.Table) -> pa.Table:
         shifted = pc.add(t["doc_id"], 1_000_000)
@@ -665,7 +684,7 @@ def _docs_plus_exact_copies(sf_dir: str) -> rd.Dataset:
 
 
 def _docs_plus_truncated_copies(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
 
     def dup(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
@@ -809,7 +828,7 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
 
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup, label-blocked, τ=0.30."""
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"))
+    ds = _rp(sf_dir, "embeddings")
     return ND.embedding_neardup_pairs(ds, tau=0.30, block_col="label")
 
 
@@ -832,7 +851,7 @@ ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 def q_ann_topk(sf_dir: str):
     """T6 kNN re-expressed: brute-force cosine top-10 per query vector,
     partial top-k per batch against the broadcast query matrix."""
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ANN.ann_topk_bruteforce(ds, ANN_QUERY_IDS, k=10)
 
 
@@ -855,7 +874,7 @@ def q_ann_topk_lsh(sf_dir: str):
     path; recall < 1 → rows-only check). Operating point (6 bits × 32
     tables) chosen from the measured recall/scan-fraction sweep in
     BASELINE.md — best recall per candidate scanned on this corpus."""
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ANN.ann_topk_lsh(ds, ANN_QUERY_IDS, k=10, nbits=6, n_tables=32, dim=64)
 
 
@@ -864,14 +883,14 @@ def q_ann_topk_ivf(sf_dir: str):
     from the measured recall/scan sweep in BASELINE.md): centroids
     train on a bounded sample, assignment + partial top-k in one
     vectorized pass (recall<1 by design → rows-only check)."""
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ANN.ann_topk_ivf(ds, ANN_QUERY_IDS, k=10, n_cells=64, nprobe=16)
 
 
 def q_label_embedding_stats(sf_dir: str):
     """List-column aggregate: per label count + mean of first embedding
     component."""
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["label", "embedding"])
+    ds = _rp(sf_dir, "embeddings", columns=["label", "embedding"])
 
     def first_comp(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -904,7 +923,7 @@ FROM embeddings GROUP BY label
 def q_image_metadata(sf_dir: str):
     """binary payload → actor-pool decode stage → typed metadata (decode
     kernel is the deterministic stub; plumbing is real)."""
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     media = MM.attach_payload(docs)
     return MM.decode_image_metadata(media)
 
@@ -926,7 +945,7 @@ def q_bmp_image_stats(sf_dir: str):
     pixel=(x+y+doc_id)%256) decoded with the pure-numpy BMP decoder;
     stats computed from actual pixels. SQL recomputes them from the
     generation formula over a (x, y) lattice."""
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"])
+    docs = _rp(sf_dir, "documents", columns=["doc_id"])
     return MM.decode_bmp_stats(MM.attach_bmp_payload(docs))
 
 
@@ -951,7 +970,7 @@ def q_wav_audio_stats(sf_dir: str):
     (v[i]=((doc_id+i)*37)%2048-1024, n=doc_id%800+100 samples @8kHz)
     decoded with the pure-numpy RIFF/WAVE parser; duration + RMS from
     actual samples. SQL recomputes them from the generation formula."""
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"])
+    docs = _rp(sf_dir, "documents", columns=["doc_id"])
     return MM.decode_wav_stats(MM.attach_wav_payload(docs))
 
 
@@ -1018,7 +1037,7 @@ FROM lk GROUP BY node_id
 
 def q_frame_sample_counts(sf_dir: str):
     """Video-style frame sampling explode, counted per media id."""
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     frames = MM.sample_frames(MM.attach_payload(docs), stride=4)
     return grouped_count(frames, ["media_id"], out_col="n_frames")
 
@@ -1299,7 +1318,7 @@ def q_token_budget_bins(sf_dir: str):
     O(#blocks); the offsets broadcast back)."""
     from bioontologykg_ray.stages.scan import pack_by_budget
 
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
     return pack_by_budget(ds, "doc_id", "n_chars", budget=16384.0)
 
 
@@ -1321,7 +1340,7 @@ def q_train_val_split(sf_dir: str):
     from bioontologykg_ray.functions.hashing import md5_low64
     from bioontologykg_ray.stages.agg import grouped_agg
 
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         b = np.fromiter(
@@ -1362,7 +1381,7 @@ def q_doc_repetition(sf_dir: str):
     ratio) — pure per-batch explode+groupby, no shuffle."""
     from bioontologykg_ray.functions.textstats import repetition_frame
 
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(repetition_frame, batch_format="pandas")
 
 
@@ -1398,7 +1417,7 @@ def q_doc_len_deciles(sf_dir: str):
     ceil(q*n), replayed by the SQL oracle."""
     from bioontologykg_ray.stages.agg import exact_quantiles
 
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["n_chars"])
+    ds = _rp(sf_dir, "documents", columns=["n_chars"])
     return exact_quantiles(ds, "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
 
 
@@ -1561,10 +1580,10 @@ def q_word_prefix_doc_counts(sf_dir: str):
     """J3/J4 — broadcast symbol-table containment join: the distinct
     first tokens of part names (the 'alias trie' small side) matched
     against document text; counts docs containing each word."""
-    parts = rd.read_parquet(_p(sf_dir, "part"), columns=["p_name"]).to_pandas()
+    parts = _rp(sf_dir, "part", columns=["p_name"]).to_pandas()
     words = sorted({p.split(" ")[0] for p in parts["p_name"]})
     words_ref = ray.put(words)
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+    docs = _rp(sf_dir, "documents", columns=["text"])
 
     class Count:
         def __init__(self, ref):
@@ -1599,7 +1618,7 @@ GROUP BY w.word
 
 def q_docs_containing_spark(sf_dir: str):
     """J4 — containment scan (`toLower(title) CONTAINS q` analogue)."""
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     out = docs.map_batches(
         lambda df: df.loc[df["text"].str.contains("spark", regex=False), ["doc_id"]],
         batch_format="pandas",
@@ -1637,7 +1656,7 @@ def q_event_enrichment(sf_dir: str):
     """M9 URL constructor + M10 CASE code→label enrichment."""
     from bioontologykg_ray.functions.text import case_lookup, concat_url
 
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type"])
+    ds = _rp(sf_dir, "events", columns=["event_id", "event_type"])
     labels = {
         "purchase": "Purchase Completed",
         "signup": "Account Created",
@@ -1671,15 +1690,14 @@ def q_revenue_by_segment_hashjoin(sf_dir: str):
     """The same J1 stitch as revenue_by_segment but via the EXPLICIT
     partitioned hash join (both-sides-large pattern) instead of a
     broadcast — exercises stages/joins.hash_join against the oracle."""
-    li = rd.read_parquet(
-        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    li = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
-    orders = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     orders = orders.map_batches(
         lambda t: t.rename_columns(["l_orderkey", "o_custkey"]), batch_format="pyarrow"
     )
     joined = J.hash_join(li, orders, on="l_orderkey", num_buckets=16)
-    cust = rd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
     c2s = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
     joined = J.broadcast_lookup(joined, c2s, "o_custkey", "segment")
 
@@ -1702,7 +1720,7 @@ def q_doc_embeddings(sf_dir: str):
     model is the deterministic hash embedder (rows-only check)."""
     from bioontologykg_ray.stages.embed import embed_texts_stage
 
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     emb = embed_texts_stage(docs, dim=32, pooling="mean", concurrency=2)
 
     def project(t: pa.Table) -> pa.Table:
@@ -1750,7 +1768,7 @@ def q_event_seq_numbers(sf_dir: str):
     deterministic-pagination / ordered-scan pattern (O3) as a window fn."""
     from bioontologykg_ray.stages.agg import sorted_group_apply
 
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
     def apply(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
@@ -1777,8 +1795,7 @@ def q_events_asof_signup(sf_dir: str):
     user's most recent prior-or-equal signup — the classic as-of
     operator Ray Data lacks, built as one user-key range sort + a
     vectorized block-local pd.merge_asof (stages/windows.asof_join_prior)."""
-    ds = rd.read_parquet(
-        _p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
+    ds = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
     )
     return W.asof_join_prior(ds, "purchase", "signup")
 
@@ -1798,8 +1815,7 @@ def q_signup_errors_1h(sf_dir: str):
     """RANGE JOIN: per signup, the count of that user's error events in
     the following hour — prefix-sum + double asof probe
     (stages/windows.range_count_after), no per-pair work."""
-    ds = rd.read_parquet(
-        _p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
+    ds = _rp(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
     )
     return W.range_count_after(ds, "signup", "error", window_s=3600)
 
