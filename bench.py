@@ -192,6 +192,7 @@ def run_kg_only() -> dict:
         "num_cpus": num_cpus,
         "kg_sf": kg_sf,
         "embed_all": embed_all,
+        "phase_sec": {k: round(v, 2) for k, v in res.get("timings", {}).items()},
     }
     ray.shutdown()
     return out

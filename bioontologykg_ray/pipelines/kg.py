@@ -164,10 +164,15 @@ def run_kg_pipeline(
     O(#entities), not O(#turns).
     """
     import tempfile
+    import time as _time
+
+    timings: dict[str, float] = {}
+    _t0 = _time.perf_counter()
 
     ontology = load_ontology(ontology_path)
     index = build_alias_index(ontology, drop_obsolete=cfg.drop_obsolete)
     index_ref = ray.put(index)
+    timings["index_build"] = _time.perf_counter() - _t0
     # disambiguation pushdown: extraction only embeds turns that mention
     # an alias with >1 candidate (the only consumers of ctx_emb)
     ambiguous_ref = (
@@ -214,10 +219,12 @@ def run_kg_pipeline(
     spill = scratch_dir is not None or (3 * in_bytes) > cfg.spill_fraction * obj_mem
 
     scratch = None
+    _t0 = _time.perf_counter()
     if spill:
         os.makedirs(cfg.scratch_root, exist_ok=True)
         scratch = scratch_dir or tempfile.mkdtemp(prefix="flagged-", dir=cfg.scratch_root)
         flagged.write_parquet(scratch)  # the ONE full pass over the corpus
+        timings["corpus_pass"] = _time.perf_counter() - _t0
 
         import pyarrow.dataset as pads
 
@@ -237,6 +244,7 @@ def run_kg_pipeline(
         )
     else:
         mat = flagged.materialize()  # bounded: ≤ spill_fraction of plasma
+        timings["corpus_pass"] = _time.perf_counter() - _t0
         linked = mat.filter(expr="linked == True").select_columns(_LINKED_COLS)
         dead = mat.filter(expr="linked == False").select_columns(_DEAD_COLS)
         sameas_src = mat.filter(
@@ -251,6 +259,7 @@ def run_kg_pipeline(
     sameas_ont = ray.data.from_arrow(ontology_same_as_pairs(ontology))
     same_as = sameas_text.union(sameas_ont)
 
+    _t0 = _time.perf_counter()
     labels = connected_components(
         same_as, max_iters=cfg.union_find_max_iters, salt=min(cfg.salt_buckets, 4)
     )
@@ -259,6 +268,8 @@ def run_kg_pipeline(
     # is dimension-sized, partitioned co-group join beyond (VERDICT 5 —
     # at web-scale entity counts the driver dict is a bottleneck)
     n_labels = labels.count()
+    timings["same_as_cc"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
     if n_labels <= cfg.broadcast_mapping_max:
         mapping_ref = ray.put(mapping_dict(labels))
         canon = canonicalize_triples(linked, mapping_ref, batch_size=cfg.link_batch_size)
@@ -272,9 +283,13 @@ def run_kg_pipeline(
     # and has two consumers (caller + node building) — lazy it would
     # re-run the rewrite+count lineage per consumer
     edges = count_triples(facts).materialize()
+    timings["canon_dedup"] = _time.perf_counter() - _t0
 
+    _t0 = _time.perf_counter()
     nodes = build_nodes(edges, ontology, cfg)
+    timings["nodes_plan"] = _time.perf_counter() - _t0
     return {
+        "timings": timings,
         "ordered": ordered,
         "linked": linked,
         "dead_letter": dead,
