@@ -408,17 +408,35 @@ class CanonicalRewriter:
         return batch
 
 
+# Per-worker-process rewriter cache (same pattern as linker._TASK_LINKERS):
+# the broadcast mapping deserializes once per worker and amortizes across
+# every batch — stateless tasks run at FULL width (round-1's 4-actor pool
+# capped this stage at 4 concurrent rewrites regardless of cluster size).
+_TASK_REWRITERS: dict[str, CanonicalRewriter] = {}
+
+
+def _rewrite_batch(batch: pd.DataFrame, mapping_ref=None) -> pd.DataFrame:
+    import ray as _ray
+
+    key = (
+        mapping_ref.hex()
+        if isinstance(mapping_ref, _ray.ObjectRef)
+        else str(id(mapping_ref))
+    )
+    rw = _TASK_REWRITERS.get(key)
+    if rw is None:
+        rw = _TASK_REWRITERS[key] = CanonicalRewriter(mapping_ref)
+    return rw(batch)
+
+
 def canonicalize_triples(
-    linked: ray.data.Dataset, mapping_ref, batch_size: int = 8192,
-    concurrency: int = 4,
+    linked: ray.data.Dataset, mapping_ref, batch_size: int | None = 8192,
 ) -> ray.data.Dataset:
     return linked.map_batches(
-        CanonicalRewriter,
-        fn_constructor_kwargs={"mapping_ref": mapping_ref},
+        _rewrite_batch,
+        fn_kwargs={"mapping_ref": mapping_ref},
         batch_format="pandas",
         batch_size=batch_size,
-        # autoscaling pool: min 1 so the stage never starves task stages
-        concurrency=(1, max(1, concurrency)),
     )
 
 

@@ -331,3 +331,63 @@ is_obsolete: true
     dead = res["dead_letter"].to_pandas()
     assert list(dead["subj_surface"]) == ["gone-3"]
     assert list(dead["reason"]) == ["unlinked_subject"]
+
+
+def test_count_edges_packed_matches_string_chain():
+    """The fused int-space edge tail must be bit-identical to the string
+    chain (rewrite → SAME_AS drop → symmetric flip → count) on a corpus
+    exercising alt-id roots, symmetric flips, self-loops, and repeats."""
+    import random
+
+    from bioontologykg_ray.stages.canonicalize import canonicalize_triples
+    from bioontologykg_ray.stages.dedup import (
+        canonicalize_symmetric,
+        count_edges_packed,
+        count_triples,
+    )
+
+    rng = random.Random(7)
+    terms = [f"go-{i:04d}" for i in range(40)]
+    alts = [f"alt-{i:04d}" for i in range(10)]
+    vocab = terms + alts
+    # mapping sends some term_ids to roots that are alt_ids or other terms
+    mapping = {terms[i]: rng.choice(alts + terms[:5]) for i in range(10, 25)}
+    mapping = {k: v for k, v in mapping.items() if k != v}
+    preds = ["IS_A", "PART_OF", "REGULATES", "INTERACTS_WITH", "SAME_AS"]
+    sym = ("INTERACTS_WITH", "SAME_AS")
+    rows = {
+        "subj": [rng.choice(terms) for _ in range(3000)],
+        "pred": [rng.choice(preds) for _ in range(3000)],
+        "obj": [rng.choice(terms) for _ in range(3000)],
+    }
+    ds = rd.from_arrow(pa.table(rows)).repartition(7)
+
+    packed = (
+        count_edges_packed(ds, vocab, preds, mapping, sym)
+        .to_pandas()
+        .sort_values(["src", "predicate", "dst"])
+        .reset_index(drop=True)
+    )
+
+    import ray as _ray
+
+    canon = canonicalize_triples(ds, _ray.put(dict(mapping)))
+    facts = canonicalize_symmetric(canon.filter(expr="pred != 'SAME_AS'"), sym)
+    expected = (
+        count_triples(facts)
+        .to_pandas()
+        .sort_values(["src", "predicate", "dst"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(packed, expected)
+    assert packed["n_mentions"].sum() == sum(p != "SAME_AS" for p in rows["pred"])
+
+
+def test_count_edges_packed_rejects_unknown_ids():
+    from bioontologykg_ray.stages.dedup import count_edges_packed
+
+    ds = rd.from_arrow(
+        pa.table({"subj": ["x-1"], "pred": ["IS_A"], "obj": ["go-0001"]})
+    )
+    with pytest.raises(Exception, match="contract violation"):
+        count_edges_packed(ds, ["go-0001"], ["IS_A"], {}, ()).to_pandas()
