@@ -224,9 +224,26 @@ def run_scaling():
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_KG_ONLY="1")
         if embed_all:
             env["GRAFT_EMBED_ALL"] = "1"
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        # PHYSICALLY confine the whole Ray process tree (raylet, plasma,
+        # workers, Arrow/polars thread pools) to ncpu cores: ray.init
+        # num_cpus only limits task SLOTS — native thread pools and Ray
+        # system processes otherwise spill onto the whole box, flattering
+        # the low-parallelism run and deflating measured efficiency. A
+        # real ncpu-core node confines them; taskset is the honest
+        # emulation (children inherit affinity). GRAFT_NO_TASKSET=1 to
+        # disable.
+        import shutil as _shutil
+
+        ncores = len(os.sched_getaffinity(0))
+        if (
+            _shutil.which("taskset")
+            and not os.environ.get("GRAFT_NO_TASKSET")
+            and ncpu < ncores
+        ):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            cmd, env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
