@@ -1433,6 +1433,85 @@ GROUP BY q
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """GPT-3-style eval-set decontamination: the eval slice (5% of docs
+    by stable hash) contributes its distinct word 4-grams to a broadcast
+    hash set; every remaining corpus doc reports how many of ITS
+    distinct 4-grams hit the set. Eval n-grams are the small side
+    (bounded by benchmark size, never corpus size) → ray.put once,
+    vectorized sorted-membership probe per batch, zero shuffle
+    (stages/curation.py)."""
+    import ray as _ray
+    from bioontologykg_ray.functions.hashing import md5_low64
+    from bioontologykg_ray.stages.curation import (
+        contamination_flags, eval_ngram_hashes,
+    )
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def is_eval(df: pd.DataFrame) -> pd.Series:
+        return pd.Series(
+            [md5_low64(str(i)) % 20 == 0 for i in df["doc_id"]],
+            index=df.index,
+        )
+
+    eval_ds = ds.map_batches(
+        lambda df: df[is_eval(df)], batch_format="pandas")
+    corpus = ds.map_batches(
+        lambda df: df[~is_eval(df)], batch_format="pandas")
+    ev_ref = _ray.put(eval_ngram_hashes(eval_ds, n=4))
+    return contamination_flags(corpus, ev_ref, n=4)
+
+
+SQL_DECONTAMINATE = r"""
+WITH d AS (
+  SELECT doc_id, text,
+         md5_number_lower(CAST(doc_id AS VARCHAR)) % 20 = 0 AS is_eval
+  FROM documents),
+toks AS (SELECT doc_id, is_eval, string_split_regex(trim(text), '\s+') AS l FROM d),
+ng AS (
+  SELECT doc_id, is_eval, array_to_string(l[i:i+3], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(l) - 3)) AS t(i)),
+ev AS (SELECT DISTINCT g FROM ng WHERE is_eval),
+tr AS (SELECT DISTINCT doc_id, g FROM ng WHERE NOT is_eval),
+hits AS (SELECT t.doc_id, count(e.g) AS n_hits FROM tr t JOIN ev e USING (g) GROUP BY 1)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits
+FROM (SELECT doc_id FROM d WHERE NOT is_eval) d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# declining per-source mixture weights for the stratified-sample query
+SAMPLE_RATES = {
+    "src0": 1.0, "src1": 0.8, "src2": 0.6, "src3": 0.5, "src4": 0.4,
+    "src5": 0.3, "src6": 0.2, "src7": 0.15, "src8": 0.1, "src9": 0.05,
+}
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic mixture sampling: per-source keep rates applied via
+    a stable id hash (survivor set is reproducible under resharding /
+    append; no RNG). Pure per-batch filter, zero exchange
+    (stages/curation.py)."""
+    from bioontologykg_ray.stages.curation import stratified_sample
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+    return stratified_sample(ds, SAMPLE_RATES)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, source
+FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 <
+      CASE source
+        WHEN 'src0' THEN 10000 WHEN 'src1' THEN 8000
+        WHEN 'src2' THEN 6000  WHEN 'src3' THEN 5000
+        WHEN 'src4' THEN 4000  WHEN 'src5' THEN 3000
+        WHEN 'src6' THEN 2000  WHEN 'src7' THEN 1500
+        WHEN 'src8' THEN 1000  WHEN 'src9' THEN 500
+        ELSE 0 END
+"""
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -1469,6 +1548,9 @@ QUERIES = {
     "lang_counts": q_lang_counts,
     "doc_fingerprints": q_doc_fingerprints,
     "rolling_fingerprints": q_rolling_fingerprints,
+    # corpus curation
+    "decontaminate": q_decontaminate,
+    "stratified_sample": q_stratified_sample,
     # dedup family
     "exact_dedup": q_exact_dedup,
     "ngram_dup_pairs": q_ngram_dup_pairs,
@@ -1529,6 +1611,8 @@ ORACLE = {
     "token_counts": SQL_TOKEN_COUNTS,
     "lang_counts": SQL_LANG_COUNTS,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+    "decontaminate": SQL_DECONTAMINATE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_dup_pairs": SQL_NGRAM_DUP_PAIRS,
     "ngram_dup_pairs_capped": SQL_NGRAM_DUP_PAIRS_CAPPED,

@@ -1,0 +1,144 @@
+"""Training-corpus curation: eval-set decontamination + deterministic
+stratified sampling.
+
+Reference precedent: the reference curates its input with row
+predicates and existence joins (SURVEY M13/J5 —
+``src/BioOntologyKG/importers/readcube/import_readcube_papers.py:145-167``
+drops non-curated / already-imported records before upsert). These
+stages are the LLM-training-data counterparts of that gatekeeping:
+
+* ``contamination_flags`` — GPT-3-appendix-C-style decontamination:
+  flag corpus documents that share any word n-gram with a benchmark
+  (eval) set, so they can be excluded from training shards.
+* ``stratified_sample`` — deterministic mixture sampling: keep each
+  document with a per-group probability, decided by a stable hash of
+  the document id (NOT a random draw), so the sample is reproducible
+  under any row order, resharding, or incremental append — the same
+  property ``train_val_split`` relies on.
+
+100-TB shape
+------------
+The eval set is the SMALL side by nature (benchmark suites are KBs-MBs
+against a 100-TB corpus): its distinct n-gram hashes are collected once
+(bounded by eval size, never by corpus size), ``ray.put`` once, and
+probed per batch with a vectorized sorted-array membership test — the
+broadcast-small-side pattern, no shuffle touches the corpus. Sampling
+is embarrassingly parallel (pure per-batch filter, zero exchange).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from bioontologykg_ray.functions.hashing import md5_low64
+
+
+def _word_ngram_hashes(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All word n-grams across a batch of texts → (row_idx, md5_low64)
+    pairs, deduplicated WITHIN each row.
+
+    Construction is vectorized: one explode to a flat token array, then
+    n-1 shifted string concatenations build every n-gram in one pass;
+    only the *unique* n-gram strings of the batch are md5-hashed (md5 is
+    kept for DuckDB ``md5_number_lower`` oracle parity; any stable
+    64-bit hash works at scale).
+    """
+    toks = texts.fillna("").str.split()
+    ex = toks.explode().dropna()
+    if len(ex) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.uint64))
+    row = ex.index.to_numpy()          # batch row index per token
+    tok = ex.to_numpy(dtype=object)
+    m = len(tok) - (n - 1)
+    if m <= 0:
+        return (np.empty(0, np.int64), np.empty(0, np.uint64))
+    # n-gram i spans tokens i..i+n-1; valid only when it stays in-row
+    valid = row[: m] == row[n - 1:]
+    gram = tok[:m].copy()
+    for k in range(1, n):
+        gram = np.char.add(np.char.add(gram.astype(str), " "), tok[k: m + k].astype(str))
+    gram = gram[valid]
+    rows = row[:m][valid]
+    # hash unique strings once, then scatter back
+    uniq, inv = np.unique(gram, return_inverse=True)
+    uh = np.fromiter((md5_low64(g) for g in uniq), dtype=np.uint64, count=len(uniq))
+    h = uh[inv]
+    # dedupe (row, hash) pairs so hit counts are per-DISTINCT-n-gram
+    pairs = np.unique(np.stack([rows.astype(np.int64), h.view(np.int64)], axis=1), axis=0)
+    return pairs[:, 0], pairs[:, 1].view(np.uint64)
+
+
+def eval_ngram_hashes(
+    eval_ds: ray.data.Dataset, text_col: str = "text", n: int = 8
+) -> np.ndarray:
+    """Distinct word-n-gram hashes of the eval set, as a SORTED uint64
+    array. Driver memory is bounded by the EVAL set (the small side),
+    never the corpus."""
+    parts = [
+        np.unique(_word_ngram_hashes(b[text_col], n)[1])
+        for b in eval_ds.select_columns([text_col]).iter_batches(
+            batch_format="pandas", batch_size=4096
+        )
+    ]
+    if not parts:
+        return np.empty(0, np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+def contamination_flags(
+    ds: ray.data.Dataset,
+    eval_hashes_ref,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> ray.data.Dataset:
+    """Per-document eval-overlap counts: ``(id_col, n_hits)`` where
+    ``n_hits`` = number of DISTINCT word n-grams of the document that
+    appear in the eval set. ``eval_hashes_ref`` is ``ray.put`` of the
+    sorted array from :func:`eval_ngram_hashes` (shipped once, shared
+    zero-copy by every task). Every input document appears in the
+    output (0 hits for clean or too-short docs)."""
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        ev = ray.get(eval_hashes_ref) if not isinstance(eval_hashes_ref, np.ndarray) else eval_hashes_ref
+        ids = df[id_col].to_numpy()
+        hits = np.zeros(len(df), dtype=np.int64)
+        rows, h = _word_ngram_hashes(df[text_col].reset_index(drop=True), n)
+        if len(h) and len(ev):
+            m = rows[np.isin(h, ev)]          # ev sorted → binary-search path
+            if len(m):
+                np.add.at(hits, m, 1)
+        return pd.DataFrame({id_col: ids, "n_hits": hits})
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    rates: dict[str, float],
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    buckets: int = 10_000,
+) -> ray.data.Dataset:
+    """Deterministic per-group downsampling: a row survives iff
+    ``md5_low64(str(id)) % buckets < rate[group] * buckets``. A pure
+    per-batch filter — no shuffle, no RNG, stable under resharding;
+    rerunning or appending data never resamples survivors."""
+    thresh = {g: int(round(r * buckets)) for g, r in rates.items()}
+    default_t = int(round(default_rate * buckets))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.fromiter(
+            (md5_low64(str(i)) % buckets for i in df[id_col]),
+            dtype=np.int64, count=len(df),
+        )
+        t = df[group_col].map(thresh).fillna(default_t).to_numpy(dtype=np.int64)
+        return df[b < t]
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -1,0 +1,91 @@
+"""Curation stages: eval-set decontamination + stratified sampling."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+import ray.data
+
+from bioontologykg_ray.functions.hashing import md5_low64
+from bioontologykg_ray.stages.curation import (
+    _word_ngram_hashes,
+    contamination_flags,
+    eval_ngram_hashes,
+    stratified_sample,
+)
+
+
+def brute_ngrams(text: str, n: int) -> set[str]:
+    t = text.split()
+    return {" ".join(t[i: i + n]) for i in range(len(t) - n + 1)}
+
+
+def test_word_ngram_hashes_matches_brute():
+    texts = pd.Series([
+        "a b c d e", "a b c", "x", "", "a a a a a a", "p q r s p q r s",
+    ])
+    rows, h = _word_ngram_hashes(texts, 3)
+    got = {}
+    for r, hh in zip(rows, h):
+        got.setdefault(int(r), set()).add(int(hh))
+    for i, t in enumerate(texts):
+        want = {md5_low64(g) for g in brute_ngrams(t, 3)}
+        assert got.get(i, set()) == want, f"row {i}"
+
+
+def test_word_ngram_hashes_empty_and_short():
+    assert _word_ngram_hashes(pd.Series([], dtype=object), 3)[0].size == 0
+    rows, h = _word_ngram_hashes(pd.Series(["one two"]), 3)
+    assert rows.size == 0 and h.size == 0
+
+
+def test_contamination_flags_counts_distinct_hits():
+    eval_docs = ray.data.from_items([
+        {"doc_id": 100, "text": "the quick brown fox jumps"},
+        {"doc_id": 101, "text": "pack my box with jugs"},
+    ])
+    corpus = ray.data.from_items([
+        # shares "the quick brown" and "quick brown fox" and "brown fox jumps"
+        {"doc_id": 1, "text": "so the quick brown fox jumps high"},
+        # repeated shared trigram counts ONCE (distinct)
+        {"doc_id": 2, "text": "pack my box pack my box"},
+        {"doc_id": 3, "text": "nothing in common here at all"},
+        {"doc_id": 4, "text": "tiny"},
+    ])
+    ev = eval_ngram_hashes(eval_docs, n=3)
+    out = (
+        contamination_flags(corpus, ray.put(ev), n=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3, 4]
+    assert out["n_hits"].tolist() == [3, 1, 0, 0]
+
+
+def test_stratified_sample_deterministic_and_stable_under_append():
+    rows = [{"doc_id": i, "source": f"s{i % 2}"} for i in range(400)]
+    rates = {"s0": 0.5, "s1": 0.1}
+    a = stratified_sample(ray.data.from_items(rows), rates).to_pandas()
+    b = stratified_sample(ray.data.from_items(rows), rates).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+    # appending new rows never resamples prior survivors
+    more = rows + [{"doc_id": 1000 + i, "source": "s0"} for i in range(50)]
+    c = stratified_sample(ray.data.from_items(more), rates).to_pandas()
+    assert set(a["doc_id"]) == set(c[c["doc_id"] < 1000]["doc_id"])
+    # survivor rule is exactly the documented hash threshold
+    for _, r in a.iterrows():
+        assert md5_low64(str(r["doc_id"])) % 10000 < rates[r["source"]] * 10000
+    # rough rate sanity: s0 keeps about half, s1 about a tenth
+    n0 = (a["source"] == "s0").sum()
+    n1 = (a["source"] == "s1").sum()
+    assert 60 <= n0 <= 140 and n1 <= 45
+
+
+def test_stratified_sample_default_rate_drops_unknown_groups():
+    ds = ray.data.from_items(
+        [{"doc_id": i, "source": "mystery"} for i in range(50)]
+    )
+    out = stratified_sample(ds, {"known": 1.0}).to_pandas()
+    assert len(out) == 0
