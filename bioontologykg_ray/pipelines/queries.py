@@ -1460,7 +1460,8 @@ def q_decontaminate(sf_dir: str):
     corpus = ds.map_batches(
         lambda df: df[~is_eval(df)], batch_format="pandas")
     ev_ref = _ray.put(eval_ngram_hashes(eval_ds, n=4))
-    return contamination_flags(corpus, ev_ref, n=4)
+    return contamination_flags(corpus, ev_ref, n=4).select_columns(
+        ["doc_id", "n_hits"])
 
 
 SQL_DECONTAMINATE = r"""
@@ -1512,6 +1513,112 @@ WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 <
 """
 
 
+def q_training_shards(sf_dir: str):
+    """End-to-end training-corpus curation pipeline — the composition a
+    real pretraining-data job runs, each stage streaming into the next:
+
+      1. hold out the eval slice (benchmark docs never train);
+      2. mixture-sample the rest by per-source rates (stable hash);
+      3. decontaminate: drop docs sharing any word 4-gram with eval;
+      4. assign train/val/test (stable hash, 90/5/5);
+      5. pack the train split into ~2 KiB-cost contiguous shards via the
+         distributed prefix-sum scan; val/test get bin = -1.
+
+    Steps 1-4 are pure per-batch filters over ONE broadcast hash set —
+    zero shuffle; the only exchange is the pack's range sort of the
+    (already heavily reduced) train split."""
+    import ray as _ray
+    from bioontologykg_ray.functions.hashing import md5_low64
+    from bioontologykg_ray.stages.curation import (
+        contamination_flags, eval_ngram_hashes, stratified_sample,
+    )
+    from bioontologykg_ray.stages.scan import pack_by_budget
+
+    ds = _rp(sf_dir, "documents",
+             columns=["doc_id", "text", "source", "n_chars"])
+
+    def bucket(df: pd.DataFrame, mod: int) -> np.ndarray:
+        return np.fromiter(
+            (md5_low64(str(i)) % mod for i in df["doc_id"]),
+            dtype=np.int64, count=len(df),
+        )
+
+    eval_ds = ds.map_batches(
+        lambda df: df[bucket(df, 20) == 0], batch_format="pandas")
+    corpus = ds.map_batches(
+        lambda df: df[bucket(df, 20) != 0], batch_format="pandas")
+    ev_ref = _ray.put(eval_ngram_hashes(eval_ds, n=4))
+
+    clean = (
+        contamination_flags(
+            stratified_sample(corpus, SAMPLE_RATES), ev_ref, n=4)
+        .map_batches(lambda df: df[df["n_hits"] == 0], batch_format="pandas")
+    )
+
+    def assign_split(df: pd.DataFrame) -> pd.DataFrame:
+        b = bucket(df, 100)
+        split = np.where(b < 90, "train", np.where(b < 95, "val", "test"))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "source": df["source"].astype(str).to_numpy(),
+            "n_chars": df["n_chars"].to_numpy(),
+            "split": pd.Series(split, dtype="string"),
+        })
+
+    assigned = clean.map_batches(assign_split, batch_format="pandas")
+    train = assigned.map_batches(
+        lambda df: df[df["split"] == "train"], batch_format="pandas")
+    rest = assigned.map_batches(
+        lambda df: df[df["split"] != "train"].assign(
+            bin=np.int64(-1)), batch_format="pandas")
+    packed = pack_by_budget(train, "doc_id", "n_chars", budget=2048.0)
+    out = packed.union(rest)
+    return out.select_columns(["doc_id", "source", "split", "bin"])
+
+
+SQL_TRAINING_SHARDS = r"""
+WITH d AS (
+  SELECT doc_id, text, source, n_chars,
+         md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+samp AS (
+  SELECT * FROM d
+  WHERE h % 20 <> 0
+    AND h % 10000 < CASE source
+        WHEN 'src0' THEN 10000 WHEN 'src1' THEN 8000
+        WHEN 'src2' THEN 6000  WHEN 'src3' THEN 5000
+        WHEN 'src4' THEN 4000  WHEN 'src5' THEN 3000
+        WHEN 'src6' THEN 2000  WHEN 'src7' THEN 1500
+        WHEN 'src8' THEN 1000  WHEN 'src9' THEN 500
+        ELSE 0 END),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM d
+  WHERE h % 20 = 0),
+ev AS (
+  SELECT DISTINCT array_to_string(l[i:i+3], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(l) - 3)) AS t(i)),
+stoks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM samp),
+sng AS (
+  SELECT DISTINCT doc_id, array_to_string(l[i:i+3], ' ') AS g
+  FROM stoks, UNNEST(generate_series(1, len(l) - 3)) AS t(i)),
+dirty AS (SELECT DISTINCT doc_id FROM sng JOIN ev USING (g)),
+clean AS (
+  SELECT s.doc_id, s.source, s.n_chars,
+         CASE WHEN s.h % 100 < 90 THEN 'train'
+              WHEN s.h % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM samp s ANTI JOIN dirty USING (doc_id))
+SELECT doc_id, source, split,
+       CASE WHEN split = 'train'
+            THEN CAST(FLOOR((SUM(n_chars) FILTER (split = 'train')
+                             OVER (ORDER BY doc_id) - n_chars) / 2048.0)
+                      AS BIGINT)
+            ELSE -1 END AS bin
+FROM clean
+"""
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -1551,6 +1658,7 @@ QUERIES = {
     # corpus curation
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
+    "training_shards": q_training_shards,
     # dedup family
     "exact_dedup": q_exact_dedup,
     "ngram_dup_pairs": q_ngram_dup_pairs,
@@ -1613,6 +1721,7 @@ ORACLE = {
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "decontaminate": SQL_DECONTAMINATE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "training_shards": SQL_TRAINING_SHARDS,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_dup_pairs": SQL_NGRAM_DUP_PAIRS,
     "ngram_dup_pairs_capped": SQL_NGRAM_DUP_PAIRS_CAPPED,

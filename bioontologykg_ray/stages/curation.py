@@ -92,27 +92,26 @@ def contamination_flags(
     ds: ray.data.Dataset,
     eval_hashes_ref,
     *,
-    id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
 ) -> ray.data.Dataset:
-    """Per-document eval-overlap counts: ``(id_col, n_hits)`` where
-    ``n_hits`` = number of DISTINCT word n-grams of the document that
-    appear in the eval set. ``eval_hashes_ref`` is ``ray.put`` of the
-    sorted array from :func:`eval_ngram_hashes` (shipped once, shared
-    zero-copy by every task). Every input document appears in the
-    output (0 hits for clean or too-short docs)."""
+    """Appends an ``n_hits`` column: the number of DISTINCT word
+    n-grams of the document that appear in the eval set (all input
+    columns are preserved, so the stage composes into filter chains).
+    ``eval_hashes_ref`` is ``ray.put`` of the sorted array from
+    :func:`eval_ngram_hashes` (shipped once, shared zero-copy by every
+    task). Every input document appears in the output (0 hits for clean
+    or too-short docs)."""
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
         ev = ray.get(eval_hashes_ref) if not isinstance(eval_hashes_ref, np.ndarray) else eval_hashes_ref
-        ids = df[id_col].to_numpy()
         hits = np.zeros(len(df), dtype=np.int64)
         rows, h = _word_ngram_hashes(df[text_col].reset_index(drop=True), n)
         if len(h) and len(ev):
             m = rows[np.isin(h, ev)]          # ev sorted → binary-search path
             if len(m):
                 np.add.at(hits, m, 1)
-        return pd.DataFrame({id_col: ids, "n_hits": hits})
+        return df.assign(n_hits=hits)
 
     return ds.map_batches(flag, batch_format="pandas")
 
