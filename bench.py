@@ -33,6 +33,7 @@ HEADLINE_QUERIES = [
     "ngram_dup_pairs",
     "ann_topk",
     "doc_stats",
+    "training_shards",
 ]
 
 
