@@ -147,3 +147,38 @@ def test_cogroup_attach_matches_pandas_merge(seed):
         .sort_values(["a", "b"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_word_ngram_kernel_matches_duckdb(seed):
+    """The decontamination n-gram kernel (vectorized shifted-concat +
+    md5_low64) against DuckDB's array_to_string n-gram construction +
+    md5_number_lower — the exact contract SQL_DECONTAMINATE relies on."""
+    from bioontologykg_ray.stages.curation import _word_ngram_hashes
+
+    rng = np.random.RandomState(seed)
+    vocab = ["aa", "b", "ccc", "dd", "e", "longword", "x1"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(0, 12)))
+        for _ in range(60)
+    ]
+    for n in (2, 3, 5):
+        rows, h = _word_ngram_hashes(pd.Series(texts), n)
+        got = sorted(zip(rows.tolist(), (int(x) for x in h)))
+        sql = duckdb.sql(
+            f"""
+            WITH d AS (
+              SELECT i, string_split_regex(trim(t), '\\s+') AS l
+              FROM (SELECT unnest(range(len($texts))) AS i,
+                           unnest($texts) AS t)
+              WHERE trim(t) <> ''),
+            ng AS (
+              SELECT DISTINCT i,
+                md5_number_lower(array_to_string(l[j:j+{n-1}], ' ')) AS h
+              FROM d, UNNEST(generate_series(1, len(l) - {n-1})) AS t(j))
+            SELECT i, h FROM ng ORDER BY i, h
+            """,
+            params={"texts": texts},
+        ).fetchall()
+        want = [(int(a), int(b)) for a, b in sql]
+        assert got == want, f"n={n}"
