@@ -1561,19 +1561,26 @@ def q_training_shards(sf_dir: str):
         return pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(),
             "source": df["source"].astype(str).to_numpy(),
-            "n_chars": df["n_chars"].to_numpy(),
+            # masked cost: val/test rows pack with zero cost, so ONE
+            # prefix-sum pass over all rows yields exactly the
+            # train-only bin sequence (zero-cost rows never advance the
+            # running total) — no split into two branches, no union, no
+            # double execution of the curation chain
+            "train_cost": df["n_chars"].to_numpy() * (split == "train"),
             "split": pd.Series(split, dtype="string"),
         })
 
     assigned = clean.map_batches(assign_split, batch_format="pandas")
-    train = assigned.map_batches(
-        lambda df: df[df["split"] == "train"], batch_format="pandas")
-    rest = assigned.map_batches(
-        lambda df: df[df["split"] != "train"].assign(
-            bin=np.int64(-1)), batch_format="pandas")
-    packed = pack_by_budget(train, "doc_id", "n_chars", budget=2048.0)
-    out = packed.union(rest)
-    return out.select_columns(["doc_id", "source", "split", "bin"])
+    packed = pack_by_budget(assigned, "doc_id", "train_cost", budget=2048.0)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "source", "split"]].copy()
+        out["bin"] = np.where(
+            df["split"] == "train", df["bin"], np.int64(-1)
+        ).astype(np.int64)
+        return out
+
+    return packed.map_batches(finish, batch_format="pandas")
 
 
 SQL_TRAINING_SHARDS = r"""
