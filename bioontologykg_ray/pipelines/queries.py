@@ -1626,6 +1626,64 @@ FROM clean
 """
 
 
+def q_fuzzy_dedup_survivors(sf_dir: str):
+    """End-to-end fuzzy deduplication — the canonical 100-TB
+    training-data op: MinHash-LSH candidate pairs (exact-Jaccard
+    verified, tau 0.6, same operator as `minhash_dup_pairs`) →
+    connected components over the duplicate graph (the SAME union-find
+    stage the KG flagship uses) → keep the min-id doc per cluster.
+    Output: every surviving doc_id of the seeded near-dup corpus. The
+    duplicate graph is O(#duplicates), never O(#corpus); the survivor
+    filter is a partitioned left_anti hash join (no corpus-derived
+    driver state)."""
+    from bioontologykg_ray.stages.canonicalize import connected_components
+    from bioontologykg_ray.stages.joins import hash_join
+
+    docs = _docs_plus_truncated_copies(sf_dir)
+    pairs = ND.minhash_lsh_pairs(docs, n=3, tau=0.6)
+
+    def as_edges(df: pd.DataFrame) -> pd.DataFrame:
+        # zero-pad so the union-find's lexicographic min-root equals
+        # the numeric min doc_id the SQL oracle computes
+        return pd.DataFrame({
+            "a": df["doc_a"].astype(str).str.zfill(12),
+            "b": df["doc_b"].astype(str).str.zfill(12)})
+
+    labels = connected_components(
+        pairs.map_batches(as_edges, batch_format="pandas"))
+    removed = labels.filter(expr="node != root").map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["node"].astype(np.int64),
+                                 "root": df["root"].astype(np.int64)}),
+        batch_format="pandas",
+    )
+    survivors = hash_join(
+        docs.select_columns(["doc_id"]), removed, on="doc_id",
+        how="left_anti",
+    )
+    return survivors.select_columns(["doc_id"])
+
+
+SQL_FUZZY_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE corpus AS ({_CORPUS_TRUNC_SQL}),
+{_SHINGLE_SQL},
+pairs AS (
+  SELECT doc_a AS a, doc_b AS b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6),
+und AS (SELECT DISTINCT a, b FROM
+        (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs)),
+nodes_g AS (SELECT DISTINCT node FROM
+            (SELECT a AS node FROM und UNION ALL SELECT b FROM und)),
+reach(node, r) AS (
+  SELECT node, node FROM nodes_g
+  UNION
+  SELECT reach.node, und.b FROM reach JOIN und ON reach.r = und.a),
+labels AS (SELECT node, min(r) AS root FROM reach GROUP BY node),
+removed AS (SELECT node AS doc_id FROM labels WHERE node != root)
+SELECT c.doc_id FROM corpus c ANTI JOIN removed USING (doc_id)
+"""
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -1666,6 +1724,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "training_shards": q_training_shards,
+    "fuzzy_dedup_survivors": q_fuzzy_dedup_survivors,
     # dedup family
     "exact_dedup": q_exact_dedup,
     "ngram_dup_pairs": q_ngram_dup_pairs,
@@ -1729,6 +1788,7 @@ ORACLE = {
     "decontaminate": SQL_DECONTAMINATE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "training_shards": SQL_TRAINING_SHARDS,
+    "fuzzy_dedup_survivors": SQL_FUZZY_DEDUP_SURVIVORS,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_dup_pairs": SQL_NGRAM_DUP_PAIRS,
     "ngram_dup_pairs_capped": SQL_NGRAM_DUP_PAIRS_CAPPED,
