@@ -89,3 +89,29 @@ def test_stratified_sample_default_rate_drops_unknown_groups():
     )
     out = stratified_sample(ds, {"known": 1.0}).to_pandas()
     assert len(out) == 0
+
+
+def test_fuzzy_dedup_min_root_crosses_digit_lengths(tmp_path):
+    """Survivor = NUMERIC min of each duplicate cluster even when ids
+    span digit lengths (the zero-pad contract: lexicographic min over
+    padded strings == numeric min; unpadded '100' < '99' would keep the
+    wrong doc)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    from bioontologykg_ray.pipelines import queries as Q
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    # cluster across 99/100/101 (identical text → Jaccard 1.0)
+    for i in (99, 100, 101):
+        rows.append({"doc_id": i, "text": base})
+    # singleton
+    rows.append({"doc_id": 7, "text": "one two three four five six seven"})
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+
+    out = Q.q_fuzzy_dedup_survivors(str(tmp_path)).to_pandas()
+    got = set(out["doc_id"])
+    # corpus = originals + 80%-truncated copies (+2e6); the truncated
+    # copies of the identical texts join the same cluster
+    assert 99 in got and 100 not in got and 101 not in got
+    assert 7 in got  # singleton untouched
