@@ -1684,6 +1684,57 @@ SELECT c.doc_id FROM corpus c ANTI JOIN removed USING (doc_id)
 """
 
 
+def q_tool_usage_stats(sf_dir: str):
+    """Transcript analytics over the FULL input_hint schema (role, tool,
+    ts all exercised): per (role, tool) turn counts, distinct
+    conversations, char volume and time span. Two vectorized two-phase
+    combines (stats + distinct-conv count) merged on the driver — both
+    sides are group-cardinality-sized (#roles × #tools)."""
+    from bioontologykg_ray.stages.agg import grouped_agg, grouped_distinct
+
+    p = _synth_paths(sf_dir)
+    ds = rd.read_parquet(
+        p["transcripts"], columns=["conv_id", "role", "tool", "text", "ts"]
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "role": df["role"], "tool": df["tool"],
+            "n_chars": df["text"].str.len().astype("int64"),
+            "ts": df["ts"],
+        })
+
+    stats = grouped_agg(
+        ds.map_batches(prep, batch_format="pandas"), ["role", "tool"],
+        {"n_turns": ("n_chars", "count"),
+         "total_chars": ("n_chars", "sum"),
+         "ts_min": ("ts", "min"), "ts_max": ("ts", "max")},
+    ).to_pandas()
+    convs = grouped_agg(
+        grouped_distinct(
+            ds.select_columns(["role", "tool", "conv_id"]),
+            ["role", "tool", "conv_id"],
+        ),
+        ["role", "tool"], {"n_convs": ("conv_id", "count")},
+    ).to_pandas()
+    out = stats.merge(convs, on=["role", "tool"])
+    out["total_chars"] = out["total_chars"].astype("int64")
+    return out[["role", "tool", "n_turns", "n_convs",
+                "total_chars", "ts_min", "ts_max"]]
+
+
+def _sql_tool_usage(sf: float) -> str:
+    tdir = os.path.join(SY.synth_dir(sf), "transcripts", "*.parquet")
+    return f"""
+SELECT role, tool, count(*) AS n_turns,
+       count(DISTINCT conv_id) AS n_convs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       min(ts) AS ts_min, max(ts) AS ts_max
+FROM read_parquet('{tdir}')
+GROUP BY role, tool
+"""
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -1752,6 +1803,7 @@ QUERIES = {
     "kg_nodes": q_kg_nodes,
     "kg_dead_letter": q_kg_dead_letter,
     "kg_component_labels": q_kg_component_labels,
+    "tool_usage_stats": q_tool_usage_stats,
 }
 
 # The driver runs the oracle at sf=0.01; the KG oracles therefore point
@@ -1810,6 +1862,7 @@ ORACLE = {
     "kg_nodes": _sql_kg_nodes(0.01),
     "kg_dead_letter": _sql_kg_dead(0.01),
     "kg_component_labels": _sql_kg_labels(0.01),
+    "tool_usage_stats": _sql_tool_usage(0.01),
     # rows-only (non-SQL-expressible): ann_topk_lsh (recall<1 by
     # design), doc_embeddings (model output)
 }
@@ -1826,6 +1879,7 @@ def oracle_for_sf(sf: float) -> dict:
     d["kg_nodes"] = _sql_kg_nodes(sf)
     d["kg_dead_letter"] = _sql_kg_dead(sf)
     d["kg_component_labels"] = _sql_kg_labels(sf)
+    d["tool_usage_stats"] = _sql_tool_usage(sf)
     d["kg_linked_unambiguous"] = _sql_kg_linked_unambiguous(sf)
     d["import_nodes"] = _sql_import_nodes(sf)
     return d
