@@ -1735,6 +1735,88 @@ GROUP BY role, tool
 """
 
 
+def q_segment_dedup(sf_dir: str):
+    """C4-style corpus-LEVEL segment dedup with document reassembly: a
+    10-word segment survives iff it is the first occurrence (min
+    (doc_id, seg_idx)) of its text anywhere in the corpus; each doc is
+    rebuilt from its surviving segments. Two keyed exchanges over the
+    exploded segment stream (stages/curation.segment_dedup) — nothing
+    corpus-derived touches the driver."""
+    from bioontologykg_ray.stages.curation import segment_dedup
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = segment_dedup(ds, window=10).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SEGMENT_DEDUP = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, CAST((i - 1) // 10 AS BIGINT) AS seg_idx,
+         string_agg(word, ' ' ORDER BY i) AS seg, count(*) AS n_words
+  FROM w GROUP BY doc_id, CAST((i - 1) // 10 AS BIGINT)
+),
+ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM segs WHERE n_words = 10
+)
+SELECT doc_id,
+       count(*) AS n_segments,
+       count(*) FILTER (WHERE rn = 1) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx),
+                '') AS clean_text
+FROM ranked GROUP BY doc_id
+"""
+
+
+def q_entity_degrees(sf_dir: str):
+    """Graph analytics over the flagship output: per-node degree and
+    mention-weighted degree from the canonical edge table (hub-entity
+    profile — the first question a KG user asks of a built graph).
+    Endpoint explode + two-phase grouped agg; self-loops count once."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    edges = rd.from_pandas(_kg_results(sf_dir)["edges"])
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        src, dst = t["src"].combine_chunks(), t["dst"].combine_chunks()
+        nm = t["n_mentions"].combine_chunks().cast(pa.int64())
+        keep = pc.not_equal(dst, src)  # self-loop: one incidence
+        return pa.table(
+            {
+                "node": pa.concat_arrays([src, dst.filter(keep)]),
+                "n_mentions": pa.concat_arrays([nm, nm.filter(keep)]),
+            }
+        )
+
+    eps = edges.map_batches(endpoints, batch_format="pyarrow")
+    out = grouped_agg(
+        eps, ["node"],
+        {"n_edges": ("n_mentions", "count"),
+         "total_mentions": ("n_mentions", "sum")},
+    ).to_pandas()
+    out["total_mentions"] = out["total_mentions"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _sql_entity_degrees(sf: float) -> str:
+    return _sql_kg_prefix(sf) + """
+SELECT node, count(*) AS n_edges,
+       CAST(sum(n_mentions) AS BIGINT) AS total_mentions
+FROM (
+  SELECT src AS node, n_mentions FROM edges
+  UNION ALL
+  SELECT dst AS node, n_mentions FROM edges WHERE dst <> src
+) GROUP BY node
+"""
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -1776,6 +1858,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "training_shards": q_training_shards,
     "fuzzy_dedup_survivors": q_fuzzy_dedup_survivors,
+    "segment_dedup": q_segment_dedup,
     # dedup family
     "exact_dedup": q_exact_dedup,
     "ngram_dup_pairs": q_ngram_dup_pairs,
@@ -1803,6 +1886,7 @@ QUERIES = {
     "kg_nodes": q_kg_nodes,
     "kg_dead_letter": q_kg_dead_letter,
     "kg_component_labels": q_kg_component_labels,
+    "entity_degrees": q_entity_degrees,
     "tool_usage_stats": q_tool_usage_stats,
 }
 
@@ -1841,6 +1925,7 @@ ORACLE = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "training_shards": SQL_TRAINING_SHARDS,
     "fuzzy_dedup_survivors": SQL_FUZZY_DEDUP_SURVIVORS,
+    "segment_dedup": SQL_SEGMENT_DEDUP,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_dup_pairs": SQL_NGRAM_DUP_PAIRS,
     "ngram_dup_pairs_capped": SQL_NGRAM_DUP_PAIRS_CAPPED,
@@ -1862,6 +1947,7 @@ ORACLE = {
     "kg_nodes": _sql_kg_nodes(0.01),
     "kg_dead_letter": _sql_kg_dead(0.01),
     "kg_component_labels": _sql_kg_labels(0.01),
+    "entity_degrees": _sql_entity_degrees(0.01),
     "tool_usage_stats": _sql_tool_usage(0.01),
     # rows-only (non-SQL-expressible): ann_topk_lsh (recall<1 by
     # design), doc_embeddings (model output)
@@ -1879,6 +1965,7 @@ def oracle_for_sf(sf: float) -> dict:
     d["kg_nodes"] = _sql_kg_nodes(sf)
     d["kg_dead_letter"] = _sql_kg_dead(sf)
     d["kg_component_labels"] = _sql_kg_labels(sf)
+    d["entity_degrees"] = _sql_entity_degrees(sf)
     d["tool_usage_stats"] = _sql_tool_usage(sf)
     d["kg_linked_unambiguous"] = _sql_kg_linked_unambiguous(sf)
     d["import_nodes"] = _sql_import_nodes(sf)

@@ -141,3 +141,108 @@ def stratified_sample(
         return df[b < t]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# C4-style segment-level corpus dedup
+# --------------------------------------------------------------------------
+
+def segment_explode(
+    ds: ray.data.Dataset,
+    *,
+    window: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Split each document into consecutive NON-overlapping ``window``-
+    word segments (the C4 paper dedups at the three-sentence level; on
+    unstructured text the fixed word window is the deterministic
+    analogue). Trailing partial windows are dropped. Output rows:
+    (id_col, seg_idx, seg). Pure per-batch map — no exchange."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        # split on the single-space delimiter (NOT whitespace runs) so
+        # the SQL oracle's string_split(text, ' ') sees identical tokens
+        words = df[text_col].fillna("").str.split(" ")
+        n_segs = (words.str.len() // window).to_numpy()
+        reps = np.repeat(np.arange(len(df)), n_segs)
+        seg_idx = (
+            np.concatenate([np.arange(n) for n in n_segs])
+            if len(df) else np.empty(0, np.int64)
+        )
+        wl = words.to_numpy(dtype=object)
+        segs = [
+            " ".join(wl[r][i * window:(i + 1) * window])
+            for r, i in zip(reps, seg_idx)
+        ]
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy()[reps],
+                "seg_idx": seg_idx.astype(np.int64),
+                "seg": pd.Series(segs, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pandas")
+
+
+def segment_dedup(
+    ds: ray.data.Dataset,
+    *,
+    window: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Corpus-LEVEL segment dedup with document reassembly (C4 §2.2
+    "deduplicate ... discarding all but one of any three-sentence span
+    occurring more than once"): a segment survives iff it is the
+    lexicographically first occurrence (min (doc_id, seg_idx)) of its
+    text across the WHOLE corpus; every document is then rebuilt from
+    its surviving segments in order.
+
+    Output: one row per document that has >= 1 full segment —
+    (id_col, n_segments, n_kept, clean_text). ``clean_text`` is ''
+    when every segment lost.
+
+    100-TB shape: two keyed exchanges over the exploded segment stream
+    (by segment for winner marking, by doc for reassembly) — both via
+    ``sorted_group_apply(hash_sort=True)`` range-sorts over a uint64
+    key hash; nothing corpus-derived touches the driver.
+    """
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    exploded = segment_explode(
+        ds, window=window, id_col=id_col, text_col=text_col
+    )
+
+    def mark_winners(df: pd.DataFrame) -> pd.DataFrame:
+        # receives complete seg groups; first occurrence after the
+        # (seg, doc, idx) sort is the global keeper for that segment
+        df = df.sort_values(["seg", id_col, "seg_idx"])
+        return df.assign(kept=~df.duplicated("seg"))
+
+    marked = sorted_group_apply(exploded, "seg", mark_winners, hash_sort=True)
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype=df[id_col].dtype if id_col in df else "int64"),
+                    "n_segments": pd.Series(dtype="int64"),
+                    "n_kept": pd.Series(dtype="int64"),
+                    "clean_text": pd.Series(dtype="object"),
+                }
+            )
+        df = df.sort_values([id_col, "seg_idx"])
+        g = df.groupby(id_col)
+        out = pd.DataFrame(
+            {
+                "n_segments": g.size().astype("int64"),
+                "n_kept": g["kept"].sum().astype("int64"),
+            }
+        )
+        txt = df[df["kept"]].groupby(id_col)["seg"].agg(" ".join)
+        out["clean_text"] = out.index.map(txt).fillna("")
+        return out.reset_index()
+
+    return sorted_group_apply(marked, id_col, assemble, hash_sort=True)

@@ -115,3 +115,84 @@ def test_fuzzy_dedup_min_root_crosses_digit_lengths(tmp_path):
     # copies of the identical texts join the same cluster
     assert 99 in got and 100 not in got and 101 not in got
     assert 7 in got  # singleton untouched
+
+
+def test_segment_dedup_semantics():
+    """Corpus-level keep-first: a 10-word segment shared across docs
+    survives only at its min (doc_id, seg_idx); within-doc repeats keep
+    only the first; docs losing everything still appear with ''."""
+    import ray.data as rd
+
+    from bioontologykg_ray.stages.curation import segment_dedup
+
+    w10 = " ".join(f"w{i}" for i in range(10))       # shared segment
+    u10 = " ".join(f"u{i}" for i in range(10))       # unique to doc 1
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": w10 + " " + u10 + " " + w10},  # w10 twice
+            {"doc_id": 2, "text": w10},                          # all dup
+            {"doc_id": 3, "text": "short text"},                 # no full seg
+        ]
+    )
+    out = (
+        segment_dedup(ds, window=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [1, 2]  # doc 3 has no full segment
+    d1 = out.iloc[0]
+    assert d1["n_segments"] == 3 and d1["n_kept"] == 2
+    assert d1["clean_text"] == w10 + " " + u10  # second w10 dropped
+    d2 = out.iloc[1]
+    assert d2["n_segments"] == 1 and d2["n_kept"] == 0
+    assert d2["clean_text"] == ""
+
+
+def test_entity_degrees_self_loop_counts_once():
+    import pandas as pd
+
+    import ray.data as rd
+
+    from bioontologykg_ray.pipelines.queries import q_entity_degrees  # noqa: F401
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    # exercise the endpoint-explode kernel directly via a tiny frame
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = pa.table(
+        {
+            "src": ["a", "b", "c"],
+            "dst": ["b", "b", "a"],
+            "n_mentions": [3, 5, 2],
+        }
+    )
+    src, dst = t["src"].combine_chunks(), t["dst"].combine_chunks()
+    nm = t["n_mentions"].combine_chunks().cast(pa.int64())
+    keep = pc.not_equal(dst, src)
+    eps = pa.table(
+        {
+            "node": pa.concat_arrays([src, dst.filter(keep)]),
+            "n_mentions": pa.concat_arrays([nm, nm.filter(keep)]),
+        }
+    )
+    out = (
+        grouped_agg(
+            rd.from_arrow(eps), ["node"],
+            {"n_edges": ("n_mentions", "count"),
+             "total_mentions": ("n_mentions", "sum")},
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    # b: src once (b->b self-loop counted ONCE) + dst of a->b = 2 edges
+    exp = pd.DataFrame(
+        {
+            "node": ["a", "b", "c"],
+            "n_edges": [2, 2, 1],
+            "total_mentions": [5, 8, 2],
+        }
+    )
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
