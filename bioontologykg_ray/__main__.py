@@ -32,6 +32,10 @@ def main(argv=None):
                     help="ontology parquet OR a raw .obo file")
     rk.add_argument("--out", required=True)
     rk.add_argument("--partitions", type=int, default=None)
+    rk.add_argument("--partition-by", choices=["round_robin", "file"],
+                    default="round_robin",
+                    help="'file' keys partitions by input file name: "
+                         "appending shards + rerunning = incremental update")
     rk.add_argument("--num-cpus", type=int, default=None)
     rk.add_argument("--link-concurrency", type=int, default=8)
 
@@ -69,7 +73,7 @@ def main(argv=None):
             cfg = PipelineConfig(link_concurrency=args.link_concurrency)
             res = run_partitioned(
                 args.transcripts, args.ontology, args.out, cfg,
-                n_parts=args.partitions,
+                n_parts=args.partitions, partition_by=args.partition_by,
             )
             print(json.dumps({
                 "edges": res["edges"].count(),

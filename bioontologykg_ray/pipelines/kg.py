@@ -438,26 +438,54 @@ def build_nodes(edges: ray.data.Dataset, ontology: pa.Table, cfg: PipelineConfig
 # with lineage + metrics; kill-and-resume yields identical outputs).
 # ---------------------------------------------------------------------------
 
+def _file_key(path: str) -> str:
+    """Stable partition key for one input file: content-independent,
+    order-independent — appending files never re-keys existing ones."""
+    import hashlib
+
+    return hashlib.sha1(os.path.basename(path).encode()).hexdigest()[:12]
+
+
 def run_partitioned(
     transcripts_dir: str,
     ontology_path: str,
     out_dir: str,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     n_parts: int | None = None,
+    partition_by: str = "round_robin",
 ):
     """Phase 1 per input-shard partition (embarrassingly parallel,
     resumable): order+extract+link → linked/dead parquet + manifest.
     Phase 2 global (entity-level, small): union-find → canonical rewrite
     → dedup → nodes/edges. Rerun skips finished phase-1 partitions.
+
+    ``partition_by="file"`` keys each partition by a stable digest of
+    its input file name (one file per partition) instead of the
+    round-robin index. Under that keying, APPENDING transcript shards
+    and rerunning is an incremental update: existing partitions keep
+    their digests, pass the lineage check and are skipped; only the new
+    files run phase 1. Phase 2 (entity-level, ≪ corpus by contract)
+    always recomputes globally — union-find roots and edge counts can
+    change with any new shard, so there is no per-partition shortcut
+    with identical semantics (reference MERGE-on-key upsert, SURVEY
+    §2.2 K1/K2: re-MERGE over the union is the idempotent form).
     """
     files = sorted(glob.glob(os.path.join(transcripts_dir, "*.parquet")))
     if not files:
         raise FileNotFoundError(transcripts_dir)
-    n_parts = n_parts or len(files)
-    groups: list[list[str]] = [[] for _ in range(n_parts)]
-    for i, f in enumerate(files):
-        groups[i % n_parts].append(f)
-    groups = [g for g in groups if g]
+    pids: list[int | str]
+    if partition_by == "file":
+        groups = [[f] for f in files]
+        pids = [_file_key(f) for f in files]
+    elif partition_by == "round_robin":
+        n_parts = n_parts or len(files)
+        rr: list[list[str]] = [[] for _ in range(n_parts)]
+        for i, f in enumerate(files):
+            rr[i % n_parts].append(f)
+        groups = [g for g in rr if g]
+        pids = list(range(len(groups)))
+    else:
+        raise ValueError(f"partition_by must be 'round_robin' or 'file': {partition_by!r}")
 
     ontology = load_ontology(ontology_path)
     index = build_alias_index(ontology, drop_obsolete=cfg.drop_obsolete)
@@ -471,31 +499,33 @@ def run_partitioned(
     # must not silently reuse manifests built from another grouping,
     # which would drop or duplicate input shards in phase 2
     todo = []
-    for pid in range(len(groups)):
+    for pid, grp in zip(pids, groups):
         man = mf.load_manifest(phase1, pid)
         if man is None:
             todo.append(pid)
             continue
         lin = man.get("lineage", {})
-        if lin.get("inputs") != groups[pid] or lin.get("ontology") != ontology_path:
+        if lin.get("inputs") != grp or lin.get("ontology") != ontology_path:
             todo.append(pid)  # stale grouping → recompute (atomic overwrite)
-    # stale manifests BEYOND this grouping (e.g. previous n_parts was
-    # larger) would leak their outputs into the phase-2 glob — refuse
+    # stale manifests OUTSIDE this run's partition set (a previous run
+    # with larger n_parts, a different keying mode, or a since-REMOVED
+    # input file) would leak their outputs into the phase-2 glob — refuse
+    expected = {os.path.basename(mf.partition_dir(phase1, p)) for p in pids}
     extra = [
         d for d in glob.glob(os.path.join(phase1, "part-*"))
-        if not d.endswith(".tmp")
-        and int(d.rsplit("-", 1)[1]) >= len(groups)
+        if not d.endswith(".tmp") and os.path.basename(d) not in expected
     ]
     if extra:
         raise RuntimeError(
-            f"resume grouping mismatch: {len(extra)} partition dirs beyond "
-            f"n_parts={len(groups)} (e.g. {extra[0]}); delete {phase1} or "
-            "rerun with the original --partitions value"
+            f"resume grouping mismatch: {len(extra)} partition dirs not in "
+            f"this run's partition set (e.g. {extra[0]}); delete {phase1} "
+            "or rerun with the original --partitions / --partition-by"
         )
 
+    group_of = dict(zip(pids, groups))
     for pid in todo:
         ds = ray.data.read_parquet(
-            groups[pid], override_num_blocks=_read_blocks(groups[pid])
+            group_of[pid], override_num_blocks=_read_blocks(group_of[pid])
         )
         # sort commutes off the triple path (see run_kg_pipeline)
         raw = extract_triples(ds, dim=cfg.embedding_dim,
@@ -522,7 +552,7 @@ def run_partitioned(
             phase1,
             pid,
             write,
-            lineage={"inputs": groups[pid], "ontology": ontology_path},
+            lineage={"inputs": group_of[pid], "ontology": ontology_path},
             metrics=lambda: {
                 "rows_linked": counts.get("linked", -1),
                 "rows_dead": counts.get("dead", -1),

@@ -17,19 +17,22 @@ import os
 import shutil
 
 
-def partition_dir(root: str, pid: int) -> str:
-    return os.path.join(root, f"part-{pid:05d}")
+def partition_dir(root: str, pid: int | str) -> str:
+    # int pids (round-robin grouping) are zero-padded for stable sort;
+    # string pids (file-keyed incremental mode) are used verbatim
+    name = f"part-{pid:05d}" if isinstance(pid, int) else f"part-{pid}"
+    return os.path.join(root, name)
 
 
-def manifest_path(root: str, pid: int) -> str:
+def manifest_path(root: str, pid: int | str) -> str:
     return os.path.join(partition_dir(root, pid), "manifest.json")
 
 
-def is_done(root: str, pid: int) -> bool:
+def is_done(root: str, pid: int | str) -> bool:
     return os.path.exists(manifest_path(root, pid))
 
 
-def load_manifest(root: str, pid: int) -> dict | None:
+def load_manifest(root: str, pid: int | str) -> dict | None:
     p = manifest_path(root, pid)
     if not os.path.exists(p):
         return None
@@ -37,7 +40,7 @@ def load_manifest(root: str, pid: int) -> dict | None:
         return json.load(f)
 
 
-def write_partition(root: str, pid: int, write_fn, lineage: dict, metrics: dict) -> dict:
+def write_partition(root: str, pid: int | str, write_fn, lineage: dict, metrics: dict) -> dict:
     """Atomically produce partition ``pid``: ``write_fn(tmp_dir)`` writes
     the data files; the manifest lands last, so its presence == the
     partition is complete. Safe against mid-write kills."""

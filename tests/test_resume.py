@@ -83,3 +83,62 @@ def test_atomic_partition_write(tmp_path):
     assert m["metrics"]["rows"] == 1
     with open(mf.manifest_path(root, 0)) as f:
         assert json.load(f)["lineage"]["inputs"] == ["x"]
+
+
+def test_file_keyed_incremental_append(tmp_path):
+    """partition_by='file': appending a shard and rerunning recomputes
+    ONLY the new file's partition (existing manifests untouched), and
+    the final graph equals a from-scratch run over the full input."""
+    d = synth.ensure_synth(0.001)
+    src_files = sorted(glob.glob(os.path.join(d, "transcripts", "*.parquet")))
+    assert len(src_files) >= 2
+    ont = os.path.join(d, "ontology_terms.parquet")
+
+    tdir = str(tmp_path / "transcripts")
+    os.makedirs(tdir)
+    for f in src_files[:-1]:
+        shutil.copy(f, tdir)
+
+    out = str(tmp_path / "out")
+    run_partitioned(tdir, ont, out, CFG, partition_by="file")
+    phase1 = os.path.join(out, "phase1")
+    before = {
+        p: os.path.getmtime(os.path.join(p, "manifest.json"))
+        for p in glob.glob(os.path.join(phase1, "part-*"))
+    }
+    assert len(before) == len(src_files) - 1
+
+    # append the last shard and rerun — incremental update
+    shutil.copy(src_files[-1], tdir)
+    run_partitioned(tdir, ont, out, CFG, partition_by="file")
+    after = {
+        p: os.path.getmtime(os.path.join(p, "manifest.json"))
+        for p in glob.glob(os.path.join(phase1, "part-*"))
+    }
+    assert len(after) == len(src_files)
+    for p, t in before.items():  # old partitions were skipped, not rerun
+        assert after[p] == t
+
+    # equivalence with a from-scratch run over the full input
+    out_full = str(tmp_path / "out_full")
+    run_partitioned(tdir, ont, out_full, CFG, partition_by="file")
+    pd.testing.assert_frame_equal(_graph_edges(out), _graph_edges(out_full))
+
+
+def test_file_keyed_refuses_removed_input(tmp_path):
+    """A partition dir whose input file has since been REMOVED must not
+    silently leak into phase 2 — the run refuses."""
+    d = synth.ensure_synth(0.001)
+    src_files = sorted(glob.glob(os.path.join(d, "transcripts", "*.parquet")))
+    ont = os.path.join(d, "ontology_terms.parquet")
+
+    tdir = str(tmp_path / "transcripts")
+    os.makedirs(tdir)
+    for f in src_files[:2]:
+        shutil.copy(f, tdir)
+    out = str(tmp_path / "out")
+    run_partitioned(tdir, ont, out, CFG, partition_by="file")
+
+    os.remove(os.path.join(tdir, os.path.basename(src_files[0])))
+    with pytest.raises(RuntimeError, match="grouping mismatch"):
+        run_partitioned(tdir, ont, out, CFG, partition_by="file")
