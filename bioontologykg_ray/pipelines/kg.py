@@ -146,16 +146,6 @@ def ontology_same_as_pairs(ontology: pa.Table) -> pa.Table:
 
 _LINKED_COLS = ["subj", "pred", "obj", "conv_id", "turn_idx"]
 _DEAD_COLS = ["subj_surface", "obj_surface", "pred", "reason", "conv_id", "turn_idx"]
-# linker output schema as spilled to scratch (minus the route partition
-# key) — used to type empty reads when a route partition has no rows
-_SCRATCH_SCHEMA = pa.schema(
-    [
-        ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
-        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
-        ("subj_surface", pa.string()), ("obj_surface", pa.string()),
-        ("linked", pa.bool_()), ("reason", pa.string()),
-    ]
-)
 
 
 def run_kg_pipeline(
@@ -245,52 +235,32 @@ def run_kg_pipeline(
     if spill:
         os.makedirs(cfg.scratch_root, exist_ok=True)
         scratch = scratch_dir or tempfile.mkdtemp(prefix="flagged-", dir=cfg.scratch_root)
-
-        # hive-partition the spill by consumer route: the dead-letter
-        # and same-as re-reads then prune at the DIRECTORY level (the
-        # same-as slice is a tiny fraction of the corpus — without the
-        # partition its re-read decodes every row's subj/obj to match a
-        # pred predicate parquet row-group stats cannot prune)
-        def _route(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as _pc
-
-            return t.append_column(
-                "route",
-                _pc.if_else(
-                    t["linked"],
-                    _pc.if_else(
-                        _pc.equal(t["pred"], "SAME_AS"), "sameas", "fact"
-                    ),
-                    "dead",
-                ),
-            )
-
-        flagged.map_batches(_route, batch_format="pyarrow").write_parquet(
-            scratch, partition_cols=["route"]
-        )  # the ONE full pass over the corpus
+        flagged.write_parquet(scratch)  # the ONE full pass over the corpus
         timings["corpus_pass"] = _time.perf_counter() - _t0
 
-        def _route_read(routes: list[str], columns: list[str]):
-            # a LIST of paths is treated as files by the parquet
-            # datasource, so expand each route directory to its files
-            files = _expand_parquet(
-                [os.path.join(scratch, f"route={r}") for r in routes]
-            )
-            if not files:
-                schema = _SCRATCH_SCHEMA
-                return ray.data.from_arrow(
-                    pa.table({c: pa.array([], schema.field(c).type) for c in columns})
-                )
-            return ray.data.read_parquet(
-                files, columns=columns, override_num_blocks=_read_blocks(files),
-            )
+        import pyarrow.dataset as pads
 
-        linked = _route_read(["fact", "sameas"], _LINKED_COLS)
-        dead = _route_read(["dead"], _DEAD_COLS)
-        sameas_src = _route_read(["sameas"], ["subj", "obj"])
+        n_blocks = _read_blocks(scratch)
+        linked = ray.data.read_parquet(
+            scratch, columns=_LINKED_COLS, filter=pads.field("linked") == True,  # noqa: E712
+            override_num_blocks=n_blocks,
+        )
+        dead = ray.data.read_parquet(
+            scratch, columns=_DEAD_COLS, filter=pads.field("linked") == False,  # noqa: E712
+            override_num_blocks=n_blocks,
+        )
+        sameas_src = ray.data.read_parquet(
+            scratch, columns=["subj", "obj"],
+            filter=(pads.field("linked") == True) & (pads.field("pred") == "SAME_AS"),  # noqa: E712
+            override_num_blocks=n_blocks,
+        )
         # edge counting only touches the triple ids — a 3-column pruned
         # scan, not the 5-column provenance read `linked` exposes
-        linked_spo = _route_read(["fact", "sameas"], ["subj", "pred", "obj"])
+        linked_spo = ray.data.read_parquet(
+            scratch, columns=["subj", "pred", "obj"],
+            filter=pads.field("linked") == True,  # noqa: E712
+            override_num_blocks=n_blocks,
+        )
     else:
         mat = flagged.materialize()  # bounded: ≤ spill_fraction of plasma
         timings["corpus_pass"] = _time.perf_counter() - _t0
