@@ -1775,6 +1775,42 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def q_hll_user_registers(sf_dir: str):
+    """HyperLogLog distinct-count sketch over events.user_id: the full
+    (bucket, rho) register table — integer-exact, so the SQL oracle
+    replays the whole sketch kernel bit-for-bit (the float estimate is
+    a driver-side O(2^p) reduction of these registers; its accuracy is
+    pytest-checked against the exact distinct count). Per-batch
+    partials ship ≤ 2^p rows regardless of batch size; the combine is
+    an associative elementwise max — the mergeable-sketch alternative
+    to an all-to-all exact distinct at 100 TB."""
+    from bioontologykg_ray.stages.sketch import hll_registers
+
+    ds = _rp(sf_dir, "events", columns=["user_id"])
+    return (
+        hll_registers(ds, "user_id", p=12)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+
+
+SQL_HLL_USER_REGISTERS = r"""
+WITH h AS (
+  SELECT md5_number_lower(CAST(user_id AS VARCHAR)) AS hv FROM events
+),
+parts AS (
+  SELECT CAST(hv >> 52 AS BIGINT) AS bucket,
+         hv & ((CAST(1 AS UBIGINT) << 52) - 1) AS w
+  FROM h
+)
+SELECT bucket,
+       max(CASE WHEN w = 0 THEN 53
+                ELSE 53 - length(bin(w)) END) AS rho
+FROM parts GROUP BY bucket
+"""
+
+
 def q_entity_degrees(sf_dir: str):
     """Graph analytics over the flagship output: per-node degree and
     mention-weighted degree from the canonical edge table (hub-entity
@@ -1859,6 +1895,7 @@ QUERIES = {
     "training_shards": q_training_shards,
     "fuzzy_dedup_survivors": q_fuzzy_dedup_survivors,
     "segment_dedup": q_segment_dedup,
+    "hll_user_registers": q_hll_user_registers,
     # dedup family
     "exact_dedup": q_exact_dedup,
     "ngram_dup_pairs": q_ngram_dup_pairs,
@@ -1926,6 +1963,7 @@ ORACLE = {
     "training_shards": SQL_TRAINING_SHARDS,
     "fuzzy_dedup_survivors": SQL_FUZZY_DEDUP_SURVIVORS,
     "segment_dedup": SQL_SEGMENT_DEDUP,
+    "hll_user_registers": SQL_HLL_USER_REGISTERS,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_dup_pairs": SQL_NGRAM_DUP_PAIRS,
     "ngram_dup_pairs_capped": SQL_NGRAM_DUP_PAIRS_CAPPED,

@@ -1,0 +1,90 @@
+"""Mergeable distinct-count sketch (HyperLogLog) as a Ray Data
+two-phase combine.
+
+The reference counts distinct keys with exact Cypher aggregation over
+an indexed store (SURVEY A1 — e.g. distinct gene/term ids during
+import QA). At 100 TB an exact global distinct is a full shuffle of
+every key; the mergeable-sketch form ships ONE bounded register array
+per batch instead: per-batch partials emit (bucket, rho) maxima —
+at most 2^p rows per batch regardless of batch size — and the global
+combine is an elementwise max, associative and order-independent, so
+Ray can tree-combine partials in any order. Flajolet et al. 2007
+(HyperLogLog) with the standard small-range (linear counting) and
+large-range corrections.
+
+Determinism / oracle contract: the hash is ``md5_low64`` (bit-equal to
+DuckDB's ``md5_number_lower``), bucket = h >> (64-p), and
+rho = number of leading zeros of the remaining (64-p)-bit suffix + 1 —
+all integer arithmetic, so the full register table is replayable
+exactly in SQL (``rho = CASE WHEN w = 0 THEN 64-p+1 ELSE 64-p+1 -
+length(bin(w)) END``). The float estimate is derived driver-side from
+the integer registers in O(2^p).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from bioontologykg_ray.functions.hashing import md5_low64
+from bioontologykg_ray.stages.agg import grouped_agg
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (float log2 is inexact past
+    2^53 — six masked binary-search steps stay exact)."""
+    w = w.copy()
+    out = np.zeros(w.shape, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = w >= (np.uint64(1) << np.uint64(shift))
+        out[m] += shift
+        w[m] >>= np.uint64(shift)
+    out[w > 0] += 1
+    return out
+
+
+def hll_partial(values: pd.Series, p: int = 12) -> pd.DataFrame:
+    """(bucket, rho) maxima for one batch — ≤ 2^p rows."""
+    h = np.fromiter(
+        (md5_low64(str(v)) for v in values), dtype=np.uint64, count=len(values)
+    )
+    width = 64 - p
+    bucket = (h >> np.uint64(width)).astype(np.int64)
+    w = h & np.uint64((1 << width) - 1)
+    rho = (width + 1 - _bit_length_u64(w)).astype(np.int64)  # w=0 → width+1
+    df = pd.DataFrame({"bucket": bucket, "rho": rho})
+    return df.groupby("bucket", as_index=False)["rho"].max()
+
+
+def hll_registers(
+    ds: ray.data.Dataset, col: str, p: int = 12
+) -> ray.data.Dataset:
+    """Global HLL register table for a column: one (bucket, rho) row per
+    non-empty bucket. The shuffle moves ≤ 2^p rows per batch."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return hll_partial(df[col], p=p)
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["bucket"],
+        {"rho": ("rho", "max")},
+    )
+
+
+def hll_estimate(registers: pd.DataFrame, p: int = 12) -> float:
+    """Distinct-count estimate from a (bucket, rho) register table,
+    with the standard HLL range corrections."""
+    m = 1 << p
+    reg = np.zeros(m, dtype=np.int64)
+    reg[registers["bucket"].to_numpy()] = registers["rho"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int(np.sum(reg == 0))
+        if zeros:
+            return m * np.log(m / zeros)  # linear counting
+    if est > (1 << 32) / 30.0:
+        return -(1 << 32) * np.log(1.0 - est / (1 << 32))
+    return float(est)

@@ -261,3 +261,44 @@ def test_exact_quantiles_matches_rank_rule():
     srt = np.sort(vals)
     for q in qs:
         assert out.loc[q, "value"] == srt[math.ceil(q * len(vals)) - 1]
+
+
+def test_hll_estimate_accuracy():
+    """HLL estimate within ~3*1.04/sqrt(m) of the exact distinct count
+    across cardinality regimes (linear-counting and raw ranges)."""
+    import numpy as np
+    import pandas as pd
+
+    from bioontologykg_ray.stages.sketch import hll_estimate, hll_partial
+
+    m = 1 << 12
+    rse = 1.04 / np.sqrt(m)  # ~1.6%
+    for n in (100, 3_000, 50_000):
+        vals = pd.Series([f"user-{i}" for i in range(n)])
+        regs = hll_partial(vals, p=12)
+        est = hll_estimate(regs, p=12)
+        assert abs(est - n) / n < 3 * rse + 0.01, (n, est)
+
+
+def test_hll_registers_merge_equals_single_pass(ray_session):
+    """Distributed register table (many batches, tree combine) equals
+    the single-pass partial — merge is exact, order-independent."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bioontologykg_ray.stages.sketch import hll_partial, hll_registers
+
+    vals = [f"u{i % 700}" for i in range(5_000)]  # repeats across batches
+    ds = rd.from_pandas(pd.DataFrame({"user_id": vals})).repartition(8)
+    dist = (
+        hll_registers(ds, "user_id", p=10)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    single = (
+        hll_partial(pd.Series(vals), p=10)
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(dist, single)
