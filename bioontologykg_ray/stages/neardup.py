@@ -261,7 +261,11 @@ def minhash_lsh_pairs(
 
     bands = ds.map_batches(band_rows, batch_format="pandas")
     cand = sorted_group_apply(bands, "band", _pairs_apply("band"), _EMPTY_PAIRS)
-    cand = grouped_distinct(cand, ["a", "b"])
+    # NO global candidate dedup here: a pair surfaced by k bands emits k
+    # probe rows, but all copies share the same key in the attach pass
+    # below (key = a, and key = b), so the dedup is GROUP-LOCAL there —
+    # one whole exchange of the candidate stream saved (the fixed
+    # sort+materialize barrier dominates at bench scale)
 
     sets_ds = ds.map_batches(
         lambda t: pa.table(
@@ -310,7 +314,7 @@ def minhash_lsh_pairs(
     def attach_sets(df: pd.DataFrame) -> pd.DataFrame:
         """Complete key groups: ≤1 set row + k probe rows per doc key."""
         sets_r = df.loc[df["is_set"] == 1, ["key", "sh"]]
-        probes_r = df.loc[df["is_set"] == 0, ["key", "pa_", "pb_"]]
+        probes_r = df.loc[df["is_set"] == 0, ["key", "pa_", "pb_"]].drop_duplicates()
         if sets_r.empty or probes_r.empty:
             return empty_sided.copy()
         m = probes_r.merge(sets_r, on="key", how="inner")
