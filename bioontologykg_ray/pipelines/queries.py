@@ -452,6 +452,23 @@ FROM events GROUP BY user_id, epoch_us(ts) // 3600000000
 """
 
 
+def q_sliding_windows(sf_dir: str):
+    """Sliding event-time windows (1 h width, 15 min hop): each event
+    explodes map-side to the 4 windows containing it, pre-aggregated
+    before the keyed combine — the exchange moves per-(user, window)
+    partials, never the exploded rows."""
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return W.sliding_window_agg(ds, width_s=3600, slide_s=900).to_pandas()
+
+
+SQL_SLIDING_WINDOWS = """
+SELECT user_id, epoch_us(ts) // 900000000 - g.i AS "window",
+       count(*) AS n, round(sum(value), 3) AS value_sum
+FROM events, (SELECT unnest(generate_series(0, 3)) AS i) g
+GROUP BY user_id, "window"
+"""
+
+
 def q_first_event_per_user(sf_dir: str):
     """D2 keep-first dedup with explicit ordering."""
     ds = _rp(sf_dir, "events", columns=["user_id", "event_id", "ts"])
@@ -1735,6 +1752,30 @@ GROUP BY role, tool
 """
 
 
+def q_orders_with_lineitems_bloom(sf_dir: str):
+    """J5 existence semi-join between TWO fact tables (neither side
+    broadcastable at scale): a bounded Bloom bitmap of lineitem order
+    keys prefilters orders map-side before the exact partitioned hash
+    join on the survivors (stages/joins.bloom_semi_join)."""
+    from bioontologykg_ray.stages.joins import bloom_semi_join
+
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    li = _rp(sf_dir, "lineitem", columns=["l_orderkey"])
+    out = (
+        bloom_semi_join(orders, "o_orderkey", li, "l_orderkey", m_bits=1 << 20)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    return out[["o_orderkey", "o_totalprice"]]
+
+
+SQL_ORDERS_WITH_LINEITEMS_BLOOM = """
+SELECT o_orderkey, o_totalprice FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
 def q_segment_dedup(sf_dir: str):
     """C4-style corpus-LEVEL segment dedup with document reassembly: a
     10-word segment survives iff it is the first occurrence (min
@@ -1877,6 +1918,7 @@ QUERIES = {
     "part_supp_pairs": q_part_supp_pairs,
     "user_sessions": q_user_sessions,
     "hourly_windows": q_hourly_windows,
+    "sliding_windows": q_sliding_windows,
     "first_event_per_user": q_first_event_per_user,
     "props_k_stats": q_props_k_stats,
     # text analysis
@@ -1896,6 +1938,7 @@ QUERIES = {
     "fuzzy_dedup_survivors": q_fuzzy_dedup_survivors,
     "segment_dedup": q_segment_dedup,
     "hll_user_registers": q_hll_user_registers,
+    "orders_with_lineitems_bloom": q_orders_with_lineitems_bloom,
     # dedup family
     "exact_dedup": q_exact_dedup,
     "ngram_dup_pairs": q_ngram_dup_pairs,
@@ -1948,6 +1991,7 @@ ORACLE = {
     "part_supp_pairs": SQL_PART_SUPP_PAIRS,
     "user_sessions": SQL_USER_SESSIONS,
     "hourly_windows": SQL_HOURLY_WINDOWS,
+    "sliding_windows": SQL_SLIDING_WINDOWS,
     "first_event_per_user": SQL_FIRST_EVENT_PER_USER,
     "props_k_stats": SQL_PROPS_K_STATS,
     "doc_stats": SQL_DOC_STATS,
@@ -1964,6 +2008,7 @@ ORACLE = {
     "fuzzy_dedup_survivors": SQL_FUZZY_DEDUP_SURVIVORS,
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "hll_user_registers": SQL_HLL_USER_REGISTERS,
+    "orders_with_lineitems_bloom": SQL_ORDERS_WITH_LINEITEMS_BLOOM,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_dup_pairs": SQL_NGRAM_DUP_PAIRS,
     "ngram_dup_pairs_capped": SQL_NGRAM_DUP_PAIRS_CAPPED,

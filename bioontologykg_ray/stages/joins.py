@@ -279,3 +279,97 @@ def hash_join(
 
     u = l.union(r)
     return u.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered exact semi-join (filter side too big to broadcast a set)
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """k bit positions per key via double hashing (Kirsch-Mitzenmacher):
+    pos_i = (h1 + i*h2) mod m. Shape (len(keys), k)."""
+    if np.issubdtype(keys.dtype, np.integer):
+        keys = keys.astype(np.int64)
+    h1 = pd.util.hash_array(keys, categorize=False)
+    h2 = pd.util.hash_array(keys, categorize=False, hash_key="bloomsecond516b") | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_bitmap(
+    keys_ds: ray.data.Dataset, key_col: str, m_bits: int = 1 << 23, k: int = 4
+) -> np.ndarray:
+    """Bloom filter of a key column as a uint64 word array (m_bits/64
+    words, ~m_bits/8 bytes regardless of key count). Per-block partials
+    are OR-combined in a fan-in-32 tree of repartition rounds — every
+    task and the driver hold O(m_bits) only, never O(#blocks · m)."""
+    n_words = m_bits // 64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = np.zeros(n_words, dtype=np.uint64)
+        if len(df):
+            pos = _bloom_positions(df[key_col].to_numpy(), m_bits, k).ravel()
+            np.bitwise_or.at(words, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+        return pd.DataFrame({"words": [words.tobytes()]})
+
+    def or_within(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(n_words, dtype=np.uint64)
+        for b in df["words"]:
+            acc |= np.frombuffer(b, dtype=np.uint64)
+        return pd.DataFrame({"words": [acc.tobytes()]})
+
+    parts = keys_ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    # tree OR: each round ORs within blocks then shrinks the block count
+    # 32×; terminates at one block (log_32(#blocks) rounds)
+    while True:
+        parts = parts.map_batches(or_within, batch_format="pandas", batch_size=None)
+        n_blocks = parts.materialize().num_blocks()
+        if n_blocks <= 1:
+            break
+        parts = parts.repartition(max(1, -(-n_blocks // 32)))
+    rows = parts.take_all()  # exactly one m_bits/8-byte row
+    acc = np.zeros(n_words, dtype=np.uint64)
+    for r in rows:
+        acc |= np.frombuffer(r["words"], dtype=np.uint64)
+    return acc
+
+
+def bloom_semi_join(
+    left: ray.data.Dataset,
+    key_col: str,
+    right: ray.data.Dataset,
+    right_key: str,
+    m_bits: int = 1 << 23,
+    k: int = 4,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT distributed semi-join for a filter side too big to
+    broadcast as a key set (the reference's existence joins, J5, at
+    corpus scale). A Bloom bitmap of the right keys — bounded at
+    m_bits/8 bytes however many keys — is broadcast and probed map-side
+    to drop the (typically dominant) non-matching left rows BEFORE any
+    shuffle; the bloom-positive survivors then go through an exact
+    partitioned hash join against the distinct right keys, so false
+    positives cost only residual-join work, never correctness. Classic
+    bloom-pushdown from distributed SQL engines, composed from the
+    repo's broadcast + hash_join primitives."""
+    from bioontologykg_ray.stages.agg import grouped_distinct
+
+    words = bloom_bitmap(right, right_key, m_bits=m_bits, k=k)
+    ref = ray.put(words)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        w = ray.get(ref)
+        pos = _bloom_positions(df[key_col].to_numpy(), m_bits, k)
+        hit = ((w[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)).astype(bool)
+        return df[hit.all(axis=1)]
+
+    survivors = left.map_batches(probe, batch_format="pandas")
+    keys = grouped_distinct(right.select_columns([right_key]), [right_key])
+    if right_key != key_col:
+        keys = keys.map_batches(
+            lambda df: df.rename(columns={right_key: key_col}), batch_format="pandas"
+        )
+    return hash_join(survivors, keys, on=key_col, num_buckets=num_buckets, how="inner")

@@ -42,6 +42,50 @@ def tumbling_window_agg(ds: ray.data.Dataset, width_s: int = 3600) -> ray.data.D
     return two_phase_agg(ds, partial, combine)
 
 
+def sliding_window_agg(
+    ds: ray.data.Dataset, width_s: int = 3600, slide_s: int = 900
+) -> ray.data.Dataset:
+    """Per (user_id, window) count + value sum for SLIDING event-time
+    windows: width ``width_s``, hop ``slide_s`` (width must be a
+    multiple of slide). An event at t belongs to the width/slide
+    consecutive windows ending at or after it — the map side EXPLODES
+    each event to its window indices (batch-local numpy repeat, output
+    ×(width/slide)) and pre-aggregates before the keyed combine, so the
+    exchange moves per-(user, window) partials, never the exploded rows.
+    Window k covers [k*slide, k*slide + width)."""
+    if width_s % slide_s:
+        raise ValueError("width_s must be a multiple of slide_s")
+    k = width_s // slide_s
+
+    from bioontologykg_ray.stages.agg import two_phase_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts_ns = df["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        last = ts_ns // (slide_s * 1_000_000_000)  # newest window holding t
+        win = np.repeat(last, k) - np.tile(np.arange(k, dtype=np.int64), len(last))
+        return (
+            pd.DataFrame(
+                {
+                    "user_id": np.repeat(df["user_id"].to_numpy(), k),
+                    "window": win,
+                    "value": np.repeat(df["value"].to_numpy(), k),
+                }
+            )
+            .groupby(["user_id", "window"], as_index=False)
+            .agg(n=("value", "size"), value_sum=("value", "sum"))
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["user_id", "window"], as_index=False).agg(
+            n=("n", "sum"), value_sum=("value_sum", "sum")
+        )
+        out["value_sum"] = out["value_sum"].round(3)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return two_phase_agg(ds, partial, combine)
+
+
 def session_counts(ds: ray.data.Dataset, gap_s: int = 1800) -> ray.data.Dataset:
     """#sessions per user with a session gap of ``gap_s`` seconds —
     groupby(user).map_groups over the ts-sorted group (lag + threshold),

@@ -302,3 +302,46 @@ def test_hll_registers_merge_equals_single_pass(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(dist, single)
+
+
+def test_bloom_semi_join_exact_under_false_positives(ray_session):
+    """bloom_semi_join equals the broadcast semi-join even with a TINY
+    bitmap (high false-positive rate) — the residual hash join restores
+    exactness; and the bloom prefilter actually drops rows map-side."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from bioontologykg_ray.stages.joins import (
+        bloom_bitmap, bloom_semi_join, semi_join, _bloom_positions,
+    )
+
+    rng_l = np.arange(20_000, dtype=np.int64)          # left keys 0..19999
+    right_keys = np.arange(0, 20_000, 7, dtype=np.int64)  # every 7th
+    left = rd.from_pandas(
+        pd.DataFrame({"key": rng_l, "payload": rng_l * 2})
+    ).repartition(6)
+    right = rd.from_pandas(pd.DataFrame({"rk": right_keys})).repartition(4)
+
+    out = (
+        bloom_semi_join(left, "key", right, "rk", m_bits=1 << 12, k=3)
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    exact = (
+        semi_join(left, set(right_keys.tolist()), "key")
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[["key", "payload"]], exact[["key", "payload"]])
+
+    # prefilter selectivity: with a sanely-sized bitmap the bloom keeps
+    # ~matches + fp, well under the full left side
+    words = bloom_bitmap(right, "rk", m_bits=1 << 18, k=4)
+    pos = _bloom_positions(rng_l, 1 << 18, 4)
+    hit = ((words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)).astype(bool).all(axis=1)
+    assert hit.sum() < 2 * len(right_keys)  # ≈ matches, few fp
+    assert hit[::7].all()                   # no false negatives
