@@ -43,7 +43,6 @@ from bioontologykg_ray.functions import hashing as H
 from bioontologykg_ray.functions.textstats import md5_hex
 from bioontologykg_ray.stages.agg import (
     grouped_count,
-    grouped_distinct,
     sorted_group_apply,
     two_phase_agg,
 )
