@@ -345,3 +345,59 @@ def test_bloom_semi_join_exact_under_false_positives(ray_session):
     hit = ((words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)).astype(bool).all(axis=1)
     assert hit.sum() < 2 * len(right_keys)  # ≈ matches, few fp
     assert hit[::7].all()                   # no false negatives
+
+
+def test_sliding_window_membership(ray_session):
+    """An event belongs to exactly width/slide consecutive windows, and
+    each window's count equals the events inside [k*slide, k*slide+w)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from bioontologykg_ray.stages.windows import sliding_window_agg
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    ts = [base, base + pd.Timedelta(minutes=14), base + pd.Timedelta(minutes=61)]
+    df = pd.DataFrame({"user_id": [1, 1, 1], "ts": ts, "value": [1.0, 2.0, 4.0]})
+    out = (
+        sliding_window_agg(rd.from_pandas(df), width_s=3600, slide_s=900)
+        .to_pandas()
+        .sort_values("window")
+        .reset_index(drop=True)
+    )
+    # every event appears in exactly 4 windows
+    assert out["n"].sum() == 3 * 4
+    k0 = int(base.value // (900 * 1_000_000_000))  # slide slot of events 0+1
+    w = dict(zip(out["window"], out["value_sum"]))
+    n = dict(zip(out["window"], out["n"]))
+    # events 0 and 1 share the slide slot (14 min < 15 min hop), so all
+    # four of their windows k0-3..k0 hold both
+    for k in range(k0 - 3, k0 + 1):
+        assert w[k] == 3.0 and n[k] == 2
+    # event 2 at +61 min is 4 slots later; its windows k0+1..k0+4 start
+    # at >= +15 min, after events 0 and 1 — it sits alone in all four
+    for k in range(k0 + 1, k0 + 5):
+        assert w[k] == 4.0 and n[k] == 1
+
+
+def test_segment_dedup_global_invariant(ray_session):
+    """Sum of n_kept over all docs == number of DISTINCT segments in
+    the corpus (each distinct segment survives exactly once)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bioontologykg_ray.stages.curation import segment_dedup, segment_explode
+
+    rng = __import__("numpy").random.default_rng(7)
+    words = [f"w{i}" for i in range(30)]
+    docs = [
+        {"doc_id": i, "text": " ".join(rng.choice(words, size=25))}
+        for i in range(40)
+    ]
+    ds = rd.from_items(docs)
+    out = segment_dedup(ds, window=5).to_pandas()
+    distinct = (
+        segment_explode(ds, window=5).to_pandas()["seg"].nunique()
+    )
+    assert int(out["n_kept"].sum()) == distinct
+    assert int(out["n_segments"].sum()) == 40 * 5
