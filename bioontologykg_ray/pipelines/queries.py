@@ -1816,6 +1816,99 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def q_doc_token_freq(sf_dir: str):
+    """Corpus-statistics quality profile per document (the CCNet-style
+    'corpus LM stats joined back onto each doc' shape, integer-exact):
+    global document frequency (df) per token, attached back onto every
+    doc's distinct tokens via the partitioned co-group join, reduced to
+    per-doc (n_tokens, n_distinct, sum_df, n_hapax). The corpus
+    dictionary never touches the driver — df rides the keyed exchange
+    (`joins.cogroup_attach`, string keys for exactness)."""
+    import pyarrow as _pa
+
+    from bioontologykg_ray.stages.agg import grouped_count, sorted_group_apply
+    from bioontologykg_ray.stages.joins import cogroup_attach
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # a document sits wholly in one row, so batch-local per-doc
+        # dedup of tokens is globally correct
+        toks = df["text"].fillna("").str.split(" ")
+        n_tok = toks.str.len().to_numpy()
+        ex = toks.explode()
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[
+                    np.repeat(np.arange(len(df)), n_tok)
+                ],
+                "token": ex.to_numpy(dtype=object),
+                "n_tokens": np.repeat(n_tok, n_tok).astype(np.int64),
+            }
+        ).drop_duplicates(["doc_id", "token"])
+        return out
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pandas")
+    df_counts = grouped_count(pairs.select_columns(["token"]), ["token"], out_col="df")
+
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype=np.int64),
+            "n_tokens": pd.Series(dtype=np.int64),
+            "df": pd.Series(dtype=np.int64),
+        }
+    )
+    joined = cogroup_attach(
+        pairs, "token",
+        {"doc_id": _pa.int64(), "n_tokens": _pa.int64()},
+        df_counts, "token",
+        {"df": _pa.int64()},
+        fills={"doc_id": -1, "n_tokens": -1, "df": -1},
+        post=lambda m: m[["doc_id", "n_tokens", "df"]],
+        empty_out=empty,
+        key_type=_pa.string(),
+    )
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "n_tokens": pd.Series(dtype=np.int64),
+                    "n_distinct": pd.Series(dtype=np.int64),
+                    "sum_df": pd.Series(dtype=np.int64),
+                    "n_hapax": pd.Series(dtype=np.int64),
+                }
+            )
+        g = df.groupby("doc_id")
+        return pd.DataFrame(
+            {
+                "n_tokens": g["n_tokens"].first(),
+                "n_distinct": g.size().astype(np.int64),
+                "sum_df": g["df"].sum().astype(np.int64),
+                "n_hapax": g["df"].apply(lambda s: int((s == 1).sum())),
+            }
+        ).reset_index()
+
+    out = sorted_group_apply(joined, "doc_id", per_doc, hash_sort=True).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_TOKEN_FREQ = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+dt AS (SELECT DISTINCT doc_id, token FROM tok),
+dfreq AS (SELECT token, count(*) AS df FROM dt GROUP BY token)
+SELECT dt.doc_id, tot.n_tokens, count(*) AS n_distinct,
+       CAST(sum(dfreq.df) AS BIGINT) AS sum_df,
+       count(*) FILTER (WHERE dfreq.df = 1) AS n_hapax
+FROM dt JOIN dfreq USING (token) JOIN tot USING (doc_id)
+GROUP BY dt.doc_id, tot.n_tokens
+"""
+
+
 def q_hll_user_registers(sf_dir: str):
     """HyperLogLog distinct-count sketch over events.user_id: the full
     (bucket, rho) register table — integer-exact, so the SQL oracle
@@ -1939,6 +2032,7 @@ QUERIES = {
     "segment_dedup": q_segment_dedup,
     "hll_user_registers": q_hll_user_registers,
     "orders_with_lineitems_bloom": q_orders_with_lineitems_bloom,
+    "doc_token_freq": q_doc_token_freq,
     # dedup family
     "exact_dedup": q_exact_dedup,
     "ngram_dup_pairs": q_ngram_dup_pairs,
@@ -2009,6 +2103,7 @@ ORACLE = {
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "hll_user_registers": SQL_HLL_USER_REGISTERS,
     "orders_with_lineitems_bloom": SQL_ORDERS_WITH_LINEITEMS_BLOOM,
+    "doc_token_freq": SQL_DOC_TOKEN_FREQ,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_dup_pairs": SQL_NGRAM_DUP_PAIRS,
     "ngram_dup_pairs_capped": SQL_NGRAM_DUP_PAIRS_CAPPED,
