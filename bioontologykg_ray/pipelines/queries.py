@@ -966,6 +966,32 @@ def q_bmp_image_stats(sf_dir: str):
     return MM.decode_bmp_stats(MM.attach_bmp_payload(docs))
 
 
+def q_bmp_resized_stats(sf_dir: str):
+    """REAL decode + REAL nearest-neighbor resize: BMP payloads decoded
+    then resampled to a 3x4 thumbnail (integer index arithmetic), stats
+    over the RESIZED pixels. SQL re-derives the sampled source
+    coordinates (y*h//3, x*w//4) and replays the generation formula at
+    exactly those pixels."""
+    docs = _rp(sf_dir, "documents", columns=["doc_id"])
+    return MM.decode_bmp_resized(MM.attach_bmp_payload(docs))
+
+
+SQL_BMP_RESIZED_STATS = """
+WITH dims AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 3 AS h FROM documents),
+px AS (
+  SELECT doc_id,
+         ((x.x * w) // 4 + (y.y * h) // 3 + doc_id) % 256 AS v
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, 3)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, 2)) AS y) y)
+SELECT doc_id AS media_id,
+       CAST(3 AS BIGINT) AS out_h, CAST(4 AS BIGINT) AS out_w,
+       CAST(sum(v) AS BIGINT) AS resized_sum,
+       round(avg(v), 6) AS resized_mean
+FROM px GROUP BY doc_id
+"""
+
+
 SQL_BMP_IMAGE_STATS = """
 WITH dims AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 3 AS h FROM documents),
 px AS (
@@ -2049,6 +2075,7 @@ QUERIES = {
     "image_metadata": q_image_metadata,
     "frame_sample_counts": q_frame_sample_counts,
     "bmp_image_stats": q_bmp_image_stats,
+    "bmp_resized_stats": q_bmp_resized_stats,
     "wav_audio_stats": q_wav_audio_stats,
     # declarative importer
     "import_nodes": q_import_nodes,
@@ -2116,6 +2143,7 @@ ORACLE = {
     "rolling_fingerprints": SQL_ROLLING_FINGERPRINTS,
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
     "bmp_image_stats": SQL_BMP_IMAGE_STATS,
+    "bmp_resized_stats": SQL_BMP_RESIZED_STATS,
     "wav_audio_stats": SQL_WAV_AUDIO_STATS,
     "import_nodes": _sql_import_nodes(0.01),
     "kg_extract_triples": _sql_kg_extract(0.01),

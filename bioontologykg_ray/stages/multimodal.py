@@ -194,6 +194,57 @@ class BmpStatsDecoder:
         )
 
 
+def resize_nearest(px: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Pure-numpy nearest-neighbor resize (the brief's 'resize' media
+    op as a REAL kernel): output pixel (y, x) samples source
+    (y*h//out_h, x*w//out_w) — integer index arithmetic, so the SQL
+    oracle can re-derive the sampled coordinates exactly."""
+    h, w = px.shape[0], px.shape[1]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return px[ys][:, xs]
+
+
+class BmpResizeDecoder:
+    """Actor-pool stage: real BMP decode → nearest-neighbor resize to a
+    fixed thumbnail grid → stats over the RESIZED pixels (integer sum
+    exact, mean rounded). Decode+resize both genuine kernels."""
+
+    def __init__(self, out_h: int = 3, out_w: int = 4):
+        self.out_h, self.out_w = out_h, out_w
+        self.decoded = 0
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sums, means = [], []
+        for buf in t["payload"].to_pylist():
+            px = decode_bmp(buf)
+            r = resize_nearest(px[:, :, 0], self.out_h, self.out_w)
+            sums.append(int(r.astype(np.int64).sum()))
+            means.append(round(float(r.astype(np.float64).mean()), 6))
+        self.decoded += t.num_rows
+        n = self.out_h * self.out_w
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "out_h": pa.array([self.out_h] * t.num_rows, pa.int64()),
+                "out_w": pa.array([self.out_w] * t.num_rows, pa.int64()),
+                "resized_sum": pa.array(sums, pa.int64()),
+                "resized_mean": pa.array(means, pa.float64()),
+            }
+        )
+
+
+def decode_bmp_resized(
+    ds: ray.data.Dataset, batch_size: int = 256, concurrency: int | tuple = (1, 4)
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        BmpResizeDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def decode_bmp_stats(
     ds: ray.data.Dataset, batch_size: int = 256, concurrency: int | tuple = (1, 4)
 ) -> ray.data.Dataset:

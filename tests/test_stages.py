@@ -401,3 +401,21 @@ def test_segment_dedup_global_invariant(ray_session):
     )
     assert int(out["n_kept"].sum()) == distinct
     assert int(out["n_segments"].sum()) == 40 * 5
+
+
+def test_resize_nearest_samples_exact_pixels():
+    import numpy as np
+
+    from bioontologykg_ray.stages.multimodal import (
+        decode_bmp, encode_bmp, resize_nearest,
+    )
+
+    h, w = 5, 8
+    y, x = np.mgrid[0:h, 0:w]
+    v = ((3 * x + 7 * y) % 256).astype(np.uint8)
+    px = np.stack([v, v, v], axis=-1)
+    r = resize_nearest(decode_bmp(encode_bmp(px))[:, :, 0], 3, 4)
+    ys = (np.arange(3) * h) // 3
+    xs = (np.arange(4) * w) // 4
+    assert (r == v[ys][:, xs]).all()
+    assert r.shape == (3, 4)
