@@ -1031,6 +1031,34 @@ FROM sm GROUP BY doc_id
 """
 
 
+def q_bmv_frame_stats(sf_dir: str):
+    """REAL video-style frame sampling: multi-frame container (length-
+    prefixed real BMPs), every 2nd frame SEEKED to and decoded (skipped
+    frames are skipped by offset, not decoded) by an actor-pool stage;
+    outputs sampled-frame count + exact pixel sum over sampled frames.
+    SQL replays the generation formula at the sampled frame indices."""
+    docs = _rp(sf_dir, "documents", columns=["doc_id"])
+    return MM.sample_bmv_frames(MM.attach_bmv_payload(docs), stride=2)
+
+
+SQL_BMV_FRAME_STATS = """
+WITH dims AS (SELECT doc_id, doc_id % 6 + 2 AS nf,
+                     doc_id % 5 + 3 AS w, doc_id % 4 + 3 AS h
+              FROM documents),
+fr AS (SELECT doc_id, w, h, f.f
+       FROM dims, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f
+       WHERE f.f % 2 = 0),
+px AS (SELECT doc_id, f, (x.x + y.y + doc_id + 11 * f) % 256 AS v
+       FROM fr,
+            LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x,
+            LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y)
+SELECT doc_id AS media_id,
+       CAST(count(DISTINCT f) AS BIGINT) AS n_sampled,
+       CAST(sum(v) AS BIGINT) AS sampled_sum
+FROM px GROUP BY doc_id
+"""
+
+
 def q_import_nodes(sf_dir: str):
     """Declarative tabular importer (the reference's LOAD-CSV family as
     one spec-driven operator): headered TSV → rename/cast/split/lookup
@@ -2077,6 +2105,7 @@ QUERIES = {
     "bmp_image_stats": q_bmp_image_stats,
     "bmp_resized_stats": q_bmp_resized_stats,
     "wav_audio_stats": q_wav_audio_stats,
+    "bmv_frame_stats": q_bmv_frame_stats,
     # declarative importer
     "import_nodes": q_import_nodes,
     # KG flagship
@@ -2145,6 +2174,7 @@ ORACLE = {
     "bmp_image_stats": SQL_BMP_IMAGE_STATS,
     "bmp_resized_stats": SQL_BMP_RESIZED_STATS,
     "wav_audio_stats": SQL_WAV_AUDIO_STATS,
+    "bmv_frame_stats": SQL_BMV_FRAME_STATS,
     "import_nodes": _sql_import_nodes(0.01),
     "kg_extract_triples": _sql_kg_extract(0.01),
     "kg_ordered_turns": _sql_kg_ordered(0.01),

@@ -256,6 +256,102 @@ def decode_bmp_stats(
     )
 
 
+def encode_bmv(frames: "list[np.ndarray]") -> bytes:
+    """Toy multi-frame container ("BMV"): 4-byte little-endian frame
+    count, then per frame a 4-byte length prefix + a REAL 24-bit BMP.
+    Deterministic, pure-python/numpy — gives the frame-sampling stage a
+    genuine container to parse (offsets, lengths) and genuine frames to
+    decode, the same way a real video pipeline seeks + decodes."""
+    parts = [len(frames).to_bytes(4, "little")]
+    for px in frames:
+        b = encode_bmp(px)
+        parts.append(len(b).to_bytes(4, "little"))
+        parts.append(b)
+    return b"".join(parts)
+
+
+def decode_bmv_frames(buf: bytes, stride: int = 1) -> "list[np.ndarray]":
+    """Parse the container index and decode every ``stride``-th frame —
+    skipped frames are SEEKED OVER (length prefix), not decoded, which
+    is the point of stride sampling on real video."""
+    n = int.from_bytes(buf[0:4], "little")
+    out, off = [], 4
+    for i in range(n):
+        ln = int.from_bytes(buf[off:off + 4], "little")
+        off += 4
+        if i % stride == 0:
+            out.append(decode_bmp(buf[off:off + ln]))
+        off += ln
+    return out
+
+
+def attach_bmv_payload(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
+    """Deterministic multi-frame fixture: doc_id%6+2 frames of a
+    (doc_id%5+3) x (doc_id%4+3) gradient, frame f's pixels
+    (x + y + doc_id + 11*f) % 256 — real BMPs inside a real container."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        payloads = []
+        for did in ids:
+            nf = did % 6 + 2
+            w, h = did % 5 + 3, did % 4 + 3
+            y, x = np.mgrid[0:h, 0:w]
+            frames = []
+            for f in range(nf):
+                v = ((x + y + did + 11 * f) % 256).astype(np.uint8)
+                frames.append(np.stack([v, v, v], axis=-1))
+            payloads.append(encode_bmv(frames))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "media_type": pa.array(["video/x-bmv"] * len(ids), pa.string()),
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class BmvFrameSampler:
+    """Actor-pool stage: parse the container, decode every stride-th
+    frame (seek past the rest), report sampled-frame count and the
+    integer pixel sum across sampled frames (exact)."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+        self.decoded = 0
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        counts, sums = [], []
+        for buf in t["payload"].to_pylist():
+            frames = decode_bmv_frames(buf, stride=self.stride)
+            counts.append(len(frames))
+            sums.append(int(sum(f[:, :, 0].astype(np.int64).sum() for f in frames)))
+        self.decoded += t.num_rows
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "n_sampled": pa.array(counts, pa.int64()),
+                "sampled_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+def sample_bmv_frames(
+    ds: ray.data.Dataset, stride: int = 2,
+    batch_size: int = 256, concurrency: int | tuple = (1, 4),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        BmvFrameSampler,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class RealImageDecoder:
     """Integration point for a real decoder (PIL). Not available in this
     container — construction fails fast with NotImplementedError."""

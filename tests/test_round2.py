@@ -271,6 +271,24 @@ def test_wav_roundtrip_exact():
         decode_wav(b"NOTWAV")
 
 
+def test_bmv_container_stride_seek():
+    """Multi-frame container roundtrip: stride sampling must decode
+    exactly frames 0, stride, 2*stride, ... and seek over the rest."""
+    from bioontologykg_ray.stages.multimodal import decode_bmv_frames, encode_bmv
+
+    rng = np.random.RandomState(4)
+    frames = [
+        rng.randint(0, 256, size=(3 + i % 4, 4 + i % 3, 3)).astype(np.uint8)
+        for i in range(7)
+    ]
+    buf = encode_bmv(frames)
+    assert all(np.array_equal(a, b) for a, b in zip(decode_bmv_frames(buf, 1), frames))
+    sampled = decode_bmv_frames(buf, stride=3)
+    assert len(sampled) == 3  # frames 0, 3, 6
+    for got, want in zip(sampled, (frames[0], frames[3], frames[6])):
+        assert np.array_equal(got, want)
+
+
 def test_kg_pipeline_from_raw_obo(tmp_path):
     """S5→K1 chain end-to-end: a raw .obo ontology drives the flagship
     (parse → embed → alias index → link → canonicalize)."""
