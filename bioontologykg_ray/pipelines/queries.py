@@ -1584,6 +1584,81 @@ WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 <
 """
 
 
+def q_pii_redaction(sf_dir: str):
+    """PII scrubbing before training: emails → <EMAIL>, phones →
+    <PHONE>, IPv4 → <IP>, with per-rule match counts. The corpus text is
+    deterministically augmented with synthetic PII derived from doc_id
+    (fixture-in-query, identical expression in the SQL) so every row
+    exercises every rule; the oracle replays the same regexes via
+    DuckDB's RE2 and value-checks the redacted text by md5."""
+    from bioontologykg_ray.functions.hashing import md5_low64
+    from bioontologykg_ray.stages.curation import redact_pii
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def aug(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        df["text"] = (
+            df["text"].astype(str)
+            + " user" + ids.astype(str) + "@example.com 555-"
+            + (ids % 1000).astype(str).str.zfill(3) + "-"
+            + (ids % 10000).astype(str).str.zfill(4)
+            + " ip 10." + (ids % 256).astype(str) + ".0." + (ids % 100).astype(str)
+        )
+        return df
+
+    red = redact_pii(docs.map_batches(aug, batch_format="pandas"))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_email": df["n_email"],
+                "n_phone": df["n_phone"],
+                "n_ipv4": df["n_ipv4"],
+                "clean_len": df["clean_text"].str.len().astype("int64"),
+                "clean_hash": pd.Series(
+                    (md5_low64(t) % 1000000007 for t in df["clean_text"]),
+                    index=df.index, dtype="int64",
+                ),
+            }
+        )
+
+    return red.map_batches(finalize, batch_format="pandas")
+
+
+def _sql_pii_redaction() -> str:
+    from bioontologykg_ray.stages import curation as _cur
+
+    e, p, i = _cur.PII_EMAIL, _cur.PII_PHONE, _cur.PII_IPV4
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com 555-' ||
+         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+         CAST(doc_id % 100 AS VARCHAR) AS t0
+  FROM documents),
+e AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(t0, '{e}')) AS BIGINT) AS n_email,
+        regexp_replace(t0, '{e}', '<EMAIL>', 'g') AS t1 FROM aug),
+p AS (SELECT doc_id, n_email,
+        CAST(len(regexp_extract_all(t1, '{p}')) AS BIGINT) AS n_phone,
+        regexp_replace(t1, '{p}', '<PHONE>', 'g') AS t2 FROM e),
+i AS (SELECT doc_id, n_email, n_phone,
+        CAST(len(regexp_extract_all(t2, '{i}')) AS BIGINT) AS n_ipv4,
+        regexp_replace(t2, '{i}', '<IP>', 'g') AS t3 FROM p)
+SELECT doc_id, n_email, n_phone, n_ipv4,
+       CAST(strlen(t3) AS BIGINT) AS clean_len,
+       CAST(md5_number_lower(t3) % 1000000007 AS BIGINT) AS clean_hash
+FROM i
+"""
+
+
+SQL_PII_REDACTION = _sql_pii_redaction()
+
+
 def q_training_shards(sf_dir: str):
     """End-to-end training-corpus curation pipeline — the composition a
     real pretraining-data job runs, each stage streaming into the next:
@@ -2081,6 +2156,7 @@ QUERIES = {
     # corpus curation
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
+    "pii_redaction": q_pii_redaction,
     "training_shards": q_training_shards,
     "fuzzy_dedup_survivors": q_fuzzy_dedup_survivors,
     "segment_dedup": q_segment_dedup,
@@ -2154,6 +2230,7 @@ ORACLE = {
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "decontaminate": SQL_DECONTAMINATE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "pii_redaction": SQL_PII_REDACTION,
     "training_shards": SQL_TRAINING_SHARDS,
     "fuzzy_dedup_survivors": SQL_FUZZY_DEDUP_SURVIVORS,
     "segment_dedup": SQL_SEGMENT_DEDUP,

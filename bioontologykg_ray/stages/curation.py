@@ -28,6 +28,8 @@ is embarrassingly parallel (pure per-batch filter, zero exchange).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import ray
@@ -246,3 +248,54 @@ def segment_dedup(
         return out.reset_index()
 
     return sorted_group_apply(marked, id_col, assemble, hash_sort=True)
+
+
+# =========================================================================
+# PII redaction — scrub emails / phone numbers / IPv4 addresses before a
+# corpus enters training shards. Reference precedent: the reference's
+# per-field cleanup transforms (SURVEY M3/M8 — brace stripping, empty→null
+# casts) are the same shape: a pure vectorized rewrite of one text column.
+#
+# The rule strings live HERE and are interpolated verbatim into the DuckDB
+# oracle SQL — one source of truth, and the subset of regex syntax used
+# (character classes, \d, \b, bounded repeats; no lookaround/backrefs)
+# behaves identically under Python `re` and DuckDB's RE2.
+#
+# 100-TB shape: pure per-batch map, zero exchange, patterns compiled once
+# per worker process at module import.
+# =========================================================================
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# Order matters and is part of the contract: emails are scrubbed first
+# (a phone-shaped local part like `555-123-4567@x.io` redacts as ONE
+# email, not a phone inside an address), phones before IPv4. Numeric
+# hosts (`c@1.2.3.4`) are not emails under the rule (alphabetic TLD
+# required); their host redacts as an IPv4.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", PII_EMAIL, "<EMAIL>"),
+    ("phone", PII_PHONE, "<PHONE>"),
+    ("ipv4", PII_IPV4, "<IP>"),
+)
+
+_PII_COMPILED = tuple((name, re.compile(pat), repl) for name, pat, repl in PII_RULES)
+
+
+def redact_pii(
+    ds: ray.data.Dataset, text_col: str = "text", out_col: str = "clean_text"
+) -> ray.data.Dataset:
+    """Scrub PII from ``text_col`` → ``out_col``; adds an int64
+    ``n_<rule>`` match count per rule (counted on the text as each rule
+    sees it, i.e. after the preceding rules' replacements)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].astype(str)
+        for name, pat, repl in _PII_COMPILED:
+            df["n_" + name] = s.str.count(pat).astype(np.int64)
+            s = s.str.replace(pat, repl, regex=True)
+        df[out_col] = s
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")

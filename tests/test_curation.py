@@ -196,3 +196,28 @@ def test_entity_degrees_self_loop_counts_once():
         }
     )
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_redact_pii_rules_and_order():
+    """Counts are per rule on the text that rule sees, rules apply in
+    declared order, non-matches pass through untouched. A numeric-host
+    address (c@1.2.3.4) is NOT an email under the rule (alphabetic TLD
+    required) — its host redacts as an IPv4 instead."""
+    import ray.data as rd
+
+    from bioontologykg_ray.stages.curation import redact_pii
+
+    ds = rd.from_items(
+        [
+            {"text": "mail a.b@x.io and c@1.2.3.4 now"},
+            {"text": "call 555-123-4567 or 555-000-1111 from 10.0.0.1"},
+            {"text": "no pii here, just 3.14 and v1.2.3"},
+        ]
+    )
+    out = redact_pii(ds).to_pandas()
+    assert out.loc[0, "clean_text"] == "mail <EMAIL> and c@<IP> now"
+    assert (out.loc[0, ["n_email", "n_phone", "n_ipv4"]] == [1, 0, 1]).all()
+    assert out.loc[1, "clean_text"] == "call <PHONE> or <PHONE> from <IP>"
+    assert (out.loc[1, ["n_email", "n_phone", "n_ipv4"]] == [0, 2, 1]).all()
+    assert out.loc[2, "clean_text"] == "no pii here, just 3.14 and v1.2.3"
+    assert (out.loc[2, ["n_email", "n_phone", "n_ipv4"]] == [0, 0, 0]).all()
