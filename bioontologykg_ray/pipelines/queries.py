@@ -1520,16 +1520,17 @@ def q_decontaminate(sf_dir: str):
 
     ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def is_eval(df: pd.DataFrame) -> pd.Series:
-        return pd.Series(
-            [md5_low64(str(i)) % 20 == 0 for i in df["doc_id"]],
-            index=df.index,
+    def _is_eval(t: pa.Table) -> np.ndarray:
+        return np.fromiter(
+            (md5_low64(str(i)) % 20 == 0 for i in t["doc_id"].to_pylist()),
+            dtype=bool, count=t.num_rows,
         )
 
+    # arrow filters (empty pandas object blocks trip Ray's size estimator)
     eval_ds = ds.map_batches(
-        lambda df: df[is_eval(df)], batch_format="pandas")
+        lambda t: t.filter(pa.array(_is_eval(t))), batch_format="pyarrow")
     corpus = ds.map_batches(
-        lambda df: df[~is_eval(df)], batch_format="pandas")
+        lambda t: t.filter(pa.array(~_is_eval(t))), batch_format="pyarrow")
     ev_ref = _ray.put(eval_ngram_hashes(eval_ds, n=4))
     return contamination_flags(corpus, ev_ref, n=4).select_columns(
         ["doc_id", "n_hits"])
@@ -1683,26 +1684,36 @@ def q_training_shards(sf_dir: str):
     ds = _rp(sf_dir, "documents",
              columns=["doc_id", "text", "source", "n_chars"])
 
-    def bucket(df: pd.DataFrame, mod: int) -> np.ndarray:
+    def bucket(ids, mod: int) -> np.ndarray:
         return np.fromiter(
-            (md5_low64(str(i)) % mod for i in df["doc_id"]),
-            dtype=np.int64, count=len(df),
+            (md5_low64(str(i)) % mod for i in ids),
+            dtype=np.int64, count=len(ids),
         )
 
-    eval_ds = ds.map_batches(
-        lambda df: df[bucket(df, 20) == 0], batch_format="pandas")
-    corpus = ds.map_batches(
-        lambda df: df[bucket(df, 20) != 0], batch_format="pandas")
+    # filters run on ARROW blocks: zero-copy take + exact (silent) block
+    # sizing even for empty object-string slices (pandas empties trip
+    # Ray's np.vectorize size estimator)
+    def keep_eval(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(bucket(t["doc_id"].to_pylist(), 20) == 0))
+
+    def keep_corpus(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(bucket(t["doc_id"].to_pylist(), 20) != 0))
+
+    eval_ds = ds.map_batches(keep_eval, batch_format="pyarrow")
+    corpus = ds.map_batches(keep_corpus, batch_format="pyarrow")
     ev_ref = _ray.put(eval_ngram_hashes(eval_ds, n=4))
+
+    def keep_clean(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["n_hits"], 0))
 
     clean = (
         contamination_flags(
             stratified_sample(corpus, SAMPLE_RATES), ev_ref, n=4)
-        .map_batches(lambda df: df[df["n_hits"] == 0], batch_format="pandas")
+        .map_batches(keep_clean, batch_format="pyarrow")
     )
 
     def assign_split(df: pd.DataFrame) -> pd.DataFrame:
-        b = bucket(df, 100)
+        b = bucket(df["doc_id"], 100)
         split = np.where(b < 90, "train", np.where(b < 95, "val", "test"))
         return pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(),

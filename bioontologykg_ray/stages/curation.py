@@ -134,15 +134,23 @@ def stratified_sample(
     thresh = {g: int(round(r * buckets)) for g, r in rates.items()}
     default_t = int(round(default_rate * buckets))
 
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        b = np.fromiter(
-            (md5_low64(str(i)) % buckets for i in df[id_col]),
-            dtype=np.int64, count=len(df),
-        )
-        t = df[group_col].map(thresh).fillna(default_t).to_numpy(dtype=np.int64)
-        return df[b < t]
+    # arrow blocks: zero-copy filter, and empty output slices size
+    # cleanly (empty OBJECT-dtype pandas blocks trip Ray's np.vectorize
+    # size estimator into log noise)
+    def keep(t) -> "ray.data.block.Block":
+        import pyarrow as pa
 
-    return ds.map_batches(keep, batch_format="pandas")
+        b = np.fromiter(
+            (md5_low64(str(i)) % buckets for i in t[id_col].to_pylist()),
+            dtype=np.int64, count=t.num_rows,
+        )
+        lim = np.fromiter(
+            (thresh.get(g, default_t) for g in t[group_col].to_pylist()),
+            dtype=np.int64, count=t.num_rows,
+        )
+        return t.filter(pa.array(b < lim))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
