@@ -2127,6 +2127,72 @@ FROM (
 """
 
 
+def q_supplier_triangles(sf_dir: str):
+    """Distributed triangle counting (stages/graph.py: degree
+    orientation + packed-key wedge closing, no driver state) over the
+    co-supply graph — suppliers linked when they ship >= 150 common
+    parts. The whole chain is keyed exchanges: distinct (supp, part) →
+    per-part pair emission → shared-part count → threshold filter →
+    triangle_counts."""
+    from bioontologykg_ray.stages.agg import grouped_count, sorted_group_apply
+    from bioontologykg_ray.stages.graph import triangle_counts
+
+    li = _rp(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+    # partial per-batch dedup shrinks the exchange; the global dedup is
+    # fused into the per-part pair emitter (complete part groups there)
+    thin = li.map_batches(
+        lambda df: df.drop_duplicates(["l_suppkey", "l_partkey"]),
+        batch_format="pandas",
+    )
+
+    p_empty = pd.DataFrame(
+        {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
+    )
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # complete part groups per block (sorted_group_apply contract);
+        # per-part supplier count is the bounded small side — the same
+        # hot-key hazard/cap note as the dedup pair emitters applies
+        if df.empty:
+            return p_empty.copy()
+        df = df.drop_duplicates(["l_suppkey", "l_partkey"])
+        m = df.merge(df, on="l_partkey")
+        m = m[m["l_suppkey_x"] < m["l_suppkey_y"]]
+        return pd.DataFrame(
+            {
+                "u": m["l_suppkey_x"].to_numpy(np.int64),
+                "v": m["l_suppkey_y"].to_numpy(np.int64),
+            }
+        )
+
+    pairs = sorted_group_apply(thin, "l_partkey", emit_pairs, empty_like=p_empty)
+    shared = grouped_count(pairs, ["u", "v"], out_col="n_shared")
+    edges = shared.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_shared"], 150)).select(["u", "v"]),
+        batch_format="pyarrow",
+    )
+    return triangle_counts(edges)
+
+
+SQL_SUPPLIER_TRIANGLES = """
+WITH ps AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+e0 AS (SELECT a.s AS u, b.s AS v FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+       GROUP BY 1, 2 HAVING count(*) >= 150),
+deg AS (SELECT node, count(*) AS d FROM (
+          SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY node),
+o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS src,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS dst
+      FROM e0 JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v),
+tri AS (SELECT e1.src AS a, least(e1.dst, e2.dst) AS b, greatest(e1.dst, e2.dst) AS c
+        FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN o e3 ON least(e3.src, e3.dst) = least(e1.dst, e2.dst)
+                 AND greatest(e3.src, e3.dst) = greatest(e1.dst, e2.dst))
+SELECT node, count(*) AS n_triangles FROM (
+  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+) GROUP BY node
+"""
+
+
 # =========================================================================
 # registry
 # =========================================================================
@@ -2204,6 +2270,7 @@ QUERIES = {
     "kg_dead_letter": q_kg_dead_letter,
     "kg_component_labels": q_kg_component_labels,
     "entity_degrees": q_entity_degrees,
+    "supplier_triangles": q_supplier_triangles,
     "tool_usage_stats": q_tool_usage_stats,
 }
 
@@ -2272,6 +2339,7 @@ ORACLE = {
     "kg_dead_letter": _sql_kg_dead(0.01),
     "kg_component_labels": _sql_kg_labels(0.01),
     "entity_degrees": _sql_entity_degrees(0.01),
+    "supplier_triangles": SQL_SUPPLIER_TRIANGLES,
     "tool_usage_stats": _sql_tool_usage(0.01),
     # rows-only (non-SQL-expressible): ann_topk_lsh (recall<1 by
     # design), doc_embeddings (model output)

@@ -419,3 +419,27 @@ def test_resize_nearest_samples_exact_pixels():
     xs = (np.arange(4) * w) // 4
     assert (r == v[ys][:, xs]).all()
     assert r.shape == (3, 4)
+
+
+def test_triangle_counts_known_graph():
+    """K4 on {0,1,2,3} (4 triangles, every vertex in 3) plus a pendant
+    edge (4-5: no triangles) and an isolated triangle {6,7,8}."""
+    import ray.data as rd
+
+    from bioontologykg_ray.stages.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(4, 5), (6, 7), (7, 8), (6, 8)]
+    ds = rd.from_items([{"u": u, "v": v} for u, v in edges])
+    exp = pd.DataFrame(
+        {"node": [0, 1, 2, 3, 6, 7, 8], "n_triangles": [3, 3, 3, 3, 1, 1, 1]}
+    )
+    # both orientation routes: broadcast (default) and distributed cogroup
+    for thresh in (5_000_000, 0):
+        out = (
+            triangle_counts(ds, broadcast_threshold=thresh)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, exp, check_dtype=False)
