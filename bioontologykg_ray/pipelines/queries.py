@@ -2127,6 +2127,37 @@ FROM (
 """
 
 
+def q_llm_doc_summaries(sf_dir: str):
+    """T7-shaped LLM generation stage (stages/llm.py): actor pool,
+    per-actor model load, batched generate, token accounting. Runs the
+    deterministic fake backend (real transformer backend is a guarded
+    import, absent in this sandbox) whose generation rule the oracle
+    replays exactly — the plumbing is the tested artifact."""
+    from bioontologykg_ray.stages.llm import llm_generate_stage
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = llm_generate_stage(docs, prompt_col="text", backend="fake")
+    return out.map_batches(
+        lambda df: df[
+            ["doc_id", "completion", "n_prompt_tokens", "n_completion_tokens"]
+        ],
+        batch_format="pandas",
+    )
+
+
+SQL_LLM_DOC_SUMMARIES = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(substr(text, 1, 2000)), '\s+') AS l
+  FROM documents)
+SELECT doc_id,
+       trim('SUMMARY: ' || array_to_string(l[1:8], ' ')) AS completion,
+       CAST(len(l) AS BIGINT) AS n_prompt_tokens,
+       CAST(least(len(l), 8) AS BIGINT) AS n_completion_tokens
+FROM toks
+"""
+
+
 def q_supplier_triangles(sf_dir: str):
     """Distributed triangle counting (stages/graph.py: degree
     orientation + packed-key wedge closing, no driver state) over the
@@ -2271,6 +2302,7 @@ QUERIES = {
     "kg_component_labels": q_kg_component_labels,
     "entity_degrees": q_entity_degrees,
     "supplier_triangles": q_supplier_triangles,
+    "llm_doc_summaries": q_llm_doc_summaries,
     "tool_usage_stats": q_tool_usage_stats,
 }
 
@@ -2340,6 +2372,7 @@ ORACLE = {
     "kg_component_labels": _sql_kg_labels(0.01),
     "entity_degrees": _sql_entity_degrees(0.01),
     "supplier_triangles": SQL_SUPPLIER_TRIANGLES,
+    "llm_doc_summaries": SQL_LLM_DOC_SUMMARIES,
     "tool_usage_stats": _sql_tool_usage(0.01),
     # rows-only (non-SQL-expressible): ann_topk_lsh (recall<1 by
     # design), doc_embeddings (model output)

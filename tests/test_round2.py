@@ -409,3 +409,29 @@ def test_count_edges_packed_rejects_unknown_ids():
     )
     with pytest.raises(Exception, match="contract violation"):
         count_edges_packed(ds, ["go-0001"], ["IS_A"], {}, ()).to_pandas()
+
+
+def test_llm_backend_fallback_and_fake_rule():
+    """make_llm('auto') falls back to the fake in this sandbox,
+    'transformer' raises, and the fake's generation is the documented
+    pure function of the prompt."""
+    import ray.data as rd
+
+    from bioontologykg_ray.stages.llm import FakeCausalLM, llm_generate_stage, make_llm
+
+    cls, kw = make_llm("auto", prompt_col="p", max_new_tokens=3)
+    assert cls is FakeCausalLM and kw["max_new_tokens"] == 3
+    with pytest.raises(ImportError):
+        make_llm("transformer", model_name="x")
+
+    ds = rd.from_items([{"p": "  alpha beta\tgamma delta "}, {"p": ""}])
+    out = (
+        llm_generate_stage(ds, prompt_col="p", backend="fake", max_new_tokens=3)
+        .to_pandas()
+    )
+    assert out.loc[0, "completion"] == "SUMMARY: alpha beta gamma"
+    assert out.loc[0, "n_prompt_tokens"] == 4
+    assert out.loc[0, "n_completion_tokens"] == 3
+    assert out.loc[1, "completion"] == "SUMMARY:"
+    assert out.loc[1, "n_completion_tokens"] == 0
+    assert (out["llm_model"] == "fake-causal-v1").all()
