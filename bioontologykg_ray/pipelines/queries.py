@@ -1660,6 +1660,29 @@ FROM i
 SQL_PII_REDACTION = _sql_pii_redaction()
 
 
+def q_global_shuffle(sf_dir: str):
+    """Deterministic global training-order shuffle: hash-of-id global
+    order → round-robin striping into 8 balanced shards. The global
+    rank is the distributed prefix-sum scan (O(#blocks) driver state);
+    the oracle replays it with one row_number() window."""
+    from bioontologykg_ray.stages.curation import global_shuffle
+
+    docs = _rp(sf_dir, "documents", columns=["doc_id"])
+    return global_shuffle(docs, n_shards=8)
+
+
+SQL_GLOBAL_SHUFFLE = """
+WITH r AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR))) - 1 AS pos
+  FROM documents)
+SELECT doc_id, CAST(pos % 8 AS BIGINT) AS shard,
+       CAST(pos // 8 AS BIGINT) AS pos_in_shard
+FROM r
+"""
+
+
 def q_training_shards(sf_dir: str):
     """End-to-end training-corpus curation pipeline — the composition a
     real pretraining-data job runs, each stage streaming into the next:
@@ -2265,6 +2288,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "pii_redaction": q_pii_redaction,
+    "global_shuffle": q_global_shuffle,
     "training_shards": q_training_shards,
     "fuzzy_dedup_survivors": q_fuzzy_dedup_survivors,
     "segment_dedup": q_segment_dedup,
@@ -2341,6 +2365,7 @@ ORACLE = {
     "decontaminate": SQL_DECONTAMINATE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pii_redaction": SQL_PII_REDACTION,
+    "global_shuffle": SQL_GLOBAL_SHUFFLE,
     "training_shards": SQL_TRAINING_SHARDS,
     "fuzzy_dedup_survivors": SQL_FUZZY_DEDUP_SURVIVORS,
     "segment_dedup": SQL_SEGMENT_DEDUP,

@@ -307,3 +307,53 @@ def redact_pii(
         return df
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def global_shuffle(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> ray.data.Dataset:
+    """Deterministic global training-order shuffle: order every row by
+    a stable hash of its id, then stripe round-robin into ``n_shards``
+    balanced shards → (id, shard, pos_in_shard).
+
+    This is the "shuffle the corpus before training" step done without
+    RNG state: the order is a pure function of the ids, so it is
+    reproducible across reruns, resharding and incremental appends
+    (appended rows interleave into the same global order). The global
+    rank comes from the distributed prefix-sum scan (stages/scan.py:
+    per-block offsets are O(#blocks) driver state, never O(#rows)).
+
+    Hash collisions would alias two rows' order (prefix_sum contract);
+    with 64-bit md5 that is negligible below ~1e9 rows per shuffle —
+    shuffle per shard-group beyond that, or widen the hash."""
+    from bioontologykg_ray.stages.scan import prefix_sum
+
+    def add_h(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "__h": np.fromiter(
+                    (md5_low64(str(i)) for i in df[id_col]),
+                    dtype=np.uint64, count=len(df),
+                ),
+                "__one": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    ranked = prefix_sum(
+        ds.map_batches(add_h, batch_format="pandas"), "__h", "__one", out_col="__r"
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        pos = df["__r"].to_numpy(np.int64) - 1  # inclusive sum → 0-based rank
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "shard": pos % np.int64(n_shards),
+                "pos_in_shard": pos // np.int64(n_shards),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pandas")

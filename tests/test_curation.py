@@ -221,3 +221,26 @@ def test_redact_pii_rules_and_order():
     assert (out.loc[1, ["n_email", "n_phone", "n_ipv4"]] == [0, 2, 1]).all()
     assert out.loc[2, "clean_text"] == "no pii here, just 3.14 and v1.2.3"
     assert (out.loc[2, ["n_email", "n_phone", "n_ipv4"]] == [0, 0, 0]).all()
+
+
+def test_global_shuffle_stable_under_append():
+    """The hash order is a pure function of ids: appending rows
+    preserves the relative order of pre-existing rows, and shards are
+    balanced round-robin."""
+    import ray.data as rd
+
+    from bioontologykg_ray.stages.curation import global_shuffle
+
+    base = [{"doc_id": i} for i in range(40)]
+    extra = [{"doc_id": i} for i in range(40, 60)]
+    a = global_shuffle(rd.from_items(base), n_shards=4).to_pandas()
+    b = global_shuffle(rd.from_items(base + extra), n_shards=4).to_pandas()
+
+    def order(df):
+        df = df.copy()
+        df["g"] = df["pos_in_shard"] * 4 + df["shard"]
+        return df.sort_values("g")["doc_id"].tolist()
+
+    oa, ob = order(a), order(b)
+    assert [i for i in ob if i < 40] == oa
+    assert sorted(a.groupby("shard").size()) == [10, 10, 10, 10]
