@@ -182,3 +182,43 @@ def test_word_ngram_kernel_matches_duckdb(seed):
         ).fetchall()
         want = [(int(a), int(b)) for a, b in sql]
         assert got == want, f"n={n}"
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_pii_regexes_match_duckdb_re2(seed):
+    """The PII rule strings behave identically under Python `re` (the
+    engine) and DuckDB's RE2 (the oracle) — counts AND the sequentially
+    redacted text — on adversarial near-miss inputs. The exact contract
+    SQL_PII_REDACTION relies on."""
+    import re as _re
+
+    from bioontologykg_ray.stages.curation import PII_RULES
+
+    rng = np.random.RandomState(seed)
+    frags = [
+        "a@b.co", "a@b.c", "user.name+x@mail.example.com", "x@1.2.3.4",
+        "555-123-4567", "5555-123-4567", "555-123-45678", "1-555-123-4567",
+        "1.2.3.4", "999.999.999.999", "1.2.3", "10.0.0.1.5", "3.14",
+        "v1.2.3.4beta", "word", "a-b", "@", ".", "e@e.ee.", "-",
+    ]
+    texts = [
+        " ".join(rng.choice(frags, size=rng.randint(0, 10))) for _ in range(80)
+    ]
+    for text in texts:
+        py, sql_expr = text, "t"
+        py_counts = []
+        for _name, pat, repl in PII_RULES:
+            py_counts.append(len(_re.findall(pat, py)))
+            py = _re.sub(pat, repl, py)
+            sql_expr = f"regexp_replace({sql_expr}, '{pat}', '{repl}', 'g')"
+        count_exprs = []
+        inner = "t"
+        for _name, pat, _repl in PII_RULES:
+            count_exprs.append(f"len(regexp_extract_all({inner}, '{pat}'))")
+            inner = f"regexp_replace({inner}, '{pat}', '{_repl}', 'g')"
+        row = duckdb.sql(
+            f"SELECT {sql_expr}, {', '.join(count_exprs)} FROM (SELECT $t AS t)",
+            params={"t": text},
+        ).fetchone()
+        assert row[0] == py, f"redacted text diverges on {text!r}"
+        assert list(row[1:]) == py_counts, f"counts diverge on {text!r}"
