@@ -40,6 +40,7 @@ HEADLINE_QUERIES = [
     "ann_topk",
     "doc_stats",
     "training_shards",
+    "pii_redaction",
 ]
 
 
