@@ -2225,7 +2225,15 @@ def q_supplier_triangles(sf_dir: str):
         lambda t: t.filter(pc.greater_equal(t["n_shared"], 150)).select(["u", "v"]),
         batch_format="pyarrow",
     )
-    return triangle_counts(edges)
+    out = triangle_counts(edges).to_pandas()
+    if out.empty:  # Ray to_pandas drops schema on 0-row datasets
+        out = pd.DataFrame(
+            {
+                "node": pd.Series(dtype="int64"),
+                "n_triangles": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values("node").reset_index(drop=True)
 
 
 SQL_SUPPLIER_TRIANGLES = """

@@ -78,7 +78,18 @@ def triangle_counts(
             {"src": np.where(fwd, u, v), "dst": np.where(fwd, v, u)}
         )
 
-    if deg.count() <= broadcast_threshold:
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        # degenerate graph (no edges survived upstream filters): an
+        # empty deg dataset has no schema to group on downstream; the
+        # arrow block pins the output schema
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], _I64), "n_triangles": pa.array([], _I64)}
+            )
+        )
+
+    if n_nodes <= broadcast_threshold:
         # degree table is node-bounded and small: one ray.put, zero-copy
         # per task; orientation becomes a single streaming map
         dt = deg.to_pandas()

@@ -443,3 +443,20 @@ def test_triangle_counts_known_graph():
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_triangle_counts_degenerate_graphs():
+    """Empty edge set and triangle-free graphs must return an empty
+    (node, n_triangles) frame, not error."""
+    import ray.data as rd
+
+    from bioontologykg_ray.stages.graph import triangle_counts
+
+    empty = rd.from_items([{"u": 1, "v": 2}]).filter(lambda r: False)
+    res = triangle_counts(empty)
+    assert res.count() == 0
+    assert res.schema().names == ["node", "n_triangles"]
+
+    path = rd.from_items([{"u": 0, "v": 1}, {"u": 1, "v": 2}])  # no triangle
+    out2 = triangle_counts(path).to_pandas()
+    assert len(out2) == 0
