@@ -2072,6 +2072,98 @@ GROUP BY dt.doc_id, tot.n_tokens
 """
 
 
+def q_doc_top_terms(sf_dir: str):
+    """Per-document top-3 salient terms: rank by (tf DESC, df ASC,
+    token ASC) — term frequency first, corpus rarity as tiebreak. The
+    integer ranking keys keep the oracle exact (a float tf·idf score
+    would be ranking-equivalent here but ulp-fragile across engines).
+    Shape: batch-local tf (docs sit wholly in one row) → distributed df
+    count → cogroup df onto the (doc, token, tf) stream → per-doc top-3
+    via one hash-sorted group pass."""
+    from bioontologykg_ray.stages.agg import grouped_count, sorted_group_apply
+    from bioontologykg_ray.stages.joins import cogroup_attach
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split(" ")
+        n_tok = toks.str.len().to_numpy()
+        ex = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[
+                    np.repeat(np.arange(len(df)), n_tok)
+                ],
+                "token": toks.explode().to_numpy(dtype=object),
+            }
+        )
+        out = ex.groupby(["doc_id", "token"], as_index=False).size()
+        return out.rename(columns={"size": "tf"}).astype({"tf": np.int64})
+
+    tf = ds.map_batches(tf_rows, batch_format="pandas")
+    df_counts = grouped_count(tf.select_columns(["token"]), ["token"], out_col="df")
+
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype=np.int64),
+            "token": pd.Series(dtype="string"),  # object empties trip Ray sizing
+            "tf": pd.Series(dtype=np.int64),
+            "df": pd.Series(dtype=np.int64),
+        }
+    )
+    joined = cogroup_attach(
+        tf, "token",
+        # token rides along as a payload column too (the cogroup key is
+        # dropped before post)
+        {"doc_id": pa.int64(), "token": pa.string(), "tf": pa.int64()},
+        df_counts, "token",
+        {"df": pa.int64()},
+        fills={"doc_id": -1, "token": "", "tf": -1, "df": -1},
+        post=lambda m: m[["doc_id", "token", "tf", "df"]]
+        if not m.empty else empty.copy(),
+        empty_out=empty,
+        key_type=pa.string(),
+    )
+
+    top_empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype=np.int64),
+            "rank": pd.Series(dtype=np.int64),
+            "token": pd.Series(dtype="string"),  # object empties trip Ray sizing
+            "tf": pd.Series(dtype=np.int64),
+            "df": pd.Series(dtype=np.int64),
+        }
+    )
+
+    def top3(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return top_empty.copy()
+        df = df.sort_values(
+            ["doc_id", "tf", "df", "token"],
+            ascending=[True, False, True, True], kind="mergesort",
+        )
+        df = df.groupby("doc_id").head(3).copy()
+        df["rank"] = df.groupby("doc_id").cumcount().to_numpy() + 1
+        return df[["doc_id", "rank", "token", "tf", "df"]]
+
+    out = sorted_group_apply(joined, "doc_id", top3, hash_sort=True).to_pandas()
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+SQL_DOC_TOP_TERMS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+ranked AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC) AS rank
+  FROM tf JOIN dfreq USING (token))
+SELECT doc_id, rank, token, tf, df FROM ranked WHERE rank <= 3
+"""
+
+
 def q_hll_user_registers(sf_dir: str):
     """HyperLogLog distinct-count sketch over events.user_id: the full
     (bucket, rho) register table — integer-exact, so the SQL oracle
@@ -2303,6 +2395,7 @@ QUERIES = {
     "hll_user_registers": q_hll_user_registers,
     "orders_with_lineitems_bloom": q_orders_with_lineitems_bloom,
     "doc_token_freq": q_doc_token_freq,
+    "doc_top_terms": q_doc_top_terms,
     # dedup family
     "exact_dedup": q_exact_dedup,
     "ngram_dup_pairs": q_ngram_dup_pairs,
@@ -2380,6 +2473,7 @@ ORACLE = {
     "hll_user_registers": SQL_HLL_USER_REGISTERS,
     "orders_with_lineitems_bloom": SQL_ORDERS_WITH_LINEITEMS_BLOOM,
     "doc_token_freq": SQL_DOC_TOKEN_FREQ,
+    "doc_top_terms": SQL_DOC_TOP_TERMS,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_dup_pairs": SQL_NGRAM_DUP_PAIRS,
     "ngram_dup_pairs_capped": SQL_NGRAM_DUP_PAIRS_CAPPED,

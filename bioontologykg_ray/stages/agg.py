@@ -24,6 +24,8 @@ from typing import Callable
 import pandas as pd
 import ray.data
 
+from bioontologykg_ray import ensure_quiet
+
 
 def two_phase_agg(
     ds: ray.data.Dataset,
@@ -134,6 +136,7 @@ def sorted_group_apply(
         return first | last
 
     def inner(df: pd.DataFrame) -> pd.DataFrame:
+        ensure_quiet()  # worker imports the package -> log filter active
         # apply_fn must accept empty input (returns the empty frame with
         # correct dtypes); empty_like is only a fallback override
         if df.empty:
@@ -144,6 +147,7 @@ def sorted_group_apply(
         return apply_fn(strip(body))
 
     def edges_only(df: pd.DataFrame) -> pd.DataFrame:
+        ensure_quiet()
         if df.empty:
             return df
         return df[edge_mask(df)]
