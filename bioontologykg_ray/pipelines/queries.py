@@ -2273,6 +2273,46 @@ FROM toks
 """
 
 
+def q_kg_pagerank(sf_dir: str):
+    """Fixed-point PageRank over the flagship's canonical edge table
+    (stages/graph.pagerank_fixedpoint: 3 integer power iterations —
+    bit-exact across engines, no float summation-order drift; node
+    state size-gated broadcast vs cogroup exchanges). The oracle
+    replays the whole flagship in SQL and then unrolls the identical
+    integer recurrence."""
+    from bioontologykg_ray.stages.graph import pagerank_fixedpoint
+
+    edges = rd.from_pandas(_kg_results(sf_dir)["edges"][["src", "dst"]])
+    out = pagerank_fixedpoint(edges, iters=3).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _sql_kg_pagerank(sf: float) -> str:
+    parts = [
+        """,
+pr_e AS (SELECT DISTINCT src, dst FROM edges),
+pr_n AS (SELECT DISTINCT node FROM
+         (SELECT src AS node FROM pr_e UNION ALL SELECT dst FROM pr_e)),
+pr_od AS (SELECT src, count(*) AS od FROM pr_e GROUP BY src),
+pr_r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM pr_n)"""
+    ]
+    for k in (1, 2, 3):
+        parts.append(
+            f""",
+pr_r{k} AS (
+  SELECT n.node, 150000 + (85 * coalesce(s.c, 0)) // 100 AS r
+  FROM pr_n n LEFT JOIN (
+    SELECT e.dst AS node, sum(rp.r // od.od) AS c
+    FROM pr_e e JOIN pr_r{k - 1} rp ON rp.node = e.src
+                JOIN pr_od od ON od.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node)"""
+        )
+    parts.append(
+        "\nSELECT node, CAST(r AS BIGINT) AS pagerank_fp FROM pr_r3"
+    )
+    return _sql_kg_prefix(sf) + "".join(parts)
+
+
 def q_supplier_triangles(sf_dir: str):
     """Distributed triangle counting (stages/graph.py: degree
     orientation + packed-key wedge closing, no driver state) over the
@@ -2426,6 +2466,7 @@ QUERIES = {
     "kg_dead_letter": q_kg_dead_letter,
     "kg_component_labels": q_kg_component_labels,
     "entity_degrees": q_entity_degrees,
+    "kg_pagerank": q_kg_pagerank,
     "supplier_triangles": q_supplier_triangles,
     "llm_doc_summaries": q_llm_doc_summaries,
     "tool_usage_stats": q_tool_usage_stats,
@@ -2498,6 +2539,7 @@ ORACLE = {
     "kg_dead_letter": _sql_kg_dead(0.01),
     "kg_component_labels": _sql_kg_labels(0.01),
     "entity_degrees": _sql_entity_degrees(0.01),
+    "kg_pagerank": _sql_kg_pagerank(0.01),
     "supplier_triangles": SQL_SUPPLIER_TRIANGLES,
     "llm_doc_summaries": SQL_LLM_DOC_SUMMARIES,
     "tool_usage_stats": _sql_tool_usage(0.01),
@@ -2518,6 +2560,7 @@ def oracle_for_sf(sf: float) -> dict:
     d["kg_dead_letter"] = _sql_kg_dead(sf)
     d["kg_component_labels"] = _sql_kg_labels(sf)
     d["entity_degrees"] = _sql_entity_degrees(sf)
+    d["kg_pagerank"] = _sql_kg_pagerank(sf)
     d["tool_usage_stats"] = _sql_tool_usage(sf)
     d["kg_linked_unambiguous"] = _sql_kg_linked_unambiguous(sf)
     d["import_nodes"] = _sql_import_nodes(sf)

@@ -196,3 +196,183 @@ def triangle_counts(
         wedges.union(probes), "key", close, empty_like=c_empty
     )
     return grouped_agg(credits, ["node"], {"n_triangles": ("cnt", "sum")})
+
+
+def pagerank_fixedpoint(
+    ds: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    scale: int = 1_000_000,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    broadcast_threshold: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Fixed-point (integer) PageRank over a directed edge list —
+    ``iters`` power iterations in pure int64 arithmetic so the result
+    is bit-exact across engines (a float PageRank is ulp-fragile
+    between summation orders; fixed-point is the standard trick for
+    reproducible large-scale ranking):
+
+        r0(v)  = scale
+        r_k(v) = (scale*(den-num))//den
+                 + (num * sum_{u->v} r_{k-1}(u) // outdeg(u)) // den
+
+    Dangling-node mass (outdeg 0) is dropped, multi-edges collapse to
+    one (both mirrored by the SQL oracle). Node state is O(#nodes):
+    below ``broadcast_threshold`` it ships per iteration via ``ray.put``
+    (the canonicalizer's driver_threshold contract — entities ≪ corpus);
+    above it every iteration is cogroup exchanges with no driver
+    structure. Output: (node, pagerank_fp) for every node."""
+    S = pa.string()
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t[src_col].combine_chunks().cast(S),
+                "dst": t[dst_col].combine_chunks().cast(S),
+            }
+        )
+
+    e = grouped_count(
+        ds.map_batches(pair_rows, batch_format="pyarrow"), ["src", "dst"]
+    ).select_columns(["src", "dst"])
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                )
+            }
+        )
+
+    node_ds = grouped_count(
+        e.map_batches(endpoints, batch_format="pyarrow"), ["node"]
+    ).select_columns(["node"]).materialize()
+    outdeg = grouped_count(e, ["src"], out_col="od")
+
+    base = (scale * (damping_den - damping_num)) // damping_den
+    n_nodes = node_ds.count()
+
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], S), "pagerank_fp": pa.array([], _I64)})
+        )
+
+    if n_nodes <= broadcast_threshold:
+        nodes_arr = np.sort(node_ds.to_pandas()["node"].to_numpy(dtype=object))
+        od_df = outdeg.to_pandas()
+        od = np.zeros(n_nodes, dtype=np.int64)
+        od[np.searchsorted(nodes_arr, od_df["src"].to_numpy(dtype=object))] = (
+            od_df["od"].to_numpy(np.int64)
+        )
+        r = np.full(n_nodes, scale, dtype=np.int64)
+        e = e.materialize()  # iterated over; avoid re-running the dedup
+        for _ in range(iters):
+            ref = ray.put((nodes_arr, r))
+
+            def contrib(df: pd.DataFrame, _od=od) -> pd.DataFrame:
+                nodes_, r_ = ray.get(ref)
+                si = np.searchsorted(nodes_, df["src"].to_numpy(dtype=object))
+                out = pd.DataFrame(
+                    {"node": df["dst"].to_numpy(), "c": r_[si] // _od[si]}
+                )
+                return out.groupby("node", as_index=False)["c"].sum()
+
+            sums = grouped_agg(
+                e.map_batches(contrib, batch_format="pandas"),
+                ["node"], {"c": ("c", "sum")},
+            ).to_pandas()
+            full = np.zeros(n_nodes, dtype=np.int64)
+            if len(sums):
+                full[
+                    np.searchsorted(
+                        nodes_arr, sums["node"].to_numpy(dtype=object)
+                    )
+                ] = sums["c"].to_numpy(np.int64)
+            r = base + (damping_num * full) // damping_den
+        out = pd.DataFrame({"node": nodes_arr, "pagerank_fp": r})
+        return ray.data.from_pandas(out)
+
+    # --- distributed route: node state stays a dataset ----------------
+    st_empty = pd.DataFrame(
+        {"src": pd.Series(dtype="string"), "r_od": pd.Series(dtype=np.int64)}
+    )
+    c_empty = pd.DataFrame(
+        {"node": pd.Series(dtype="string"), "c": pd.Series(dtype=np.int64)}
+    )
+    r_empty = pd.DataFrame(
+        {"node": pd.Series(dtype="string"), "pagerank_fp": pd.Series(dtype=np.int64)}
+    )
+
+    # r//od is the only per-source quantity an edge needs; keep the
+    # state keyed by src as (src, r) and attach od once per iteration
+    r_ds = node_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"], "pagerank_fp": np.int64(scale)}
+        ),
+        batch_format="pandas",
+    )
+    for _ in range(iters):
+        share = cogroup_attach(
+            outdeg, "src",
+            {"src": S, "od": _I64},
+            r_ds.map_batches(
+                lambda df: df.rename(
+                    columns={"node": "n", "pagerank_fp": "r"}
+                ),
+                batch_format="pandas",
+            ),
+            "n", {"r": _I64},
+            fills={"src": "", "od": -1, "r": -1},
+            post=lambda m: pd.DataFrame(
+                {
+                    "src": m["src"],
+                    "r_od": m["r"].to_numpy(np.int64)
+                    // m["od"].to_numpy(np.int64),
+                }
+            )
+            if not m.empty else st_empty.copy(),
+            empty_out=st_empty,
+            key_type=S,
+        )
+        contribs = cogroup_attach(
+            e, "src",
+            {"src": S, "dst": S},
+            share, "src", {"r_od": _I64},
+            fills={"src": "", "dst": "", "r_od": -1},
+            post=lambda m: pd.DataFrame(
+                {"node": m["dst"], "c": m["r_od"].to_numpy(np.int64)}
+            )
+            if not m.empty else c_empty.copy(),
+            empty_out=c_empty,
+            key_type=S,
+        )
+        sums = grouped_agg(contribs, ["node"], {"c": ("c", "sum")})
+        r_ds = cogroup_attach(
+            node_ds, "node",
+            {"node": S},
+            sums.map_batches(
+                lambda df: df.rename(columns={"node": "n"}),
+                batch_format="pandas",
+            ),
+            "n", {"c": _I64},
+            fills={"node": "", "c": 0},
+            post=lambda m: pd.DataFrame(
+                {
+                    "node": m["node"],
+                    "pagerank_fp": base
+                    + (
+                        damping_num
+                        * m["c"].fillna(0).to_numpy(np.int64)
+                    )
+                    // damping_den,
+                }
+            )
+            if not m.empty else r_empty.copy(),
+            empty_out=r_empty,
+            key_type=S,
+            how="left",
+        ).materialize()
+    return r_ds

@@ -460,3 +460,40 @@ def test_triangle_counts_degenerate_graphs():
     path = rd.from_items([{"u": 0, "v": 1}, {"u": 1, "v": 2}])  # no triangle
     out2 = triangle_counts(path).to_pandas()
     assert len(out2) == 0
+
+
+def test_pagerank_fixedpoint_both_routes():
+    """Integer PageRank matches a brute-force fixed-point replay on a
+    small directed graph (with a dangling node and a multi-edge), via
+    both the broadcast and the distributed cogroup routes."""
+    import ray.data as rd
+
+    from bioontologykg_ray.stages.graph import pagerank_fixedpoint
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "a"), ("a", "b")]
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges])
+
+    # brute replay of the documented recurrence (distinct edges,
+    # dangling mass dropped)
+    dedup = sorted(set(edges))
+    nodes = sorted({x for e in dedup for x in e} | {"d"})  # no 'd' here
+    nodes = sorted({x for e in dedup for x in e})
+    od = {n: sum(1 for s, _ in dedup if s == n) for n in nodes}
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        c = {n: 0 for n in nodes}
+        for s, d in dedup:
+            c[d] += r[s] // od[s]
+        r = {n: 150_000 + (85 * c[n]) // 100 for n in nodes}
+
+    for thresh in (5_000_000, 0):
+        out = (
+            pagerank_fixedpoint(ds, broadcast_threshold=thresh)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert out["node"].tolist() == nodes, f"thresh={thresh}"
+        assert out["pagerank_fp"].tolist() == [r[n] for n in nodes], (
+            f"thresh={thresh}"
+        )
