@@ -269,11 +269,12 @@ def pagerank_fixedpoint(
         )
         r = np.full(n_nodes, scale, dtype=np.int64)
         e = e.materialize()  # iterated over; avoid re-running the dedup
+        nodes_ref = ray.put(nodes_arr)  # shipped once, not per iteration
         for _ in range(iters):
-            ref = ray.put((nodes_arr, r))
+            ref = ray.put(r)
 
             def contrib(df: pd.DataFrame, _od=od) -> pd.DataFrame:
-                nodes_, r_ = ray.get(ref)
+                nodes_, r_ = ray.get(nodes_ref), ray.get(ref)
                 si = np.searchsorted(nodes_, df["src"].to_numpy(dtype=object))
                 out = pd.DataFrame(
                     {"node": df["dst"].to_numpy(), "c": r_[si] // _od[si]}

@@ -476,7 +476,6 @@ def test_pagerank_fixedpoint_both_routes():
     # brute replay of the documented recurrence (distinct edges,
     # dangling mass dropped)
     dedup = sorted(set(edges))
-    nodes = sorted({x for e in dedup for x in e} | {"d"})  # no 'd' here
     nodes = sorted({x for e in dedup for x in e})
     od = {n: sum(1 for s, _ in dedup if s == n) for n in nodes}
     r = {n: 1_000_000 for n in nodes}
