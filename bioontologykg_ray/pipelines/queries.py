@@ -2200,6 +2200,36 @@ FROM parts GROUP BY bucket
 """
 
 
+def q_cms_user_registers(sf_dir: str):
+    """Count-min sketch over events.user_id: the full (row, cell, cnt)
+    register table — integer-exact, SQL-replayable (same md5 contract
+    as the HLL sketch). Per-batch partials ship ≤ depth*width rows; the
+    combine is an elementwise sum — the mergeable-sketch alternative to
+    an exact all-to-all frequency count for heavy-hitter detection at
+    100 TB. Point estimates (min over rows) are pytest-checked against
+    exact counts."""
+    from bioontologykg_ray.stages.sketch import cms_registers
+
+    ds = _rp(sf_dir, "events", columns=["user_id"])
+    return (
+        cms_registers(ds, "user_id", depth=4, width=1024)
+        .to_pandas()
+        .sort_values(["row", "cell"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_CMS_USER_REGISTERS = """
+SELECT j.j AS row,
+       CAST(md5_number_lower(
+         CAST(j.j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)) % 1024
+         AS BIGINT) AS cell,
+       count(*) AS cnt
+FROM events, (SELECT unnest(generate_series(0, 3)) AS j) j
+GROUP BY 1, 2
+"""
+
+
 def q_entity_degrees(sf_dir: str):
     """Graph analytics over the flagship output: per-node degree and
     mention-weighted degree from the canonical edge table (hub-entity
@@ -2433,6 +2463,7 @@ QUERIES = {
     "fuzzy_dedup_survivors": q_fuzzy_dedup_survivors,
     "segment_dedup": q_segment_dedup,
     "hll_user_registers": q_hll_user_registers,
+    "cms_user_registers": q_cms_user_registers,
     "orders_with_lineitems_bloom": q_orders_with_lineitems_bloom,
     "doc_token_freq": q_doc_token_freq,
     "doc_top_terms": q_doc_top_terms,
@@ -2512,6 +2543,7 @@ ORACLE = {
     "fuzzy_dedup_survivors": SQL_FUZZY_DEDUP_SURVIVORS,
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "hll_user_registers": SQL_HLL_USER_REGISTERS,
+    "cms_user_registers": SQL_CMS_USER_REGISTERS,
     "orders_with_lineitems_bloom": SQL_ORDERS_WITH_LINEITEMS_BLOOM,
     "doc_token_freq": SQL_DOC_TOKEN_FREQ,
     "doc_top_terms": SQL_DOC_TOP_TERMS,

@@ -88,3 +88,70 @@ def hll_estimate(registers: pd.DataFrame, p: int = 12) -> float:
     if est > (1 << 32) / 30.0:
         return -(1 << 32) * np.log(1.0 - est / (1 << 32))
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable heavy-hitter frequency registers
+# ---------------------------------------------------------------------------
+
+def cms_partial(values: pd.Series, depth: int = 4, width: int = 1024) -> pd.DataFrame:
+    """(row, cell, cnt) partial counts for one batch — ≤ depth*width
+    rows regardless of batch size. Hash_j(v) = md5_low64(f"{j}:{v}") %
+    width (bit-equal to DuckDB md5_number_lower, so the whole register
+    table is SQL-replayable)."""
+    parts = []
+    svals = values.astype(str)
+    for j in range(depth):
+        cell = np.fromiter(
+            (md5_low64(f"{j}:{v}") % width for v in svals),
+            dtype=np.int64, count=len(svals),
+        )
+        c = pd.Series(cell).value_counts()
+        parts.append(
+            pd.DataFrame(
+                {
+                    "row": np.full(len(c), j, dtype=np.int64),
+                    "cell": c.index.to_numpy(np.int64),
+                    "cnt": c.to_numpy(np.int64),
+                }
+            )
+        )
+    return pd.concat(parts, ignore_index=True)
+
+
+def cms_registers(
+    ds: ray.data.Dataset, col: str, depth: int = 4, width: int = 1024
+) -> ray.data.Dataset:
+    """Global count-min register table: (row, cell, cnt) with cnt summed
+    over the whole column. Mergeable (elementwise sum — associative and
+    order-free, so Ray tree-combines partials); the exchange moves
+    ≤ depth*width rows per batch — the bounded-sketch alternative to an
+    exact all-to-all frequency count at 100 TB. Cormode & Muthukrishnan
+    2005. Integer-exact registers → exact SQL oracle; the (over-)
+    estimate for a key is min_j(reg[j][hash_j(key)]), derived from the
+    registers in O(depth)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return cms_partial(df[col], depth=depth, width=width)
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["row", "cell"],
+        {"cnt": ("cnt", "sum")},
+    )
+
+
+def cms_estimate(
+    registers: pd.DataFrame, key, depth: int = 4, width: int = 1024
+) -> int:
+    """Point frequency (over-)estimate for one key: min over rows."""
+    est = None
+    lut = {
+        (int(r), int(c)): int(n)
+        for r, c, n in registers[["row", "cell", "cnt"]].itertuples(index=False)
+    }
+    for j in range(depth):
+        cell = md5_low64(f"{j}:{key}") % width
+        v = lut.get((j, cell), 0)
+        est = v if est is None else min(est, v)
+    return int(est)

@@ -496,3 +496,28 @@ def test_pagerank_fixedpoint_both_routes():
         assert out["pagerank_fp"].tolist() == [r[n] for n in nodes], (
             f"thresh={thresh}"
         )
+
+
+def test_cms_estimate_bounds():
+    """CMS point estimates never undercount, and for a clear heavy
+    hitter with depth 4 / width 1024 over a small key space the
+    estimate is exact."""
+    import ray.data as rd
+
+    from bioontologykg_ray.stages.sketch import cms_estimate, cms_registers
+
+    vals = [7] * 500 + list(range(100, 400))  # heavy hitter 7
+    ds = rd.from_items([{"k": v} for v in vals]).repartition(5)
+    reg = cms_registers(ds, "k", depth=4, width=1024).to_pandas()
+    exact = {7: 500}
+    for v in range(100, 400):
+        exact[v] = 1
+    for k, true_n in list(exact.items())[:50] + [(7, 500)]:
+        est = cms_estimate(reg, k, depth=4, width=1024)
+        assert est >= true_n
+    assert cms_estimate(reg, 7, depth=4, width=1024) >= 500
+    # 301 distinct keys over 4x1024 cells: the hitter's min-row is
+    # almost surely collision-free; allow tiny over-estimate
+    assert cms_estimate(reg, 7, depth=4, width=1024) <= 505
+    # absent key estimates stay near zero
+    assert cms_estimate(reg, "never-seen", depth=4, width=1024) <= 5
