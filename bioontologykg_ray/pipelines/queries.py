@@ -1031,6 +1031,31 @@ FROM sm GROUP BY doc_id
 """
 
 
+def q_wav_energy_windows(sf_dir: str):
+    """Second real audio kernel: 160-sample window energy over decoded
+    PCM (silence-detection shape) — all-integer arithmetic, tail
+    partial windows dropped, sub-window docs dropped; the oracle
+    replays the generation formula through the identical windowing."""
+    docs = _rp(sf_dir, "documents", columns=["doc_id"])
+    return MM.decode_wav_energy(MM.attach_wav_payload(docs))
+
+
+SQL_WAV_ENERGY_WINDOWS = """
+WITH dims AS (SELECT doc_id, doc_id % 800 + 100 AS n FROM documents),
+sm AS (SELECT doc_id, i.i AS i,
+              CAST(((doc_id + i.i) * 37) % 2048 - 1024 AS BIGINT) AS v
+       FROM dims, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) i
+       WHERE i.i < (n // 160) * 160),
+w AS (SELECT doc_id, i // 160 AS win, sum(v * v) AS e FROM sm GROUP BY 1, 2)
+SELECT doc_id AS media_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(e) AS BIGINT) AS total_energy,
+       CAST(max(e) AS BIGINT) AS max_window_energy,
+       CAST(count(*) FILTER (WHERE e < 55000000) AS BIGINT) AS n_silent
+FROM w GROUP BY doc_id
+"""
+
+
 def q_bmv_frame_stats(sf_dir: str):
     """REAL video-style frame sampling: multi-frame container (length-
     prefixed real BMPs), every 2nd frame SEEKED to and decoded (skipped
@@ -2486,6 +2511,7 @@ QUERIES = {
     "bmp_resized_stats": q_bmp_resized_stats,
     "wav_audio_stats": q_wav_audio_stats,
     "bmv_frame_stats": q_bmv_frame_stats,
+    "wav_energy_windows": q_wav_energy_windows,
     # declarative importer
     "import_nodes": q_import_nodes,
     # KG flagship
@@ -2562,6 +2588,7 @@ ORACLE = {
     "bmp_resized_stats": SQL_BMP_RESIZED_STATS,
     "wav_audio_stats": SQL_WAV_AUDIO_STATS,
     "bmv_frame_stats": SQL_BMV_FRAME_STATS,
+    "wav_energy_windows": SQL_WAV_ENERGY_WINDOWS,
     "import_nodes": _sql_import_nodes(0.01),
     "kg_extract_triples": _sql_kg_extract(0.01),
     "kg_ordered_turns": _sql_kg_ordered(0.01),

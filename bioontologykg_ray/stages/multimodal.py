@@ -534,3 +534,55 @@ def decode_wav_stats(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class WavEnergyWindows:
+    """Second real audio kernel: fixed-size window energy over REAL
+    decoded PCM — the silence-detection / VAD-preprocessing shape. All
+    integer arithmetic (sum of v^2 per 160-sample window), so the
+    oracle replays it exactly; docs shorter than one window drop (the
+    tail partial window is discarded, as VAD framers do)."""
+
+    def __init__(self, window: int = 160, silence_threshold: int = 55_000_000):
+        self.window = window
+        self.threshold = silence_threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, nw_l, tot, mx, sil = [], [], [], [], []
+        for mid, buf in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            _rate, v = decode_wav(buf)
+            nw = len(v) // self.window
+            if nw == 0:
+                continue
+            e = (
+                v[: nw * self.window].astype(np.int64) ** 2
+            ).reshape(nw, self.window).sum(axis=1)
+            ids.append(mid)
+            nw_l.append(nw)
+            tot.append(int(e.sum()))
+            mx.append(int(e.max()))
+            sil.append(int((e < self.threshold).sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "n_windows": pa.array(nw_l, pa.int64()),
+                "total_energy": pa.array(tot, pa.int64()),
+                "max_window_energy": pa.array(mx, pa.int64()),
+                "n_silent": pa.array(sil, pa.int64()),
+            }
+        )
+
+
+def decode_wav_energy(
+    ds: ray.data.Dataset, window: int = 160, silence_threshold: int = 55_000_000,
+    batch_size: int = 256, concurrency: int | tuple = (1, 4),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        WavEnergyWindows,
+        fn_constructor_kwargs={
+            "window": window, "silence_threshold": silence_threshold,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

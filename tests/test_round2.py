@@ -435,3 +435,40 @@ def test_llm_backend_fallback_and_fake_rule():
     assert out.loc[1, "completion"] == "SUMMARY:"
     assert out.loc[1, "n_completion_tokens"] == 0
     assert (out["llm_model"] == "fake-causal-v1").all()
+
+
+def test_wav_energy_windows_kernel():
+    """Window energies computed from REALLY decoded samples: exact
+    integer sums, tail dropped, sub-window clips dropped."""
+    import ray.data as rd
+
+    from bioontologykg_ray.stages.multimodal import (
+        decode_wav_energy,
+        encode_wav,
+    )
+
+    v1 = np.arange(-200, 200, dtype=np.int16)         # 400 samples: 2 windows
+    v2 = np.zeros(170, dtype=np.int16); v2[:10] = 1000  # 1 window, loud head
+    v3 = np.ones(100, dtype=np.int16)                 # < 1 window → dropped
+    ds = rd.from_items(
+        [
+            {"media_id": i, "payload": encode_wav(v, 8000)}
+            for i, v in ((1, v1), (2, v2), (3, v3))
+        ]
+    )
+    out = (
+        decode_wav_energy(ds, window=160, silence_threshold=1_000_000)
+        .to_pandas()
+        .set_index("media_id")
+    )
+    assert list(out.index) == [1, 2]
+    e1a = int((np.arange(-200, -40, dtype=np.int64) ** 2).sum())
+    e1b = int((np.arange(-40, 120, dtype=np.int64) ** 2).sum())
+    assert out.loc[1, "n_windows"] == 2
+    assert out.loc[1, "total_energy"] == e1a + e1b
+    assert out.loc[1, "max_window_energy"] == max(e1a, e1b)
+    assert out.loc[1, "n_silent"] == int(e1a < 1_000_000) + int(e1b < 1_000_000)
+    e2 = 10 * 1000 * 1000
+    assert out.loc[2, "n_windows"] == 1
+    assert out.loc[2, "total_energy"] == e2
+    assert out.loc[2, "n_silent"] == 0  # e2 == threshold*10
