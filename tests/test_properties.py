@@ -222,3 +222,25 @@ def test_pii_regexes_match_duckdb_re2(seed):
         ).fetchone()
         assert row[0] == py, f"redacted text diverges on {text!r}"
         assert list(row[1:]) == py_counts, f"counts diverge on {text!r}"
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_triangle_counts_match_adjacency_bruteforce(seed):
+    """Random G(n, p): distributed triangle counts equal the dense
+    adjacency-matrix count diag(A^3)/2 per node."""
+    import ray.data as rd
+
+    from bioontologykg_ray.stages.graph import triangle_counts
+
+    rng = np.random.RandomState(seed)
+    n = 30
+    A = (rng.rand(n, n) < 0.2).astype(np.int64)
+    A = np.triu(A, 1)
+    A = A + A.T
+    edges = [(int(u), int(v)) for u, v in zip(*np.nonzero(np.triu(A, 1)))]
+    ds = rd.from_items([{"u": u, "v": v} for u, v in edges]).repartition(3)
+    out = triangle_counts(ds).to_pandas()
+    got = dict(zip(out["node"], out["n_triangles"]))
+    per_node = np.diag(A @ A @ A) // 2
+    want = {i: int(c) for i, c in enumerate(per_node) if c > 0}
+    assert got == want
