@@ -244,3 +244,37 @@ def test_triangle_counts_match_adjacency_bruteforce(seed):
     per_node = np.diag(A @ A @ A) // 2
     want = {i: int(c) for i, c in enumerate(per_node) if c > 0}
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_pagerank_fixedpoint_matches_bruteforce(seed):
+    """Random digraph (with dangling nodes and duplicate edge rows):
+    the distributed fixed-point PageRank equals a dict-based replay of
+    the documented integer recurrence."""
+    import ray.data as rd
+
+    from bioontologykg_ray.stages.graph import pagerank_fixedpoint
+
+    rng = np.random.RandomState(seed)
+    n = 25
+    raw = [
+        (f"n{rng.randint(n)}", f"n{rng.randint(n)}")
+        for _ in range(80)
+    ]
+    raw = [(s, d) for s, d in raw if s != d]
+    raw += raw[:7]  # duplicate rows must collapse
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in raw]).repartition(4)
+
+    dedup = sorted(set(raw))
+    nodes = sorted({x for e in dedup for x in e})
+    od = {u: sum(1 for s, _ in dedup if s == u) for u in nodes}
+    r = {u: 1_000_000 for u in nodes}
+    for _ in range(3):
+        c = {u: 0 for u in nodes}
+        for s, d in dedup:
+            c[d] += r[s] // od[s]
+        r = {u: 150_000 + (85 * c[u]) // 100 for u in nodes}
+
+    out = pagerank_fixedpoint(ds).to_pandas()
+    got = dict(zip(out["node"], out["pagerank_fp"]))
+    assert got == r
