@@ -46,7 +46,24 @@ def main(argv=None):
     orc = sub.add_parser("oracle", help="oracle P/R check against a run output")
     orc.add_argument("--sf", type=float, required=True)
 
+    qr = sub.add_parser(
+        "query", help="run one registry query (or list them with --list)"
+    )
+    qr.add_argument("name", nargs="?", help="query name from the registry")
+    qr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    qr.add_argument("--out", default=None,
+                    help="write result parquet here instead of printing head")
+    qr.add_argument("--num-cpus", type=int, default=None)
+    qr.add_argument("--list", action="store_true", dest="list_queries")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "query" and args.list_queries:
+        from bioontologykg_ray.pipelines.queries import ORACLE, QUERIES
+
+        for name in sorted(QUERIES):
+            print(f"{name}\t{'sql-oracle' if name in ORACLE else 'rows-only'}")
+        return 0
 
     if args.cmd == "synth":
         from bioontologykg_ray import synth
@@ -80,6 +97,29 @@ def main(argv=None):
                 "nodes": res["nodes"].count(),
                 "out": args.out,
             }))
+            return 0
+        if args.cmd == "query":
+            import pandas as pd
+            import pyarrow as pa_
+
+            import ray.data
+
+            from bioontologykg_ray.pipelines.queries import QUERIES
+
+            if args.name not in QUERIES:
+                print(json.dumps({"error": f"unknown query {args.name!r}"}))
+                return 2
+            res = QUERIES[args.name](args.sf_dir)
+            if isinstance(res, ray.data.Dataset):
+                res = res.to_pandas()
+            elif isinstance(res, pa_.Table):
+                res = res.to_pandas()
+            if args.out:
+                res.to_parquet(args.out, index=False)
+                print(json.dumps({"rows": len(res), "out": args.out}))
+            else:
+                print(res.head(20).to_string(index=False))
+                print(json.dumps({"rows": len(res)}))
             return 0
         if args.cmd == "oracle":
             import glob
