@@ -472,3 +472,31 @@ def test_wav_energy_windows_kernel():
     assert out.loc[2, "n_windows"] == 1
     assert out.loc[2, "total_energy"] == e2
     assert out.loc[2, "n_silent"] == 0  # e2 == threshold*10
+
+
+def test_cli_query_subcommand(capsys, tmp_path):
+    """`query --list` enumerates the registry with oracle status;
+    `query NAME --out` writes the result parquet."""
+    import json
+
+    import pandas as pd
+
+    from bioontologykg_ray.__main__ import main
+
+    assert main(["query", "--list"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) >= 80
+    assert any(l.startswith("pricing_summary\tsql-oracle") for l in lines)
+    assert any(l.startswith("doc_embeddings\trows-only") for l in lines)
+
+    out = str(tmp_path / "r.parquet")
+    rc = main(
+        ["query", "distinct_segments", "--sf-dir", "/root/testdata/sf0.001",
+         "--out", out]
+    )
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["rows"] == 5
+    assert len(pd.read_parquet(out)) == 5
+
+    assert main(["query", "no_such_query"]) == 2
