@@ -278,3 +278,24 @@ def test_pagerank_fixedpoint_matches_bruteforce(seed):
     out = pagerank_fixedpoint(ds).to_pandas()
     got = dict(zip(out["node"], out["pagerank_fp"]))
     assert got == r
+
+
+@pytest.mark.parametrize("n,shards", [(97, 4), (64, 8)])
+def test_global_shuffle_is_bijective(n, shards):
+    """(shard, pos_in_shard) is a bijection onto global slots 0..n-1,
+    shards are balanced to within one row, and the global order is the
+    hash order."""
+    import ray.data as rd
+
+    from bioontologykg_ray.functions.hashing import md5_low64
+    from bioontologykg_ray.stages.curation import global_shuffle
+
+    ds = rd.from_items([{"doc_id": i} for i in range(n)]).repartition(5)
+    out = global_shuffle(ds, n_shards=shards).to_pandas()
+    slots = (out["pos_in_shard"] * shards + out["shard"]).to_numpy()
+    assert sorted(slots) == list(range(n))
+    sizes = out.groupby("shard").size()
+    assert sizes.max() - sizes.min() <= 1
+    by_slot = out.assign(slot=slots).sort_values("slot")["doc_id"].tolist()
+    want = sorted(range(n), key=lambda i: md5_low64(str(i)))
+    assert by_slot == want
