@@ -133,6 +133,10 @@ def triangle_counts(
             empty_out=o_empty,
         )
 
+    # consumed twice below (wedges AND probes) — pin it so the
+    # orientation pipeline does not re-execute per consumer
+    oriented = oriented.materialize()
+
     # --- wedge emission per complete src group (out-deg = O(sqrt m)) --
     w_empty = pd.DataFrame(
         {"key": pd.Series(dtype=np.int64), "center": pd.Series(dtype=np.int64)}
@@ -269,15 +273,19 @@ def pagerank_fixedpoint(
         )
         r = np.full(n_nodes, scale, dtype=np.int64)
         e = e.materialize()  # iterated over; avoid re-running the dedup
-        nodes_ref = ray.put(nodes_arr)  # shipped once, not per iteration
+        # nodes + outdegrees ship ONCE through the object store; only the
+        # rank vector is re-put per iteration (closure-pickled arrays
+        # would re-ship with every task spec)
+        static_ref = ray.put((nodes_arr, od))
         for _ in range(iters):
             ref = ray.put(r)
 
-            def contrib(df: pd.DataFrame, _od=od) -> pd.DataFrame:
-                nodes_, r_ = ray.get(nodes_ref), ray.get(ref)
+            def contrib(df: pd.DataFrame) -> pd.DataFrame:
+                nodes_, od_ = ray.get(static_ref)
+                r_ = ray.get(ref)
                 si = np.searchsorted(nodes_, df["src"].to_numpy(dtype=object))
                 out = pd.DataFrame(
-                    {"node": df["dst"].to_numpy(), "c": r_[si] // _od[si]}
+                    {"node": df["dst"].to_numpy(), "c": r_[si] // od_[si]}
                 )
                 return out.groupby("node", as_index=False)["c"].sum()
 
@@ -297,6 +305,10 @@ def pagerank_fixedpoint(
         return ray.data.from_pandas(out)
 
     # --- distributed route: node state stays a dataset ----------------
+    # both are consumed once PER ITERATION — pin them so the corpus-wide
+    # dedup/count shuffles run once, not once per consumer
+    e = e.materialize()
+    outdeg = outdeg.materialize()
     st_empty = pd.DataFrame(
         {"src": pd.Series(dtype="string"), "r_od": pd.Series(dtype=np.int64)}
     )

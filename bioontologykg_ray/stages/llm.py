@@ -77,7 +77,14 @@ class TransformerCausalLM:
         from transformers import AutoModelForCausalLM, AutoTokenizer
 
         self.torch = torch
-        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+        # decoder-only batching: left padding (generate() must continue
+        # from real tokens, not pad filler) and an explicit pad token
+        # (GPT/Llama-family tokenizers ship none)
+        self.tokenizer = AutoTokenizer.from_pretrained(
+            model_name, padding_side="left"
+        )
+        if self.tokenizer.pad_token is None:
+            self.tokenizer.pad_token = self.tokenizer.eos_token
         self.model = AutoModelForCausalLM.from_pretrained(model_name)
         self.device = device or ("cuda" if torch.cuda.is_available() else "cpu")
         self.model.to(self.device).eval()
@@ -97,15 +104,16 @@ class TransformerCausalLM:
                 **enc, max_new_tokens=self.max_new_tokens, do_sample=False
             )
         n_in = enc["attention_mask"].sum(1).cpu().numpy().astype(np.int64)
-        comp = self.tokenizer.batch_decode(
-            out[:, enc["input_ids"].shape[1]:], skip_special_tokens=True
-        )
+        gen = out[:, enc["input_ids"].shape[1]:]
+        comp = self.tokenizer.batch_decode(gen, skip_special_tokens=True)
+        # per-row generated length: early-stopping rows are padded to the
+        # batch max by generate(); count only real (non-pad) tokens
+        pad_id = self.tokenizer.pad_token_id
+        n_out = (gen != pad_id).sum(1).cpu().numpy().astype(np.int64)
         df = df.copy()
         df[self.out_col] = comp
         df["n_prompt_tokens"] = n_in
-        df["n_completion_tokens"] = np.int64(
-            out.shape[1] - enc["input_ids"].shape[1]
-        )
+        df["n_completion_tokens"] = n_out
         df["llm_model"] = self.model_name
         return df
 
@@ -113,6 +121,8 @@ class TransformerCausalLM:
 def make_llm(backend: str = "auto", **kwargs):
     """('auto'|'transformer'|'fake') → (cls, ctor kwargs); 'auto' probes
     for torch+transformers and falls back to the deterministic fake."""
+    if backend not in ("auto", "transformer", "fake"):
+        raise ValueError(f"unknown llm backend {backend!r}")
     fake_keys = ("prompt_col", "out_col", "max_new_tokens", "prefix", "char_limit")
     if backend == "fake":
         return FakeCausalLM, {k: v for k, v in kwargs.items() if k in fake_keys}

