@@ -1428,7 +1428,9 @@ FROM documents
 
 def q_train_val_split(sf_dir: str):
     """Deterministic hash-based corpus split (90/5/5): bucket =
-    md5-low64(doc_id) % 100 — stable under any row order, resharding,
+    md5-low64("split:" + doc_id) % 100 (purpose-salted so it is
+    independent of the sample/holdout hash decisions) — stable under
+    any row order, resharding,
     or incremental append (the property a training-data split needs;
     random_shuffle-based splits are none of those). Reports per-split
     doc counts + char volume; the same bucket rule filters the actual
@@ -1440,7 +1442,7 @@ def q_train_val_split(sf_dir: str):
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         b = np.fromiter(
-            (md5_low64(str(i)) % 100 for i in df["doc_id"]),
+            (md5_low64("split:" + str(i)) % 100 for i in df["doc_id"]),
             dtype=np.int64, count=len(df),
         )
         split = np.where(b < 90, "train", np.where(b < 95, "val", "test"))
@@ -1460,7 +1462,7 @@ def q_train_val_split(sf_dir: str):
 SQL_TRAIN_VAL_SPLIT = """
 WITH b AS (
   SELECT doc_id, n_chars,
-         md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS bucket
+         md5_number_lower('split:' || CAST(doc_id AS VARCHAR)) % 100 AS bucket
   FROM documents)
 SELECT CASE WHEN bucket < 90 THEN 'train'
             WHEN bucket < 95 THEN 'val'
@@ -1547,7 +1549,7 @@ def q_decontaminate(sf_dir: str):
 
     def _is_eval(t: pa.Table) -> np.ndarray:
         return np.fromiter(
-            (md5_low64(str(i)) % 20 == 0 for i in t["doc_id"].to_pylist()),
+            (md5_low64("eval:" + str(i)) % 20 == 0 for i in t["doc_id"].to_pylist()),
             dtype=bool, count=t.num_rows,
         )
 
@@ -1564,7 +1566,7 @@ def q_decontaminate(sf_dir: str):
 SQL_DECONTAMINATE = r"""
 WITH d AS (
   SELECT doc_id, text,
-         md5_number_lower(CAST(doc_id AS VARCHAR)) % 20 = 0 AS is_eval
+         md5_number_lower('eval:' || CAST(doc_id AS VARCHAR)) % 20 = 0 AS is_eval
   FROM documents),
 toks AS (SELECT doc_id, is_eval, string_split_regex(trim(text), '\s+') AS l FROM d),
 ng AS (
@@ -1599,7 +1601,7 @@ def q_stratified_sample(sf_dir: str):
 SQL_STRATIFIED_SAMPLE = """
 SELECT doc_id, source
 FROM documents
-WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 <
+WHERE md5_number_lower('sample:' || CAST(doc_id AS VARCHAR)) % 10000 <
       CASE source
         WHEN 'src0' THEN 10000 WHEN 'src1' THEN 8000
         WHEN 'src2' THEN 6000  WHEN 'src3' THEN 5000
@@ -1732,9 +1734,11 @@ def q_training_shards(sf_dir: str):
     ds = _rp(sf_dir, "documents",
              columns=["doc_id", "text", "source", "n_chars"])
 
-    def bucket(ids, mod: int) -> np.ndarray:
+    def bucket(ids, mod: int, salt: str) -> np.ndarray:
+        # purpose salt: holdout / sample / split decisions over the same
+        # ids must be INDEPENDENT, not slices of one shared hash
         return np.fromiter(
-            (md5_low64(str(i)) % mod for i in ids),
+            (md5_low64(salt + str(i)) % mod for i in ids),
             dtype=np.int64, count=len(ids),
         )
 
@@ -1742,10 +1746,10 @@ def q_training_shards(sf_dir: str):
     # sizing even for empty object-string slices (pandas empties trip
     # Ray's np.vectorize size estimator)
     def keep_eval(t: pa.Table) -> pa.Table:
-        return t.filter(pa.array(bucket(t["doc_id"].to_pylist(), 20) == 0))
+        return t.filter(pa.array(bucket(t["doc_id"].to_pylist(), 20, "eval:") == 0))
 
     def keep_corpus(t: pa.Table) -> pa.Table:
-        return t.filter(pa.array(bucket(t["doc_id"].to_pylist(), 20) != 0))
+        return t.filter(pa.array(bucket(t["doc_id"].to_pylist(), 20, "eval:") != 0))
 
     eval_ds = ds.map_batches(keep_eval, batch_format="pyarrow")
     corpus = ds.map_batches(keep_corpus, batch_format="pyarrow")
@@ -1761,7 +1765,7 @@ def q_training_shards(sf_dir: str):
     )
 
     def assign_split(df: pd.DataFrame) -> pd.DataFrame:
-        b = bucket(df["doc_id"], 100)
+        b = bucket(df["doc_id"], 100, "split:")
         split = np.where(b < 90, "train", np.where(b < 95, "val", "test"))
         return pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(),
@@ -1791,12 +1795,14 @@ def q_training_shards(sf_dir: str):
 SQL_TRAINING_SHARDS = r"""
 WITH d AS (
   SELECT doc_id, text, source, n_chars,
-         md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
+         md5_number_lower('eval:' || CAST(doc_id AS VARCHAR)) % 20 AS h_eval,
+         md5_number_lower('sample:' || CAST(doc_id AS VARCHAR)) % 10000 AS h_samp,
+         md5_number_lower('split:' || CAST(doc_id AS VARCHAR)) % 100 AS h_split
   FROM documents),
 samp AS (
   SELECT * FROM d
-  WHERE h % 20 <> 0
-    AND h % 10000 < CASE source
+  WHERE h_eval <> 0
+    AND h_samp < CASE source
         WHEN 'src0' THEN 10000 WHEN 'src1' THEN 8000
         WHEN 'src2' THEN 6000  WHEN 'src3' THEN 5000
         WHEN 'src4' THEN 4000  WHEN 'src5' THEN 3000
@@ -1805,7 +1811,7 @@ samp AS (
         ELSE 0 END),
 toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM d
-  WHERE h % 20 = 0),
+  WHERE h_eval = 0),
 ev AS (
   SELECT DISTINCT array_to_string(l[i:i+3], ' ') AS g
   FROM toks, UNNEST(generate_series(1, len(l) - 3)) AS t(i)),
@@ -1817,8 +1823,8 @@ sng AS (
 dirty AS (SELECT DISTINCT doc_id FROM sng JOIN ev USING (g)),
 clean AS (
   SELECT s.doc_id, s.source, s.n_chars,
-         CASE WHEN s.h % 100 < 90 THEN 'train'
-              WHEN s.h % 100 < 95 THEN 'val'
+         CASE WHEN s.h_split < 90 THEN 'train'
+              WHEN s.h_split < 95 THEN 'val'
               ELSE 'test' END AS split
   FROM samp s ANTI JOIN dirty USING (doc_id))
 SELECT doc_id, source, split,

@@ -110,7 +110,11 @@ def contamination_flags(
         hits = np.zeros(len(df), dtype=np.int64)
         rows, h = _word_ngram_hashes(df[text_col].reset_index(drop=True), n)
         if len(h) and len(ev):
-            m = rows[np.isin(h, ev)]          # ev sorted → binary-search path
+            # true binary-search probe against the SORTED eval array
+            # (np.isin would re-sort both sides per batch)
+            idx = np.searchsorted(ev, h)
+            idx_c = np.minimum(idx, len(ev) - 1)
+            m = rows[(idx < len(ev)) & (ev[idx_c] == h)]
             if len(m):
                 np.add.at(hits, m, 1)
         return df.assign(n_hits=hits)
@@ -128,9 +132,14 @@ def stratified_sample(
     buckets: int = 10_000,
 ) -> ray.data.Dataset:
     """Deterministic per-group downsampling: a row survives iff
-    ``md5_low64(str(id)) % buckets < rate[group] * buckets``. A pure
-    per-batch filter — no shuffle, no RNG, stable under resharding;
-    rerunning or appending data never resamples survivors."""
+    ``md5_low64("sample:" + str(id)) % buckets < rate[group] * buckets``.
+    The purpose salt ("sample:") keeps this decision INDEPENDENT of the
+    other hash-bucketed decisions over the same ids (eval holdout,
+    train/val/test split) — an unsalted shared hash correlates them
+    perfectly (e.g. any sample rate ≤ 0.9% would force every survivor
+    into the unsalted %100 split's 'train' bucket, leaving val/test
+    empty). A pure per-batch filter — no shuffle, no RNG, stable under
+    resharding; rerunning or appending data never resamples survivors."""
     thresh = {g: int(round(r * buckets)) for g, r in rates.items()}
     default_t = int(round(default_rate * buckets))
 
@@ -141,7 +150,7 @@ def stratified_sample(
         import pyarrow as pa
 
         b = np.fromiter(
-            (md5_low64(str(i)) % buckets for i in t[id_col].to_pylist()),
+            (md5_low64("sample:" + str(i)) % buckets for i in t[id_col].to_pylist()),
             dtype=np.int64, count=t.num_rows,
         )
         lim = np.fromiter(
@@ -299,7 +308,7 @@ def redact_pii(
     sees it, i.e. after the preceding rules' replacements)."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        s = df[text_col].astype(str)
+        s = df[text_col].fillna("").astype(str)
         for name, pat, repl in _PII_COMPILED:
             df["n_" + name] = s.str.count(pat).astype(np.int64)
             s = s.str.replace(pat, repl, regex=True)
@@ -325,7 +334,9 @@ def global_shuffle(
     rank comes from the distributed prefix-sum scan (stages/scan.py:
     per-block offsets are O(#blocks) driver state, never O(#rows)).
 
-    Hash collisions would alias two rows' order (prefix_sum contract);
+    Contract: ids are UNIQUE (duplicate ids share a hash and violate
+    prefix_sum's unique-order-key assumption — run exact dedup first on
+    dirty corpora). Hash collisions would alias two rows' order too;
     with 64-bit md5 that is negligible below ~1e9 rows per shuffle —
     shuffle per shard-group beyond that, or widen the hash."""
     from bioontologykg_ray.stages.scan import prefix_sum

@@ -67,6 +67,8 @@ class FakeImageDecoder:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()
+        # MEDIA_SCHEMA allows NULL payloads — treat them as empty
+        payloads = [p if p is not None else b"" for p in payloads]
         widths = [len(p) % 640 + 16 for p in payloads]
         heights = [
             ((p[0] if p else 0) * 7 + len(p)) % 480 + 16 for p in payloads
@@ -134,7 +136,8 @@ def decode_bmp(buf: bytes) -> "np.ndarray":
     px = rows[:, : 3 * w].reshape(abs(h), w, 3)
     if h > 0:
         px = px[::-1]
-    return px[:, :, ::-1]
+    # owned, writable array (frombuffer over bytes is read-only)
+    return np.ascontiguousarray(px[:, :, ::-1])
 
 
 def attach_bmp_payload(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
@@ -222,7 +225,6 @@ class BmpResizeDecoder:
             sums.append(int(r.astype(np.int64).sum()))
             means.append(round(float(r.astype(np.float64).mean()), 6))
         self.decoded += t.num_rows
-        n = self.out_h * self.out_w
         return pa.table(
             {
                 "media_id": t["media_id"],
@@ -466,7 +468,8 @@ def decode_wav(buf: bytes) -> tuple[int, "np.ndarray"]:
         raise ValueError("missing fmt/data chunk")
     if bits != 16 or channels != 1:
         raise ValueError(f"unsupported WAV layout (bits={bits}, ch={channels})")
-    return rate, np.frombuffer(data, dtype="<i2")
+    # .copy(): frombuffer over bytes is read-only; callers may mutate
+    return rate, np.frombuffer(data, dtype="<i2").copy()
 
 
 def attach_wav_payload(ds: ray.data.Dataset, id_col: str = "doc_id",

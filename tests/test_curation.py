@@ -76,7 +76,7 @@ def test_stratified_sample_deterministic_and_stable_under_append():
     assert set(a["doc_id"]) == set(c[c["doc_id"] < 1000]["doc_id"])
     # survivor rule is exactly the documented hash threshold
     for _, r in a.iterrows():
-        assert md5_low64(str(r["doc_id"])) % 10000 < rates[r["source"]] * 10000
+        assert md5_low64("sample:" + str(r["doc_id"])) % 10000 < rates[r["source"]] * 10000
     # rough rate sanity: s0 keeps about half, s1 about a tenth
     n0 = (a["source"] == "s0").sum()
     n1 = (a["source"] == "s1").sum()
@@ -244,3 +244,21 @@ def test_global_shuffle_stable_under_append():
     oa, ob = order(a), order(b)
     assert [i for i in ob if i < 40] == oa
     assert sorted(a.groupby("shard").size()) == [10, 10, 10, 10]
+
+
+def test_sample_and_split_hashes_are_independent():
+    """The round-2 review finding: with an UNSALTED shared hash, any
+    sample rate <= 0.9% forces every survivor into the split's 'train'
+    bucket (survivor <=> h%10000 < thresh ==> h%100 < 90). With purpose
+    salts the decisions are independent: a low-rate sample must still
+    contain val and test docs."""
+    rows = [{"doc_id": i, "source": "s"} for i in range(100_000)]
+    kept = stratified_sample(
+        ray.data.from_items(rows), {"s": 0.005}
+    ).to_pandas()
+    assert 300 <= len(kept) <= 700  # ~500 expected
+    buckets = np.array(
+        [md5_low64("split:" + str(i)) % 100 for i in kept["doc_id"]]
+    )
+    assert (buckets >= 90).sum() > 0   # val+test not emptied
+    assert (buckets >= 95).sum() > 0   # test not emptied
