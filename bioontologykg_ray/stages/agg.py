@@ -133,7 +133,10 @@ def sorted_group_apply(
         k = df[mask_cols]
         first = (k == k.iloc[0]).all(axis=1)
         last = (k == k.iloc[-1]).all(axis=1)
-        return first | last
+        # NaN keys never compare equal, so a null-keyed group straddling
+        # a block boundary would silently split into two body fragments:
+        # route EVERY null-keyed row to the (globally applied) edge pass
+        return first | last | k.isna().any(axis=1)
 
     def inner(df: pd.DataFrame) -> pd.DataFrame:
         ensure_quiet()  # worker imports the package -> log filter active
@@ -155,7 +158,12 @@ def sorted_group_apply(
     body_out = s.map_batches(inner, batch_format="pandas", batch_size=None)
     edge_rows = s.map_batches(edges_only, batch_format="pandas", batch_size=None)
     edge_out = edge_rows.repartition(1).map_batches(
-        lambda df: apply_fn(strip(df)), batch_format="pandas", batch_size=None
+        lambda df: (
+            empty_like.copy()
+            if df.empty and empty_like is not None
+            else apply_fn(strip(df))
+        ),
+        batch_format="pandas", batch_size=None,
     )
     return body_out.union(edge_out)
 
@@ -182,7 +190,8 @@ def grouped_agg(
     finalize = []      # (out_col, kind, tmp_cols)
     for out_col, (src, fn) in aggs.items():
         if fn == "count":
-            partial_ops.append((f"__{out_col}", src, "size"))
+            # SQL COUNT(col) semantics: NULLs in src are not counted
+            partial_ops.append((f"__{out_col}", src, "count"))
             combine_ops.append((f"__{out_col}", "sum"))
             finalize.append((out_col, "int", [f"__{out_col}"]))
         elif fn in ("sum", "min", "max"):
@@ -191,7 +200,7 @@ def grouped_agg(
             finalize.append((out_col, "id", [f"__{out_col}"]))
         elif fn == "mean":
             partial_ops.append((f"__{out_col}_s", src, "sum"))
-            partial_ops.append((f"__{out_col}_c", src, "size"))
+            partial_ops.append((f"__{out_col}_c", src, "count"))  # AVG skips NULLs
             combine_ops.append((f"__{out_col}_s", "sum"))
             combine_ops.append((f"__{out_col}_c", "sum"))
             finalize.append((out_col, "mean", [f"__{out_col}_s", f"__{out_col}_c"]))
@@ -204,7 +213,7 @@ def grouped_agg(
         gb = df.groupby(gkeys, dropna=False)
         cols = {}
         for tmp, src, fn in partial_ops:
-            cols[tmp] = gb.size() if fn == "size" else gb[src].agg(fn)
+            cols[tmp] = gb[src].count() if fn == "count" else gb[src].agg(fn)
         return pd.DataFrame(cols).reset_index()
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
@@ -254,8 +263,9 @@ def exact_quantiles(
     hist = (
         grouped_agg(ds, [col], {"n": (col, "count")})
         .to_pandas()
-        .sort_values(col)
-        .reset_index(drop=True)
+    )
+    hist = (  # SQL quantiles ignore NULLs — drop the null-value bucket
+        hist[hist[col].notna()].sort_values(col).reset_index(drop=True)
     )
     cum = hist["n"].to_numpy(np.int64).cumsum()
     n = int(cum[-1]) if len(cum) else 0

@@ -41,27 +41,39 @@ def prefix_sum(
     ``order_col`` order. One range shuffle + two vectorized passes."""
     s = ds.sort(order_col).materialize()
 
+    # integer cost columns accumulate EXACTLY in int64/python ints —
+    # float64 running totals round past 2^53 and break the SQL-window
+    # reproducibility claim
     def block_stat(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return pd.DataFrame({"lo": pd.Series(dtype="object"),
-                                 "s": pd.Series(dtype="float64")})
-        return pd.DataFrame({"lo": [df[order_col].iloc[0]],
-                             "s": [float(df[val_col].sum())]})
+                                 "s": pd.Series(dtype="object")})
+        is_int = pd.api.types.is_integer_dtype(df[val_col])
+        tot = df[val_col].sum()
+        return pd.DataFrame(
+            {"lo": [df[order_col].iloc[0]],
+             "s": [int(tot) if is_int else float(tot)]}
+        )
 
     stats = s.map_batches(block_stat, batch_format="pandas", batch_size=None).to_pandas()
     stats = stats.sort_values("lo").reset_index(drop=True)
-    stats["off"] = stats["s"].cumsum().shift(fill_value=0.0)
+    # object-dtype cumsum over #blocks rows: python-int exact, tiny
+    stats["off"] = stats["s"].astype(object).cumsum().shift(fill_value=0)
     offsets = dict(zip(stats["lo"], stats["off"]))
     off_ref = ray.put(offsets)
 
     def add(df: pd.DataFrame) -> pd.DataFrame:
+        is_int = pd.api.types.is_integer_dtype(df[val_col]) if len(df) else False
         if df.empty:
             df = df.copy()
             df[out_col] = pd.Series(dtype="float64")
             return df
         off = ray.get(off_ref)[df[order_col].iloc[0]]
         df = df.copy()
-        df[out_col] = df[val_col].to_numpy(np.float64).cumsum() + off
+        if is_int:
+            df[out_col] = df[val_col].to_numpy(np.int64).cumsum() + np.int64(off)
+        else:
+            df[out_col] = df[val_col].to_numpy(np.float64).cumsum() + float(off)
         return df
 
     return s.map_batches(add, batch_format="pandas", batch_size=None)
@@ -81,6 +93,8 @@ def pack_by_budget(
     the standard cumulative-split used for token-budget sharding).
     Exactly reproducible in SQL as
     ``FLOOR((SUM(cost) OVER (ORDER BY ord) - cost) / budget)``."""
+    if not budget > 0:
+        raise ValueError(f"budget must be > 0, got {budget!r}")
     with_sum = prefix_sum(ds, order_col, cost_col, out_col="__run")
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:

@@ -15,6 +15,17 @@ import pandas as pd
 import ray.data
 
 
+def _window_combine(df: pd.DataFrame) -> pd.DataFrame:
+    """Shared (user_id, window) partial combiner for tumbling/sliding.
+    dropna=False: SQL GROUP BY keeps a NULL-user group — so do we."""
+    out = df.groupby(["user_id", "window"], as_index=False, dropna=False).agg(
+        n=("n", "sum"), value_sum=("value_sum", "sum")
+    )
+    out["value_sum"] = out["value_sum"].round(3)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 def tumbling_window_agg(ds: ray.data.Dataset, width_s: int = 3600) -> ray.data.Dataset:
     """Per (user_id, window) count + value sum; window = floor(epoch/width).
     Pure map-side bucketing + one pre-aggregated groupby — no per-group
@@ -27,19 +38,11 @@ def tumbling_window_agg(ds: ray.data.Dataset, width_s: int = 3600) -> ray.data.D
         w = (ts_ns // (width_s * 1_000_000_000)).astype(np.int64)
         return (
             pd.DataFrame({"user_id": df["user_id"], "window": w, "value": df["value"]})
-            .groupby(["user_id", "window"], as_index=False)
+            .groupby(["user_id", "window"], as_index=False, dropna=False)
             .agg(n=("value", "size"), value_sum=("value", "sum"))
         )
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(["user_id", "window"], as_index=False).agg(
-            n=("n", "sum"), value_sum=("value_sum", "sum")
-        )
-        out["value_sum"] = out["value_sum"].round(3)
-        out["n"] = out["n"].astype(np.int64)
-        return out
-
-    return two_phase_agg(ds, partial, combine)
+    return two_phase_agg(ds, partial, _window_combine)
 
 
 def sliding_window_agg(
@@ -71,19 +74,11 @@ def sliding_window_agg(
                     "value": np.repeat(df["value"].to_numpy(), k),
                 }
             )
-            .groupby(["user_id", "window"], as_index=False)
+            .groupby(["user_id", "window"], as_index=False, dropna=False)
             .agg(n=("value", "size"), value_sum=("value", "sum"))
         )
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(["user_id", "window"], as_index=False).agg(
-            n=("n", "sum"), value_sum=("value_sum", "sum")
-        )
-        out["value_sum"] = out["value_sum"].round(3)
-        out["n"] = out["n"].astype(np.int64)
-        return out
-
-    return two_phase_agg(ds, partial, combine)
+    return two_phase_agg(ds, partial, _window_combine)
 
 
 def session_counts(ds: ray.data.Dataset, gap_s: int = 1800) -> ray.data.Dataset:
@@ -156,6 +151,9 @@ def asof_join_prior(
         if left.empty:
             return empty.copy()
         right = right.rename(columns={ts_col: "r_ts"})
+        # nullable Int64 BEFORE the merge: unmatched lefts otherwise
+        # coerce right_event_id through float64 (lossy above 2^53)
+        right["right_event_id"] = right["right_event_id"].astype("Int64")
         left = left.sort_values([ts_col, "event_id"], kind="mergesort")
         right = right.sort_values(["r_ts", "right_event_id"], kind="mergesort")
         m = pd.merge_asof(
@@ -163,7 +161,10 @@ def asof_join_prior(
             direction="backward", allow_exact_matches=True,
         )
         r_ns = m["r_ts"].astype("datetime64[ns]")
-        r_us = pd.Series(r_ns.view("int64") // 1000, dtype="Int64").mask(r_ns.isna())
+        # numpy view, not Series.view (deprecated in pandas 2.2,
+        # removed in 3.0); NaT's sentinel is masked right after
+        r_i8 = r_ns.to_numpy(dtype="datetime64[ns]").view("i8")
+        r_us = pd.Series(r_i8 // 1000, index=m.index, dtype="Int64").mask(r_ns.isna())
         return pd.DataFrame(
             {
                 "event_id": m["event_id"].to_numpy(np.int64),
