@@ -24,7 +24,36 @@ import ray.data
 
 
 def _as_matrix(col) -> np.ndarray:
-    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+    vs = [np.asarray(v, dtype=np.float64) for v in col]
+    if not vs:  # np.stack([]) raises a cryptic ValueError
+        return np.zeros((0, 0), dtype=np.float64)
+    return np.stack(vs)
+
+
+_EMPTY_TOPK = pd.DataFrame(
+    {
+        "query_id": pd.Series(dtype=np.int64),
+        "vec_id": pd.Series(dtype=np.int64),
+        "cos": pd.Series(dtype=np.float64),
+    }
+)
+
+
+def _fetch_queries(ds: ray.data.Dataset, query_ids: list[int]) -> pd.DataFrame:
+    """Collect the query vectors (the SMALL side) to the driver.
+    Arrow-native filter (a pandas batch would carry `embedding` as an
+    object column Ray's size estimator can't measure). Raises a clear
+    error when any requested id is absent — silent drops made a
+    mistyped id look like an empty-ish result."""
+    qset = sorted(set(query_ids))
+    qdf = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=pa.array(qset))),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values("vec_id")
+    missing = set(qset) - set(qdf["vec_id"])
+    if missing:
+        raise ValueError(f"query_ids not present in the corpus: {sorted(missing)}")
+    return qdf
 
 
 def _normalize(M: np.ndarray) -> np.ndarray:
@@ -43,6 +72,8 @@ class BruteForceScorer:
         self.k = k
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY_TOPK.copy()
         ids = df["vec_id"].to_numpy()
         M = _normalize(_as_matrix(df["embedding"]))
         C = self.Q @ M.T  # (nq, batch)
@@ -85,14 +116,7 @@ def ann_topk_bruteforce(
     ds: ray.data.Dataset, query_ids: list[int], k: int = 10
 ) -> ray.data.Dataset:
     """Exact cosine top-k for each query vector (excluding itself)."""
-    qset = set(query_ids)
-    qdf = ds.map_batches(
-        # Arrow-native filter: a pandas batch would carry `embedding` as
-        # an object column Ray's size estimator can't measure (noisy
-        # empty-batch `vectorize` warnings in round 1)
-        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=pa.array(sorted(qset)))),
-        batch_format="pyarrow",
-    ).to_pandas().sort_values("vec_id")
+    qdf = _fetch_queries(ds, query_ids)
     ref = ray.put({"qids": qdf["vec_id"].to_numpy(), "Q": _as_matrix(qdf["embedding"])})
     partials = ds.map_batches(
         BruteForceScorer,
@@ -119,7 +143,7 @@ def ann_topk_lsh(
     query_ids: list[int],
     k: int = 10,
     nbits: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 11,
     n_tables: int = 8,
 ) -> ray.data.Dataset:
@@ -129,18 +153,15 @@ def ann_topk_lsh(
     per-table miss prob p^nbits compounds to (1-p^nbits)^L misses).
     Same output schema as the brute-force variant; recall measured in
     BASELINE.md (recall@10 vs brute force on the driver embeddings)."""
+    qdf = _fetch_queries(ds, query_ids)
+    Q = _as_matrix(qdf["embedding"])
+    if dim is None:
+        dim = Q.shape[1]  # infer from the data (a wrong explicit dim
+        # would only surface as a matmul shape error inside a worker)
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_tables, nbits, dim))
-    qset = set(query_ids)
-    qdf = ds.map_batches(
-        # Arrow-native filter: a pandas batch would carry `embedding` as
-        # an object column Ray's size estimator can't measure (noisy
-        # empty-batch `vectorize` warnings in round 1)
-        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=pa.array(sorted(qset)))),
-        batch_format="pyarrow",
-    ).to_pandas().sort_values("vec_id")
-    Q = _as_matrix(qdf["embedding"])
-    qb = np.stack([srp_bucket(_normalize(Q), p) for p in planes], axis=1)  # (nq, L)
+    Qn = _normalize(Q)
+    qb = np.stack([srp_bucket(Qn, p) for p in planes], axis=1)  # (nq, L)
     ref = ray.put(
         {"qids": qdf["vec_id"].to_numpy(), "Q": Q, "qb": qb, "planes": planes}
     )
@@ -154,6 +175,8 @@ def ann_topk_lsh(
             self.k = k
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return _EMPTY_TOPK.copy()
             ids = df["vec_id"].to_numpy()
             M = _normalize(_as_matrix(df["embedding"]))
             mb = np.stack([srp_bucket(M, p) for p in self.planes], axis=1)  # (n, L)
@@ -224,14 +247,31 @@ def ann_topk_ivf(
     sample and broadcast; assignment + partial top-k is one vectorized
     ``map_batches``; same output schema / deterministic tie-breaks as
     the exact path. Recall vs brute force is recorded in BASELINE.md."""
-    train = _as_matrix(ds.limit(train_sample).to_pandas()["embedding"])
+    # deterministic UNBIASED sample: ds.limit() takes the first rows in
+    # storage order, which biases centroids on any clustered/sorted
+    # layout; a stable id-hash filter samples uniformly regardless of
+    # layout, then limit() just caps the driver-side cost
+    n_total = ds.count()
+    frac_pm = min(10_000, (train_sample * 12_000) // max(n_total, 1))
+
+    def hash_sample(t: pa.Table) -> pa.Table:
+        from bioontologykg_ray.functions.hashing import md5_low64
+
+        keep = np.fromiter(
+            (md5_low64("ivf:" + str(i)) % 10_000 < frac_pm
+             for i in t["vec_id"].to_pylist()),
+            dtype=bool, count=t.num_rows,
+        )
+        return t.filter(pa.array(keep))
+
+    train_df = (
+        ds.map_batches(hash_sample, batch_format="pyarrow")
+        .limit(train_sample).to_pandas()
+    )
+    train = _as_matrix(train_df["embedding"])
     C = _kmeans_cosine(train, n_cells, seed=seed)
 
-    qset = set(query_ids)
-    qdf = ds.map_batches(
-        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=pa.array(sorted(qset)))),
-        batch_format="pyarrow",
-    ).to_pandas().sort_values("vec_id")
+    qdf = _fetch_queries(ds, query_ids)
     Q = _normalize(_as_matrix(qdf["embedding"]))
     # each query's nprobe nearest cells
     qcells = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
@@ -247,6 +287,8 @@ def ann_topk_ivf(
             self.k = k
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return _EMPTY_TOPK.copy()
             ids = df["vec_id"].to_numpy()
             M = _normalize(_as_matrix(df["embedding"]))
             cell = np.argmax(M @ self.C.T, axis=1)

@@ -22,10 +22,11 @@ Ray's per-key-accumulator aggregate:
 Scale discipline (round-2 fix): NOTHING corpus-derived is collected to
 the driver or ``ray.put``-broadcast. Per-doc state needed by a verify
 step (shingle sets, set sizes) is attached to the candidate-pair stream
-with ``stages/joins.cogroup_attach`` — a distributed sort-based
-co-group join keyed first on ``a`` then on ``b``. The candidate stream
-(post-LSH, ≪ corpus) is the only thing that carries payload through the
-two sorts, and the verify computation happens inside the join task.
+with distributed doc-keyed sorted-group passes (n-gram Jaccard uses
+``stages/joins.cogroup_attach``; MinHash unions probe and set rows into
+one ``sorted_group_apply`` exchange). The candidate stream (post-LSH,
+≪ corpus) is the only thing that carries payload through the sorts,
+and the verify computation happens inside the exchange task.
 
 All pair outputs are (id_a < id_b, score rounded to 1e-6) so results are
 deterministic and order-insensitive.
@@ -46,7 +47,6 @@ from bioontologykg_ray.stages.agg import (
     sorted_group_apply,
     two_phase_agg,
 )
-from bioontologykg_ray.stages.joins import cogroup_attach
 
 _EMPTY_PAIRS = pd.DataFrame(
     {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
@@ -242,16 +242,23 @@ def minhash_lsh_pairs(
     (the SQL oracle runs the exact computation).
 
     The verify step is fully distributed (round-2 fix): per-doc shingle
-    sets ride as packed uint64 bytes and are joined onto the candidate
-    stream with cogroup_attach (key ``a``, then key ``b``); the exact
-    Jaccard runs inside the second join task. Only candidates — the
-    small post-LSH stream — carry a shingle set through a sort."""
+    sets ride as packed uint64 bytes; probe rows (one per candidate
+    endpoint) and set rows union into ONE doc-keyed sorted-group pass
+    that attaches each side's set, then a pair-keyed pass runs the
+    exact Jaccard. Only candidates — the small post-LSH stream — carry
+    a shingle set through a sort."""
     a_p, b_p = H.minhash_params(num_perm)
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         keys, dids = [], []
         for did, text in zip(df["doc_id"], df["text"]):
             sh = H.shingle_hashes(text, n)
+            if sh.size == 0:
+                # no shingles -> no candidates (the exact-Jaccard oracle
+                # emits nothing for shingle-less docs; the all-max
+                # sentinel signature would otherwise bucket EVERY empty
+                # doc together and emit jaccard=1.0 pairs)
+                continue
             sig = H.minhash_signature(sh, a_p, b_p)
             for k in H.lsh_band_keys(sig, rows_per_band):
                 keys.append(k)
@@ -374,6 +381,12 @@ def minhash_lsh_pairs(
 # SimHash
 # --------------------------------------------------------------------------
 
+_EMPTY_HAM = pd.DataFrame(
+    {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+     "ham": pd.Series(dtype=np.int64)}
+)
+
+
 def simhash_pairs(ds: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Dataset:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
     Banded buckets guarantee EXACT recall for distance < #bands (=4,
@@ -397,17 +410,13 @@ def simhash_pairs(ds: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Datase
     bands = ds.map_batches(sig_rows, batch_format="pandas")
 
     def pairs_with_sig(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
-             "ham": pd.Series(dtype=np.int64)}
-        )
         if df.empty:
-            return empty
+            return _EMPTY_HAM.copy()
         d = df.drop_duplicates(["band", "doc_id"])
         m = d.merge(d, on="band", suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
         if m.empty:
-            return empty
+            return _EMPTY_HAM.copy()
         # vectorized popcount of the XORed signatures (no per-pair Python)
         x = np.bitwise_xor(
             m["sig_a"].to_numpy(np.uint64), m["sig_b"].to_numpy(np.uint64)
@@ -422,11 +431,7 @@ def simhash_pairs(ds: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Datase
             }
         )
 
-    empty = pd.DataFrame(
-        {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
-         "ham": pd.Series(dtype=np.int64)}
-    )
-    cands = sorted_group_apply(bands, "band", pairs_with_sig, empty)
+    cands = sorted_group_apply(bands, "band", pairs_with_sig, _EMPTY_HAM)
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["a", "b"], as_index=False)["ham"].min()

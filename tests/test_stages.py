@@ -521,3 +521,35 @@ def test_cms_estimate_bounds():
     assert cms_estimate(reg, 7, depth=4, width=1024) <= 505
     # absent key estimates stay near zero
     assert cms_estimate(reg, "never-seen", depth=4, width=1024) <= 5
+
+
+def test_minhash_skips_shingleless_docs():
+    """Docs with no shingles (empty/whitespace text) must produce NO
+    candidate pairs — the exact-Jaccard oracle emits nothing for them
+    (the all-max sentinel signature used to bucket every empty doc
+    together and emit spurious jaccard=1.0 pairs)."""
+    from bioontologykg_ray.stages.neardup import minhash_lsh_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base},          # true duplicate pair
+            {"doc_id": 3, "text": ""},            # no shingles
+            {"doc_id": 4, "text": "   "},         # no shingles
+            {"doc_id": 5, "text": "xy"},          # shorter than n-gram
+        ]
+    )
+    out = minhash_lsh_pairs(ds, n=3, tau=0.5).to_pandas()
+    assert set(map(tuple, out[["doc_a", "doc_b"]].to_numpy())) == {(1, 2)}
+
+
+def test_ann_missing_query_id_raises():
+    from bioontologykg_ray.stages.ann import ann_topk_bruteforce
+
+    emb = np.eye(4, dtype=np.float32)
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(4, dtype=np.int64), "embedding": list(emb)})
+    )
+    with pytest.raises(ValueError, match="not present"):
+        ann_topk_bruteforce(ds, [0, 99], k=2)
