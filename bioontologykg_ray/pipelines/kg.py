@@ -181,7 +181,7 @@ def run_kg_pipeline(
     timings: dict[str, float] = {}
     _t0 = _time.perf_counter()
 
-    ontology = load_ontology(ontology_path)
+    ontology = load_ontology(ontology_path, dim=cfg.embedding_dim)
     index = build_alias_index(ontology, drop_obsolete=cfg.drop_obsolete)
     index_ref = ray.put(index)
     timings["index_build"] = _time.perf_counter() - _t0
@@ -235,6 +235,13 @@ def run_kg_pipeline(
     if spill:
         os.makedirs(cfg.scratch_root, exist_ok=True)
         scratch = scratch_dir or tempfile.mkdtemp(prefix="flagged-", dir=cfg.scratch_root)
+        # the scratch intermediate is pipeline-owned: clear leftovers
+        # from a crashed earlier attempt — write_parquet APPENDS new
+        # uuid-named part files, and a stale generation would double-
+        # count every triple in the re-reads below
+        if os.path.isdir(scratch):
+            for f in os.listdir(scratch):
+                os.unlink(os.path.join(scratch, f))
         flagged.write_parquet(scratch)  # the ONE full pass over the corpus
         timings["corpus_pass"] = _time.perf_counter() - _t0
 
@@ -348,6 +355,23 @@ def build_nodes(edges: ray.data.Dataset, ontology: pa.Table, cfg: PipelineConfig
     info = {
         t: (names[i], namespaces[i], defs[i], i) for i, t in enumerate(tids)
     }
+    # alt-id canonical roots resolve to their term's properties: the
+    # lexicographic-min component root is routinely an ALT id (merged-
+    # away ids sort low), and leaving those as property-less stubs
+    # strips real, fully-described terms (round-2 review finding).
+    # A real term id always wins over an alt mapping; an alt id shared
+    # by two terms (pathological) resolves to the MIN term_id.
+    if "alt_ids" in ontology.schema.names:
+        alt_best: dict[str, int] = {}
+        for i, al in enumerate(ontology["alt_ids"].to_pylist()):
+            for a in al or []:
+                if a in info:
+                    continue
+                j = alt_best.get(a)
+                if j is None or tids[i] < tids[j]:
+                    alt_best[a] = i
+        for a, i in alt_best.items():
+            info[a] = (names[i], namespaces[i], defs[i], i)
     info_ref = ray.put({"info": info, "emb": emb})
 
     endpoints = edges.map_batches(
@@ -457,10 +481,13 @@ def run_partitioned(
     else:
         raise ValueError(f"partition_by must be 'round_robin' or 'file': {partition_by!r}")
 
-    ontology = load_ontology(ontology_path)
+    ontology = load_ontology(ontology_path, dim=cfg.embedding_dim)
     index = build_alias_index(ontology, drop_obsolete=cfg.drop_obsolete)
     index_ref = ray.put(index)
-    ambiguous_ref = ray.put(frozenset(index["ambiguous"].keys()))
+    ambiguous_ref = (
+        None if cfg.embed_all_contexts  # same gating as run_kg_pipeline
+        else ray.put(frozenset(index["ambiguous"].keys()))
+    )
     phase1 = os.path.join(out_dir, "phase1")
 
     # resume safety (ADVICE round 1): a finished partition only counts if
@@ -570,6 +597,15 @@ def run_partitioned(
         shutil.rmtree(tmp_final)
     edges.write_parquet(os.path.join(tmp_final, "edges"))
     nodes.write_parquet(os.path.join(tmp_final, "nodes"))
+    # row counts from the just-written parquet footers — .count() on the
+    # lazy datasets would re-execute the whole phase-2 lineage twice
+    footer_counts = {
+        name: sum(
+            pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(tmp_final, name, "*.parquet"))
+        )
+        for name in ("edges", "nodes")
+    }
     if os.path.exists(final):
         import shutil
 
@@ -578,12 +614,20 @@ def run_partitioned(
     with open(os.path.join(final, "manifest.json"), "w") as f:
         json.dump(
             {
-                "edges": edges.count(),
-                "nodes": nodes.count(),
+                "edges": footer_counts["edges"],
+                "nodes": footer_counts["nodes"],
                 "phase1_partitions": len(groups),
             },
             f,
             indent=1,
             sort_keys=True,
         )
-    return {"edges": edges, "nodes": nodes, "labels": labels}
+    # hand back datasets re-pointed at the WRITTEN parquet: consumers'
+    # .count()/.to_pandas() read footers/files instead of re-executing
+    # the whole phase-2 lineage a third time
+    return {
+        "edges": ray.data.read_parquet(os.path.join(final, "edges")),
+        "nodes": ray.data.read_parquet(os.path.join(final, "nodes")),
+        "labels": labels,
+        "counts": footer_counts,
+    }

@@ -1375,12 +1375,22 @@ edges AS (SELECT src, predicate, dst, count(*) AS n_mentions
           FROM sym GROUP BY src, predicate, dst),
 endpoints AS (SELECT DISTINCT node_id FROM
               (SELECT src AS node_id FROM edges UNION ALL SELECT dst FROM edges)),
+alt_map AS (
+  SELECT vid, min(term_id) AS term_id
+  FROM (SELECT unnest(alt_ids) AS vid, term_id FROM ont)
+  WHERE vid NOT IN (SELECT term_id FROM ont)
+  GROUP BY vid),
+vlookup AS (
+  SELECT term_id AS vid, term_id FROM ont
+  UNION ALL SELECT vid, term_id FROM alt_map),
 nodes AS (SELECT e.node_id,
   coalesce(o.namespace, 'stub') AS label,
   coalesce(o.name, e.node_id) AS name,
   CASE WHEN o.term_id IS NULL THEN '{{"createdBy": "edge_builder"}}'
        ELSE '{{"definition": "' || o.definition || '"}}' END AS props
-  FROM endpoints e LEFT JOIN ont o ON o.term_id = e.node_id)
+  FROM endpoints e
+  LEFT JOIN vlookup lk ON lk.vid = e.node_id
+  LEFT JOIN ont o ON o.term_id = lk.term_id)
 """
 
 

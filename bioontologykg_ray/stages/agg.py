@@ -72,12 +72,23 @@ def grouped_count(
 def grouped_distinct(
     ds: ray.data.Dataset, keys: list[str], combine_partitions: int = 1
 ) -> ray.data.Dataset:
-    """Distributed SELECT DISTINCT keys, fully vectorized."""
+    """Distributed SELECT DISTINCT keys, fully vectorized.
+
+    ``combine_partitions=1``: single combine task over the partial-
+    deduped stream (fine into the tens of millions of distinct keys).
+    ``>1``: a KEYED exchange (hash-sorted group pass) — a blind
+    ``repartition(n)`` would let the same key land in two combine
+    blocks and survive twice (round-2 review finding)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df[keys].drop_duplicates()
 
-    return two_phase_agg(ds, partial, partial, combine_partitions)
+    if combine_partitions <= 1:
+        return two_phase_agg(ds, partial, partial, 1)
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return sorted_group_apply(
+        partials, list(keys), lambda df: df.drop_duplicates(), hash_sort=True
+    )
 
 
 def sorted_group_apply(

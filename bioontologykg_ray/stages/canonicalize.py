@@ -18,7 +18,7 @@ Ray Data shuffles (no driver-side graph):
         co-grouped on the endpoint key, then ``groupby(node).min``.
     (B) pointer jump : root[x] ← root[root[x]]  (path-halving; makes
         convergence O(log diameter) instead of O(diameter))
-  until the label checksum is stable (fixpoint) or max_iters.
+  until no label changes in a pass (fixpoint) or max_iters.
 
 Skew (the "TP53 problem", SURVEY.md §7.5): hub nodes with huge degree
 would create one giant co-group. Both co-group passes therefore SALT the
@@ -65,37 +65,24 @@ def _distinct_nodes(edges: ray.data.Dataset) -> ray.data.Dataset:
     return grouped_distinct(nodes, ["node"])
 
 
-def _label_checksum(labels: ray.data.Dataset) -> int:
-    def per_batch(t: pa.Table) -> pa.Table:
-        h = np.fromiter(
-            (
-                _crc(f"{n}\x1f{r}")
-                for n, r in zip(t["node"].to_pylist(), t["root"].to_pylist())
-            ),
-            dtype=np.int64,
-            count=t.num_rows,
-        )
-        return pa.table({"h": pa.array([int(h.sum())], pa.int64())})
-
-    res = labels.map_batches(per_batch, batch_format="pyarrow").sum("h")
-    return int(res) if res is not None else 0
-
-
 def _expand_labels(labels: ray.data.Dataset, salt: int) -> ray.data.Dataset:
-    """Replicate each label row into every salt bucket: key = node#s."""
+    """Replicate each label row into every salt bucket: key = node#s.
+    Vectorized (C-level repeat + binary join): this runs on every label
+    × salt replica on every iteration of the distributed loop — a
+    per-row Python loop here was the round-2 review's hot-path find."""
+    suffixes = pa.array([f"#{s}" for s in range(salt)], pa.string())
 
     def fn(t: pa.Table) -> pa.Table:
-        nodes = t["node"].to_pylist()
-        roots = t["root"].to_pylist()
-        keys, rts = [], []
-        for n, r in zip(nodes, roots):
-            for s in range(salt):
-                keys.append(f"{n}#{s}")
-                rts.append(r)
+        n = t.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), salt))
+        nodes = t["node"].combine_chunks().cast(pa.string()).take(idx)
+        roots = t["root"].combine_chunks().cast(pa.string()).take(idx)
+        sfx = suffixes.take(pa.array(np.tile(np.arange(salt), n)))
+        keys = pc.binary_join_element_wise(nodes, sfx, "")
         return pa.table(
             {
-                "key": pa.array(keys, pa.string()),
-                "root": pa.array(rts, pa.string()),
+                "key": keys,
+                "root": roots,
                 "partner": pa.array([None] * len(keys), pa.string()),
             }
         )
@@ -107,19 +94,27 @@ def _expand_edges(edges: ray.data.Dataset, salt: int) -> ray.data.Dataset:
     """Each undirected edge (a,b) → two keyed rows, salted by partner."""
 
     def fn(t: pa.Table) -> pa.Table:
-        a = t["a"].to_pylist()
-        b = t["b"].to_pylist()
-        keys, partners = [], []
-        for x, y in zip(a, b):
-            keys.append(f"{x}#{_crc(y) % salt}")
-            partners.append(y)
-            keys.append(f"{y}#{_crc(x) % salt}")
-            partners.append(x)
+        a = t["a"].combine_chunks().cast(pa.string())
+        b = t["b"].combine_chunks().cast(pa.string())
+        # bucket = crc32(partner) % salt, vectorized via zlib over the
+        # python strings ONCE per side (the crc is cheap; the f-string
+        # assembly per row was the cost), then one C-level binary join
+        ab = a.to_pylist()
+        bb = b.to_pylist()
+        sb = np.fromiter((_crc(y) % salt for y in bb), np.int64, len(bb))
+        sa = np.fromiter((_crc(x) % salt for x in ab), np.int64, len(ab))
+        n = t.num_rows
+        nodes = pa.concat_arrays([a, b])
+        partners = pa.concat_arrays([b, a])
+        sfx = pa.array(
+            [f"#{s}" for s in np.concatenate([sb, sa])], pa.string()
+        )
+        keys = pc.binary_join_element_wise(nodes, sfx, "")
         return pa.table(
             {
-                "key": pa.array(keys, pa.string()),
-                "root": pa.array([None] * len(keys), pa.string()),
-                "partner": pa.array(partners, pa.string()),
+                "key": keys,
+                "root": pa.array([None] * (2 * n), pa.string()),
+                "partner": partners,
             }
         )
 
@@ -235,16 +230,16 @@ def _pointer_jump(labels: ray.data.Dataset, salt: int) -> ray.data.Dataset:
     """root[x] ← root[root[x]] via a salted co-group on the root key."""
 
     def probes(t: pa.Table) -> pa.Table:
-        nodes = t["node"].to_pylist()
-        roots = t["root"].to_pylist()
+        nodes = t["node"].combine_chunks().cast(pa.string())
+        roots = t["root"].combine_chunks().cast(pa.string())
+        buckets = pa.array(
+            [f"#{_crc(n) % salt}" for n in nodes.to_pylist()], pa.string()
+        )
         return pa.table(
             {
-                "key": pa.array(
-                    [f"{r}#{_crc(n) % salt}" for n, r in zip(nodes, roots)],
-                    pa.string(),
-                ),
+                "key": pc.binary_join_element_wise(roots, buckets, ""),
                 "root": pa.array([None] * len(nodes), pa.string()),
-                "partner": pa.array(nodes, pa.string()),
+                "partner": nodes,
             }
         )
 
@@ -326,12 +321,14 @@ def connected_components(
             break
         labels = _pointer_jump(labels, salt).repartition(2).materialize()
     if changed != 0:
-        logging.getLogger(__name__).warning(
-            "connected_components: max_iters=%d exhausted with %d labels still "
-            "changing — labels may be non-canonical intermediates; "
-            "mapping_dict path-compression will repair chains on the "
-            "broadcast path, but raise max_iters for the join path",
-            max_iters, changed,
+        # NOT a warning: downstream canonicalize_triples_join applies one
+        # level of indirection and REQUIRES converged roots — returning
+        # unconverged labels would silently split components into
+        # duplicate canonical nodes (round-2 review finding)
+        raise RuntimeError(
+            f"connected_components: max_iters={max_iters} exhausted with "
+            f"{changed} labels still changing — raise max_iters (graph "
+            "diameter exceeds the iteration budget)"
         )
     return labels
 
@@ -412,7 +409,10 @@ class CanonicalRewriter:
 # the broadcast mapping deserializes once per worker and amortizes across
 # every batch — stateless tasks run at FULL width (round-1's 4-actor pool
 # capped this stage at 4 concurrent rewrites regardless of cluster size).
-_TASK_REWRITERS: dict[str, CanonicalRewriter] = {}
+# entries keep a strong ref to the keyed payload + `is` check: a bare
+# id() key could alias a new object at a GC-reused address (see
+# linker._TASK_LINKERS)
+_TASK_REWRITERS: dict[str, tuple[object, CanonicalRewriter]] = {}
 
 
 def _rewrite_batch(batch: pd.DataFrame, mapping_ref=None) -> pd.DataFrame:
@@ -423,9 +423,11 @@ def _rewrite_batch(batch: pd.DataFrame, mapping_ref=None) -> pd.DataFrame:
         if isinstance(mapping_ref, _ray.ObjectRef)
         else str(id(mapping_ref))
     )
-    rw = _TASK_REWRITERS.get(key)
-    if rw is None:
-        rw = _TASK_REWRITERS[key] = CanonicalRewriter(mapping_ref)
+    hit = _TASK_REWRITERS.get(key)
+    if hit is not None and hit[0] is mapping_ref:
+        return hit[1](batch)
+    rw = CanonicalRewriter(mapping_ref)
+    _TASK_REWRITERS[key] = (mapping_ref, rw)
     return rw(batch)
 
 

@@ -95,6 +95,17 @@ def build_alias_index(ontology: pa.Table, drop_obsolete: bool = True) -> dict:
     codes, uniques = pd.factorize(
         norm_all.to_numpy(zero_copy_only=False), sort=False
     )
+    # dedupe (alias, term) pairs BEFORE counting: a surface listed twice
+    # for the SAME term (name repeated in synonyms, or two synonyms
+    # normalizing equal) is not ambiguous — counting raw occurrences
+    # would push it onto the embedding-scored path (and under a
+    # min_link_score floor could even dead-letter it) for no reason
+    pair = codes.astype(np.int64) * np.int64(n_terms) + rows_all
+    dup = pd.Series(pair).duplicated().to_numpy()
+    if dup.any():
+        keep_pair = ~dup
+        rows_all = rows_all[keep_pair]
+        codes = codes[keep_pair]
     counts = np.bincount(codes, minlength=len(uniques))
     order = np.argsort(codes, kind="stable")
     starts = np.searchsorted(codes[order], np.arange(len(uniques)))
@@ -223,15 +234,21 @@ class EntityLinker:
 # Per-worker-process linker cache for the stateless-task variant (same
 # pattern as extract._TASK_STATE): the broadcast index deserializes once
 # per worker process and amortizes across every batch that worker runs.
-_TASK_LINKERS: dict[tuple, EntityLinker] = {}
+# cache entries keep a strong reference to the keyed payload and verify
+# identity with `is`: a bare id() key could alias a NEW object allocated
+# at a GC-reused address and silently serve a linker built from the OLD
+# index (round-2 review finding)
+_TASK_LINKERS: dict[tuple, tuple[object, EntityLinker]] = {}
 
 
 def link_batch(batch: pa.Table, index_ref=None, min_score: float = -1.0) -> pa.Table:
     key = (index_ref.hex() if isinstance(index_ref, ray.ObjectRef) else id(index_ref),
            min_score)
-    lk = _TASK_LINKERS.get(key)
-    if lk is None:
-        lk = _TASK_LINKERS[key] = EntityLinker(index_ref, min_score)
+    hit = _TASK_LINKERS.get(key)
+    if hit is not None and hit[0] is index_ref:
+        return hit[1](batch)
+    lk = EntityLinker(index_ref, min_score)
+    _TASK_LINKERS[key] = (index_ref, lk)
     return lk(batch)
 
 

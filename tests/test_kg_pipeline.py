@@ -218,3 +218,32 @@ def test_ordering_commute_equality(corpus, result):
     la = result["linked"].to_pandas()[lc].sort_values(lc).reset_index(drop=True)
     lb = strict["linked"].to_pandas()[lc].sort_values(lc).reset_index(drop=True)
     pd.testing.assert_frame_equal(la, lb)
+
+
+def test_alias_index_same_term_duplicates_not_ambiguous():
+    """A surface listed twice for ONE term (name repeated as a synonym)
+    must stay on the unambiguous fast path; a surface shared by TWO
+    terms must stay ambiguous."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bioontologykg_ray.stages.linker import build_alias_index
+
+    dim = 4
+    tbl = pa.table(
+        {
+            "term_id": ["T:1", "T:2"],
+            "name": ["p53", "shared"],
+            "synonyms": [["P53", "shared"], []],
+            "definition": ["a", "b"],
+            "is_obsolete": [False, False],
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.zeros(2 * dim, np.float32)), dim
+            ),
+        }
+    )
+    idx = build_alias_index(tbl)
+    unamb = dict(zip(idx["unamb_keys"].to_pylist(), idx["unamb_vals"].to_pylist()))
+    assert unamb.get("p53") == "T:1"          # duplicate-within-term collapsed
+    assert "p53" not in idx["ambiguous"]
+    assert sorted(idx["ambiguous"]["shared"][0]) == ["T:1", "T:2"]

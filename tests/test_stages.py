@@ -553,3 +553,13 @@ def test_ann_missing_query_id_raises():
     )
     with pytest.raises(ValueError, match="not present"):
         ann_topk_bruteforce(ds, [0, 99], k=2)
+
+
+def test_grouped_distinct_multiblock_combine_is_global():
+    """combine_partitions>1 must still be GLOBALLY distinct — the same
+    key arriving via different partial blocks may not survive twice."""
+    df = pd.DataFrame({"a": np.arange(1000) % 7, "b": np.arange(1000) % 11})
+    ds = rd.from_pandas(df).repartition(13)
+    out = grouped_distinct(ds, ["a", "b"], combine_partitions=2).to_pandas()
+    assert len(out) == len(df.drop_duplicates(["a", "b"]))
+    assert not out.duplicated(["a", "b"]).any()
