@@ -15,7 +15,6 @@ import numpy as np
 
 from bioontologykg_ray.functions.textstats import tokens
 
-_MERSENNE = np.uint64(2**61 - 1)
 
 
 def shingle_strings(text: str, n: int = 3) -> list[str]:
@@ -24,13 +23,6 @@ def shingle_strings(text: str, n: int = 3) -> list[str]:
     if len(toks) < n:
         return [" ".join(toks)] if toks else []
     return sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
-
-
-def hash64(s: str) -> int:
-    """Stable 64-bit hash."""
-    return int.from_bytes(
-        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
-    )
 
 
 def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
@@ -73,6 +65,12 @@ def lsh_band_keys(sig: np.ndarray, rows_per_band: int = 2) -> list[int]:
     """Band the signature: one stable int64 bucket key per band
     ((band << 32) | crc32 — int keys sort/merge far faster than the
     round-1 'band:digest' strings)."""
+    if sig.shape[0] % rows_per_band:
+        raise ValueError(
+            f"signature length {sig.shape[0]} not divisible by "
+            f"rows_per_band={rows_per_band} — trailing permutations would "
+            "be paid for but never bucket anything (silent recall loss)"
+        )
     nb = sig.shape[0] // rows_per_band
     keys = []
     for band in range(nb):

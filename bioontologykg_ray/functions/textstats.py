@@ -39,16 +39,16 @@ def token_count(text: str) -> int:
     return len(tokens(text))
 
 
-def lang_scores(text: str) -> dict[str, int]:
-    toks = tokens(text)
+def lang_scores(text: str, toks: list[str] | None = None) -> dict[str, int]:
+    toks = tokens(text) if toks is None else toks
     return {
         lang: sum(1 for t in toks if t in ws) for lang, ws in LANG_STOPWORDS.items()
     }
 
 
-def predict_lang(text: str) -> str:
+def predict_lang(text: str, toks: list[str] | None = None) -> str:
     """argmax stopword hits; zero hits → 'und'; ties → alphabetical."""
-    scores = lang_scores(text)
+    scores = lang_scores(text, toks)
     mx = max(scores.values())
     if mx == 0:
         return "und"
@@ -58,8 +58,8 @@ def predict_lang(text: str) -> str:
     raise AssertionError
 
 
-def quality_stats(text: str) -> dict:
-    toks = tokens(text)
+def quality_stats(text: str, toks: list[str] | None = None) -> dict:
+    toks = tokens(text) if toks is None else toks
     n_tok = len(toks)
     n_chars = len(text)
     total_tok_len = sum(len(t) for t in toks)
@@ -85,7 +85,9 @@ def quality_label(n_tokens: int, stopword_ratio: float) -> str:
 # GPT-2-style pre-tokenizer shape: contractions, letter runs, digit
 # runs, non-space symbol runs (RE2-compatible — no lookarounds — so the
 # DuckDB oracle runs the IDENTICAL pattern)
-BPE_PRETOKEN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+# digit RUNS ([0-9]+), like GPT-2's ` ?\p{N}+` — single-digit pieces
+# would inflate the token-budget proxy ~4x on numeric text
+BPE_PRETOKEN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 _BPE = re.compile(BPE_PRETOKEN)
 
 
@@ -128,11 +130,32 @@ def rolling_min_hash(text: str, k: int = 16) -> int:
     return int(win.min())
 
 
+_DOC_STATS_EMPTY = pd.DataFrame(
+    {
+        "n_chars": pd.Series(dtype="int64"),
+        "n_tokens": pd.Series(dtype="int64"),
+        "mean_token_len": pd.Series(dtype="float64"),
+        "stopword_ratio": pd.Series(dtype="float64"),
+        "punct_count": pd.Series(dtype="int64"),
+        "lang_pred": pd.Series(dtype="object"),
+        "quality": pd.Series(dtype="object"),
+    }
+)
+
+
 def doc_stats_frame(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    """Batch helper for map_batches(batch_format='pandas')."""
-    rows = [quality_stats(t) for t in df[text_col]]
+    """Batch helper for map_batches(batch_format='pandas'). Tokenizes
+    each text ONCE (quality + language share the split); empty batches
+    return the full 7-column schema (pd.DataFrame([]) has no columns,
+    which breaks block-schema unification)."""
+    if df.empty:
+        return _DOC_STATS_EMPTY.copy()
+    tok_lists = [tokens(t) for t in df[text_col]]
+    rows = [quality_stats(t, tk) for t, tk in zip(df[text_col], tok_lists)]
     out = pd.DataFrame(rows, index=df.index)
-    out["lang_pred"] = [predict_lang(t) for t in df[text_col]]
+    out["lang_pred"] = [
+        predict_lang(t, tk) for t, tk in zip(df[text_col], tok_lists)
+    ]
     out["quality"] = [
         quality_label(r["n_tokens"], r["stopword_ratio"]) for r in rows
     ]

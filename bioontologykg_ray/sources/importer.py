@@ -97,12 +97,18 @@ def _merge_groups(spec: TableSpec):
                     cols[c] = pd.Series(dtype="Float64")
                 elif cs is not None and cs.type == "int64" and cs.split is None:
                     cols[c] = pd.Series(dtype="Int64")
+                elif cs is not None and cs.split is not None and spec.merge.get(c, "first") != "concat":
+                    # first/last over a split column yields LISTS
+                    cols[c] = pd.Series(dtype="object")
                 else:
                     cols[c] = pd.Series(dtype="string")
             cols["n_rows"] = pd.Series(dtype=np.int64)
             return pd.DataFrame(cols)
         d = df.sort_values(spec.order, kind="mergesort")
-        g = d.groupby(spec.key, sort=False)
+        # dropna=False: the SQL oracle's GROUP BY retains a NULL-keyed
+        # group (empty keys are nulled by the empty->null cast upstream);
+        # pandas' default would silently drop those rows
+        g = d.groupby(spec.key, sort=False, dropna=False)
         out = pd.DataFrame({"n_rows": g.size().astype(np.int64)})
         for c in value_cols:
             policy = spec.merge.get(c, "first")

@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 import pyarrow.csv as pacsv
 import ray.data
@@ -71,6 +73,16 @@ def read_positional_csv(
 # with list attributes + (subject, predicate, object) triples.
 # ---------------------------------------------------------------------------
 
+def _obo_quoted(val: str) -> str:
+    """First quoted string of an OBO tag value, honouring backslash
+    escapes (naive split('\"')[1] truncates `def: "the \\"de novo\\"
+    pathway" [GOC:x]` at the first escaped quote)."""
+    m = re.match(r'\s*"((?:[^"\\]|\\.)*)"', val)
+    if m is None:
+        return val
+    return m.group(1).replace('\\"', '"').replace("\\\\", "\\")
+
+
 def parse_obo(path: str) -> tuple[pa.Table, pa.Table]:
     """Returns (terms, relationships). Predicates are upper-cased on the
     relationship table, as the reference does on materialize
@@ -109,9 +121,9 @@ def parse_obo(path: str) -> tuple[pa.Table, pa.Table]:
             elif key == "namespace":
                 cur["namespace"] = val
             elif key == "def":
-                cur["definition"] = val.split('"')[1] if '"' in val else val
+                cur["definition"] = _obo_quoted(val)
             elif key == "synonym":
-                cur["synonyms"].append(val.split('"')[1] if '"' in val else val)
+                cur["synonyms"].append(_obo_quoted(val))
             elif key == "xref":
                 cur["xrefs"].append(val.split(" ")[0])
             elif key == "alt_id":
@@ -184,6 +196,20 @@ def _owl_curie(uri: str) -> str:
     URIs; the OBO id convention is what the rest of the engine joins on)."""
     frag = uri.rsplit("/", 1)[-1].rsplit("#", 1)[-1]
     return frag.replace("_", ":", 1) if "_" in frag else frag
+
+
+_OWL_PROP_NAMES = {
+    # OBO-in-OWL standard relation URIs → OBO relation names (the .obo
+    # side of the same ontology uses the names; GO/DOID OWL exports use
+    # the RO/BFO ids)
+    "BFO_0000050": "PART_OF",
+    "BFO_0000051": "HAS_PART",
+    "BFO_0000066": "OCCURS_IN",
+    "RO_0002211": "REGULATES",
+    "RO_0002212": "NEGATIVELY_REGULATES",
+    "RO_0002213": "POSITIVELY_REGULATES",
+    "RO_0002202": "DEVELOPS_FROM",
+}
 
 
 def parse_owl(path: str) -> tuple[pa.Table, pa.Table]:
@@ -259,9 +285,14 @@ def parse_owl(path: str) -> tuple[pa.Table, pa.Table]:
                         p_uri = prop.get(RDF_RESOURCE) or ""
                         v_uri = val.get(RDF_RESOURCE) or ""
                         if p_uri and v_uri:
-                            # property fragment verbatim (part_of →
-                            # PART_OF) — no CURIE underscore rewrite
-                            pred = p_uri.rsplit("/", 1)[-1].rsplit("#", 1)[-1].upper()
+                            frag = p_uri.rsplit("/", 1)[-1].rsplit("#", 1)[-1]
+                            # real OBO-in-OWL exports reference relations
+                            # by RO/BFO URI, not by name — map the common
+                            # ones to the OBO relation vocabulary so the
+                            # same ontology parses identically from .obo
+                            # and .owl; unknown properties keep their
+                            # fragment verbatim (part_of → PART_OF)
+                            pred = _OWL_PROP_NAMES.get(frag, frag.upper())
                             rels.append((cur["id"], pred, _owl_curie(v_uri)))
         terms.append(cur)
 
@@ -320,8 +351,18 @@ def parse_bibtex(text: str) -> pa.Table:
         if brace < 0:
             break
         etype = text[at + 1 : brace].strip().lower()
-        if etype in ("comment", "preamble"):
-            i = brace + 1
+        if etype in ("comment", "preamble", "string"):
+            # consume the ENTIRE balanced group: skipping only past the
+            # opening brace would re-parse any '@' inside the body as an
+            # entry start (garbage rows, swallowed real entries)
+            depth, j = 1, brace + 1
+            while j < n and depth:
+                if text[j] == "{":
+                    depth += 1
+                elif text[j] == "}":
+                    depth -= 1
+                j += 1
+            i = j
             continue
         # find the matching close brace of the entry
         depth, j = 1, brace + 1

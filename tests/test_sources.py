@@ -188,3 +188,34 @@ def test_owl_drives_flagship(tmp_path):
     out = R.read_owl(str(owl_path))
     assert out["terms"].count() == 2
     assert out["relationships"].count() == 2
+
+
+def test_parse_owl_maps_ro_bfo_property_uris(tmp_path):
+    """Real OBO-in-OWL exports reference relations by RO/BFO URI; the
+    parser must emit the OBO relation NAME so .owl and .obo forms of the
+    same ontology produce one predicate vocabulary."""
+    owl = OWL.replace(
+        "http://purl.obolibrary.org/obo/part_of",
+        "http://purl.obolibrary.org/obo/BFO_0000050",
+    )
+    path = tmp_path / "bfo.owl"
+    path.write_text(owl)
+    _terms, rels = R.parse_owl(str(path))
+    preds = set(rels["predicate"].to_pylist())
+    assert "PART_OF" in preds and "BFO_0000050" not in preds
+
+
+def test_parse_bibtex_skips_comment_string_preamble_bodies():
+    """@comment/@string/@preamble must be consumed as balanced groups —
+    an '@' inside their bodies is not an entry start."""
+    text = (
+        '@comment{ contact me @ home, ok }\n'
+        '@string{jname = {Journal of X}}\n'
+        '@preamble{ "\\newcommand{\\x}{@}" }\n'
+        '@article{smith2020, title = {Real {Nested} Title}, year = {2020}}\n'
+    )
+    t = R.parse_bibtex(text)
+    assert t.num_rows == 1
+    assert t["entry_type"].to_pylist() == ["article"]
+    assert t["cite_key"].to_pylist() == ["smith2020"]
+    assert t["year"].to_pylist() == ["2020"]
