@@ -36,8 +36,14 @@ def load_manifest(root: str, pid: int | str) -> dict | None:
     p = manifest_path(root, pid)
     if not os.path.exists(p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        # a truncated/corrupt manifest (power loss between rename and
+        # durability) means the partition is NOT provably complete —
+        # treat it as pending and recompute, never crash the resume
+        return None
 
 
 def write_partition(root: str, pid: int | str, write_fn, lineage: dict, metrics: dict) -> dict:

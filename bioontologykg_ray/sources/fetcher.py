@@ -79,7 +79,10 @@ class FetchStage:
         *,
         id_col: str = "id",
         rate_per_s: float = 3.0,
-        pool_size: int = 1,
+        pool_size: int = 1,  # MUST equal the map_batches concurrency:
+        # rate_per_s is the SERVICE ceiling; each actor paces at
+        # rate_per_s/pool_size, so pool_size=1 with concurrency=N would
+        # hit the service at N x the ceiling
         max_retries: int = 2,
         backoff_s: float = 0.05,
         sleep: Callable[[float], None] = time.sleep,
@@ -97,13 +100,21 @@ class FetchStage:
             self.bucket.acquire(self.sleep)
             try:
                 return str(self.transport.fetch(key)), ""
-            except TransientFetchError as e:
-                if attempt == self.max_retries:
-                    return None, f"transient_exhausted: {e}"
-                self.sleep(delay)
-                delay *= 2
             except PermanentFetchError as e:
                 return None, f"permanent: {e}"
+            except Exception as e:  # noqa: BLE001 — contract: a failed
+                # record is DATA (dead-letter row), never a task failure;
+                # unknown transport exceptions (socket timeouts, client
+                # bugs) get the transient retry policy, then dead-letter
+                if attempt == self.max_retries:
+                    kind = (
+                        "transient_exhausted"
+                        if isinstance(e, TransientFetchError)
+                        else f"error({type(e).__name__})"
+                    )
+                    return None, f"{kind}: {e}"
+                self.sleep(delay)
+                delay *= 2
         return None, "unreachable"
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -184,3 +195,33 @@ class FakeTransport:
             return [], None
         end = min(start + self.page_size, self.total)
         return list(range(start, end)), str(end)
+
+
+def fetch_stage(
+    ds: "ray.data.Dataset",
+    transport_factory: Callable[[], Any],
+    *,
+    rate_per_s: float = 3.0,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    **kwargs,
+) -> "ray.data.Dataset":
+    """The safe constructor: ties ``pool_size`` to the ACTUAL actor-pool
+    concurrency so the pool's aggregate request rate equals
+    ``rate_per_s`` (constructing FetchStage manually with the default
+    pool_size=1 under concurrency=N would hit the service at N x the
+    ceiling)."""
+    import ray.data  # noqa: F401
+
+    return ds.map_batches(
+        FetchStage,
+        fn_constructor_kwargs={
+            "transport_factory": transport_factory,
+            "rate_per_s": rate_per_s,
+            "pool_size": concurrency,
+            **kwargs,
+        },
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

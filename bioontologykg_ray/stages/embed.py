@@ -41,11 +41,19 @@ class HashEmbedder:
         self._token_vec = token_vec
 
     def _encode(self, text: str) -> np.ndarray:
+        # mean path delegates to functions/embedding.embed_text — ONE
+        # implementation of the engine's hash-embedding model (sum vs
+        # mean differ by a scalar the L2 norm erases), so extract's
+        # ctx_emb and this stage can never drift apart
+        if self.pooling == "mean":
+            from bioontologykg_ray.functions.embedding import embed_text
+
+            return embed_text(text[: self.char_limit], self.dim)
         toks = text[: self.char_limit].lower().split()
         if not toks:
             return np.zeros(self.dim, dtype=np.float32)
         M = np.stack([self._token_vec(t, self.dim) for t in toks])
-        v = M.mean(axis=0) if self.pooling == "mean" else M.max(axis=0)
+        v = M.max(axis=0)
         n = float(np.linalg.norm(v))
         return (v / n).astype(np.float32) if n > 0 else v.astype(np.float32)
 
@@ -126,7 +134,13 @@ def make_embedder(backend: str = "auto", **kwargs):
     """Embedder factory: ('auto'|'transformer'|'hash') → (cls, ctor
     kwargs). 'auto' probes for torch+transformers and falls back to the
     deterministic HashEmbedder when absent (the reference contract with
-    the model swapped for a hermetic stand-in)."""
+    the model swapped for a hermetic stand-in).
+
+    NOTE: the transformer path's output width is MODEL-determined —
+    ``dim`` only applies to the hash backend; consumers sized by
+    cfg.embedding_dim must use backend='hash' or a matching model."""
+    if backend not in ("auto", "transformer", "hash"):
+        raise ValueError(f"unknown embedder backend {backend!r}")
     if backend == "hash":
         return HashEmbedder, kwargs
     try:

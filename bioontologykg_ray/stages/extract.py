@@ -64,7 +64,8 @@ class TripleExtractor:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
+        # null-safe: one NULL text would TypeError the whole batch join
+        texts = [t if t is not None else "" for t in batch["text"].to_pylist()]
         n = len(texts)
         import pyarrow.compute as pc
 
@@ -143,7 +144,11 @@ class TripleExtractor:
 # Per-worker-process extractor cache for the stateless-task variant:
 # state (compiled regex + token-vector cache) amortizes across every
 # batch a worker process handles, without reserving pool CPUs.
-_TASK_STATE: dict[tuple, TripleExtractor] = {}
+# entries hold a strong reference to the keyed payload and verify it
+# with `is`: a bare id() key could alias a NEW object at a GC-reused
+# address and silently gate ctx embeddings on the WRONG ambiguous set
+# (see linker._TASK_LINKERS — same round-2 review finding)
+_TASK_STATE: dict[tuple, tuple[object, TripleExtractor]] = {}
 
 
 def extract_batch(batch: pa.Table, dim: int = 32, ambiguous=None) -> pa.Table:
@@ -151,9 +156,11 @@ def extract_batch(batch: pa.Table, dim: int = 32, ambiguous=None) -> pa.Table:
 
     ref_key = ambiguous.hex() if isinstance(ambiguous, _ray.ObjectRef) else id(ambiguous)
     key = (dim, ref_key)
-    ex = _TASK_STATE.get(key)
-    if ex is None:
-        ex = _TASK_STATE[key] = TripleExtractor(dim, ambiguous)
+    hit = _TASK_STATE.get(key)
+    if hit is not None and hit[0] is ambiguous:
+        return hit[1](batch)
+    ex = TripleExtractor(dim, ambiguous)
+    _TASK_STATE[key] = (ambiguous, ex)
     return ex(batch)
 
 

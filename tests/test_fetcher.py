@@ -95,3 +95,32 @@ def test_pool_size_divides_rate_budget():
     s = FetchStage(
         FakeTransport, rate_per_s=4.0, pool_size=4, sleep=_no_sleep)
     assert abs(s.bucket.min_interval - 1.0) < 1e-9  # 1 req/s per actor
+
+
+def test_fetch_stage_ties_pool_rate_to_concurrency():
+    """The stage helper must divide the service ceiling across the
+    ACTUAL actor pool, and unknown transport exceptions must dead-letter
+    (never kill the task)."""
+    import ray.data as rd
+
+    from bioontologykg_ray.sources.fetcher import FetchStage, fetch_stage
+
+    class WeirdTransport:
+        def fetch(self, key):
+            if str(key) == "boom":
+                raise RuntimeError("unexpected client bug")
+            return f"payload-{key}"
+
+    ds = rd.from_items([{"id": "a"}, {"id": "boom"}, {"id": "b"}])
+    out = (
+        fetch_stage(ds, WeirdTransport, rate_per_s=1000.0, concurrency=2,
+                    max_retries=1, backoff_s=0.0)
+        .to_pandas().set_index("id")
+    )
+    assert bool(out.loc["a", "ok"]) and bool(out.loc["b", "ok"])
+    assert not bool(out.loc["boom", "ok"])
+    assert "error(RuntimeError)" in out.loc["boom", "reason"]
+
+    # per-actor pacing = ceiling / pool
+    s = FetchStage(WeirdTransport, rate_per_s=8.0, pool_size=4)
+    assert s.bucket.min_interval == 0.5
