@@ -178,7 +178,7 @@ def run_kg_only() -> dict:
         pq.read_table(f)
     n_turns = sum(pq.read_metadata(f).num_rows for f in files)
 
-    embed_all = bool(os.environ.get("GRAFT_EMBED_ALL"))
+    embed_all = os.environ.get("GRAFT_EMBED_ALL", "").lower() in ("1", "true", "yes")
     cfg = PipelineConfig(
         link_concurrency=max(2, num_cpus // 2), embed_all_contexts=embed_all
     )
@@ -231,10 +231,19 @@ def _run_kg_subprocess(
         and not os.environ.get("GRAFT_NO_TASKSET")
         and ncpu < ncores
     ):
-        cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
-    out = subprocess.run(
-        cmd, env=env, capture_output=True, text=True, check=True,
-    ).stdout
+        # use the first ncpu ids from the ACTUAL affinity mask — core
+        # ids need not start at 0 inside a cgroup/cpuset
+        allowed = sorted(os.sched_getaffinity(0))[:ncpu]
+        cmd = ["taskset", "-c", ",".join(map(str, allowed))] + cmd
+    try:
+        out = subprocess.run(
+            cmd, env=env, capture_output=True, text=True, check=True,
+        ).stdout
+    except subprocess.CalledProcessError as e:
+        # surface the child's diagnostics — captured stderr would
+        # otherwise be silently discarded with the exception
+        sys.stderr.write(e.stderr or "")
+        raise
     return json.loads(out.strip().splitlines()[-1])
 
 

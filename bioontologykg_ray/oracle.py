@@ -85,7 +85,13 @@ def oracle_triples(
             return tids[cands[0]]
         best_tid, best_score = None, None
         for i in sorted(cands, key=lambda r: tids[r]):
-            score = round(float(np.dot(embs[i], ctx)), 6)
+            # float64 like the distributed linker (and the DuckDB
+            # DOUBLE[] oracle) — a float32 accumulation lands exactly on
+            # the 1e-6 rounding grid and can flip the argmax
+            score = round(
+                float(np.dot(embs[i].astype(np.float64), ctx.astype(np.float64))),
+                6,
+            )
             if best_score is None or score > best_score:
                 best_tid, best_score = tids[i], score
         return best_tid

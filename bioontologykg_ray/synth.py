@@ -126,8 +126,10 @@ def make_ontology(sf: float, seed: int = 42, dim: int = schemas.EMBED_DIM) -> pa
         synonyms.append(syns)
         xrefs.append([f"XR:{i:05d}"])
         # alt_ids reference OTHER term ids → genuine same-as inputs for
-        # canonicalization (FIXTURES.md F2). Pairs only (no long chains):
-        # deep components come from text-level SAME_AS sentences instead.
+        # canonicalization (FIXTURES.md F2). Pairs only; text-level
+        # SAME_AS sentences add disjoint pairs too, so fixture components
+        # stay size ≤3 — DEEP chains are exercised by the dedicated
+        # chain/star union-find unit tests, not by this corpus.
         if i % ALT_ID_EVERY == 0 and i >= ALT_ID_EVERY and (i // ALT_ID_EVERY) % 2 == 1:
             alt_ids.append([f"ONT:{i - ALT_ID_EVERY:07d}"])
         else:
@@ -283,7 +285,11 @@ def make_import_tsv(sf: float) -> str:
     n_keys = max(40, (2 * n) // 3)
     lines = ["row_no\tnode_id\tname\taliases\tweight\tflag"]
     for i in range(n):
-        key = f"N{(i * 7) % n_keys:05d}"
+        # stride must be coprime with n_keys or key coverage collapses
+        # (e.g. n_keys divisible by 7 → only every 7th key exists and the
+        # documented ~1.5 rows/key duplicate distribution breaks)
+        stride = next(s for s in (7, 11, 13, 17, 19, 23) if n_keys % s)
+        key = f"N{(i * stride) % n_keys:05d}"
         aliases = "|".join(f"al-{i}-{k}" for k in range(i % 3))
         weight = "" if i % 11 == 0 else str((i % 97) / 10)
         flag = ("Y", "N", "")[i % 3]

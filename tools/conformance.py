@@ -40,7 +40,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[ns]").astype("int64")
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # keep NULLs distinguishable from the strings 'None'/'nan'
+            # (both engines may surface SQL NULL differently)
+            df[c] = df[c].map(lambda v: "\x00NULL" if pd.isna(v) else str(v))
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
@@ -56,8 +58,12 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
-            av = av.astype(np.float64)
-            bv = bv.astype(np.float64)
+            try:
+                av = av.astype(np.float64)
+                bv = bv.astype(np.float64)
+            except (ValueError, TypeError) as e:
+                problems.append(f"col {c}: incomparable dtypes ({e})")
+                continue
             if not np.allclose(av, bv, rtol=0, atol=0, equal_nan=True):
                 mx = np.nanmax(np.abs(av - bv))
                 problems.append(f"col {c}: float mismatch (max abs diff {mx:.3e})")
@@ -89,6 +95,11 @@ def main():
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     from bioontologykg_ray.pipelines.queries import QUERIES, oracle_for_sf, sf_of
+
+    unknown = only - set(QUERIES)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
 
     oracle = oracle_for_sf(sf_of(sf_dir))
     con = duckdb.connect()
