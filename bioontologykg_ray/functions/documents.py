@@ -16,7 +16,6 @@ These run on `list<struct>` Arrow columns via map_batches.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 AUTHOR = pa.struct(
@@ -44,8 +43,8 @@ def first_author_name(authors_col) -> pa.Array:
     """M2 — authors[0] → "first last" ('' when absent)."""
     out = []
     for authors in authors_col.to_pylist():
-        if authors:
-            a = authors[0]
+        a = authors[0] if authors else None
+        if a is not None:  # a null STRUCT element is legal in arrow
             out.append(f"{a.get('first_name') or ''} {a.get('last_name') or ''}".strip())
         else:
             out.append("")
@@ -58,6 +57,8 @@ def dedup_affiliations(authors_col) -> pa.Array:
     for authors in authors_col.to_pylist():
         seen: dict = {}
         for a in authors or []:
+            if a is None:  # null element inside a valid list
+                continue
             aff = (a.get("affiliation") or "").strip()
             if aff:
                 seen.setdefault(aff, None)
@@ -85,6 +86,8 @@ def explode_authors(t: pa.Table) -> pa.Table:
     doc_ids, positions, last, first = [], [], [], []
     for did, authors in zip(t["doc_id"].to_pylist(), t["authors"].to_pylist()):
         for i, a in enumerate(authors or []):
+            if a is None:
+                continue
             doc_ids.append(did)
             positions.append(i)
             last.append(a.get("last_name") or "")
@@ -105,6 +108,8 @@ def explode_mesh(t: pa.Table) -> pa.Table:
     doc_ids, descs, major = [], [], []
     for did, terms in zip(t["doc_id"].to_pylist(), t["mesh_terms"].to_pylist()):
         for m in terms or []:
+            if m is None:
+                continue
             doc_ids.append(did)
             descs.append(m.get("descriptor") or "")
             major.append(bool(m.get("major_topic")))

@@ -72,9 +72,15 @@ def parse_bracketed_list(arr):
         pc.starts_with(s, pattern="["), pc.ends_with(s, pattern="]")
     )
     inner = pc.replace_substring_regex(s, r"^\[|\]$", "")
-    inner = pc.replace_substring(inner, "'", "")
-    inner = pc.replace_substring(inner, '"', "")
     listed = split_list(inner, ",")
+    # strip quotes at ELEMENT EDGES only — a global replace would also
+    # delete interior apostrophes ("O'Brien syndrome" → "OBrien ...")
+    if isinstance(listed, pa.ChunkedArray):
+        listed = listed.combine_chunks()
+    stripped_vals = pc.replace_substring_regex(
+        listed.values, "^['\"]|['\"]$", ""
+    )
+    listed = pa.ListArray.from_arrays(listed.offsets, stripped_vals)
     if isinstance(listed, pa.ChunkedArray):
         listed = listed.combine_chunks()
     # row-wise merge with the scalar fallback (arrow if_else doesn't take
@@ -93,8 +99,11 @@ def parse_bracketed_list(arr):
 def cast_empty_null(arr, target: pa.DataType):
     """M8 — `CASE WHEN x<>'' THEN toFloat(x) ELSE null END`
     (`import_cosmic_cmc.cql:21-50` ×30 columns)."""
+    trimmed = pc.utf8_trim_whitespace(arr)
+    # cast the TRIMMED value (Cypher toFloat(' 1.5 ') parses; a raw
+    # whitespace-padded numeric would crash Arrow's cast)
     cleaned = pc.if_else(
-        pc.equal(pc.utf8_trim_whitespace(arr), ""), pa.scalar(None, pa.string()), arr
+        pc.equal(trimmed, ""), pa.scalar(None, pa.string()), trimmed
     )
     return pc.cast(cleaned, target)
 
@@ -103,9 +112,9 @@ def concat_url(prefix: str, arr, suffix: str = ""):
     """M9 — URL constructors (`import_readcube_papers.py:51-56`,
     `load_uniprot.cql:25`)."""
     return pc.binary_join_element_wise(
-        pa.array([prefix] * len(arr), pa.string()),
-        pc.cast(arr, pa.string()),
-        pa.array([suffix] * len(arr), pa.string()),
+        pa.scalar(prefix, pa.string()),   # scalars broadcast natively —
+        pc.cast(arr, pa.string()),        # no O(n) Python list per batch
+        pa.scalar(suffix, pa.string()),
         "",
     )
 
@@ -140,8 +149,25 @@ def drop_prefixed_columns(table: pa.Table, prefix: str) -> pa.Table:
 
 def first_author(authors_list):
     """M2 — first-author projection `authors[0]` → "first last"
-    (`neo4j_pubmed_batch_processor.py:386-397`)."""
-    return pc.list_element(authors_list, 0)
+    (`neo4j_pubmed_batch_processor.py:386-397`). Empty lists yield ""
+    (pc.list_element raises on out-of-bounds; the reference's Python
+    twin returns '' for zero-author papers)."""
+    la = (
+        authors_list.combine_chunks()
+        if isinstance(authors_list, pa.ChunkedArray)
+        else authors_list
+    )
+    import numpy as np
+
+    lens = pc.list_value_length(la).to_numpy(zero_copy_only=False)
+    offsets = la.offsets.to_numpy(zero_copy_only=False)[:-1]
+    vals = la.values
+    out = np.full(len(la), "", dtype=object)
+    nz = lens > 0
+    if nz.any():
+        first_vals = pc.take(vals, pa.array(offsets[nz], pa.int64()))
+        out[nz] = first_vals.to_pylist()
+    return pa.array(out.tolist(), pa.string())
 
 
 def year_from_date(arr):

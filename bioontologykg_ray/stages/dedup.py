@@ -57,6 +57,14 @@ def count_triples(ds: ray.data.Dataset) -> ray.data.Dataset:
 
     def partial(t: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(t["subj"], t["pred"], t["obj"], SEP)
+        # a null field nulls the composite key and pandas' combine
+        # groupby would then silently DROP the row — fail loudly like
+        # the packed path (count_edges_packed) does
+        if key.null_count:
+            raise ValueError(
+                "count_triples: null subj/pred/obj in input "
+                f"({key.null_count} rows)"
+            )
         vc = pc.value_counts(key)
         return pa.table(
             {"key": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
@@ -106,7 +114,12 @@ def count_triples(ds: ray.data.Dataset) -> ray.data.Dataset:
 # clamp) with the encode tables broadcast once and cached per worker.
 # ---------------------------------------------------------------------------
 
-_PACK_STATE: dict[str, dict] = {}
+# entries hold (payload, state): the strong ref + `is` check guards the
+# non-ObjectRef id() key against GC address reuse, and the size bound
+# caps worker RSS when a long-lived driver broadcasts a fresh state per
+# partition/run (each entry holds a vocab-sized pd.Index)
+_PACK_STATE: dict[str, tuple[object, dict]] = {}
+_PACK_STATE_MAX = 4
 
 
 def _pack_state(state_ref) -> dict:
@@ -117,7 +130,12 @@ def _pack_state(state_ref) -> dict:
     key = (
         state_ref.hex() if isinstance(state_ref, ray.ObjectRef) else str(id(state_ref))
     )
-    st = _PACK_STATE.get(key)
+    hit = _PACK_STATE.get(key)
+    st = None
+    if hit is not None and (
+        isinstance(state_ref, ray.ObjectRef) or hit[0] is state_ref
+    ):
+        st = hit[1]
     if st is None:
         payload = (
             ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
@@ -142,7 +160,9 @@ def _pack_state(state_ref) -> dict:
                     "outside the vocab — packed-path contract violation"
                 )
             canon[ki] = vi
-        st = _PACK_STATE[key] = {
+        while len(_PACK_STATE) >= _PACK_STATE_MAX:
+            _PACK_STATE.pop(next(iter(_PACK_STATE)))
+        st = {
             "index": pd.Index(vocab),
             "vocab": vocab,
             "canon": canon,
@@ -153,6 +173,7 @@ def _pack_state(state_ref) -> dict:
             "V": np.uint64(v),
             "P": np.uint64(len(preds)),
         }
+        _PACK_STATE[key] = (state_ref, st)
     return st
 
 
