@@ -322,13 +322,29 @@ SELECT user_id, count(*) AS n FROM events GROUP BY user_id HAVING count(*) >= 20
 """
 
 
+# customer is dimension-sized in TPC-H but sf-scaled: above this row
+# count the key set no longer belongs on the driver and the semi-join
+# routes through the bloom-prefiltered partitioned path (VERDICT
+# round 2 #1 — same gate shape as q_revenue_by_segment).
+_SEMI_BROADCAST_MAX_ROWS = 5_000_000
+
+
 def q_building_orders(sf_dir: str):
-    """J5 semi-join: orders of BUILDING-segment customers (broadcast key
-    set, no shuffle)."""
-    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    """J5 semi-join: orders of BUILDING-segment customers. Broadcast key
+    set while customer fits a driver set; bloom-prefiltered partitioned
+    semi-join (stages/joins.bloom_semi_join) once it doesn't."""
     orders = _rp(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    sel = J.semi_join(orders, keys, "o_custkey")
+    n_cust = pqt.read_metadata(_p(sf_dir, "customer")).num_rows
+    if n_cust > _SEMI_BROADCAST_MAX_ROWS:
+        bldg = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).filter(
+            expr="c_mktsegment == 'BUILDING'"
+        ).select_columns(["c_custkey"])
+        sel = J.bloom_semi_join(orders, "o_custkey", bldg, "c_custkey")
+        sel = sel.select_columns(["o_custkey", "o_totalprice"])
+    else:
+        cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+        keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+        sel = J.semi_join(orders, keys, "o_custkey")
     agg = grouped_agg(
         sel, [], {"n": ("o_totalprice", "count"), "total": ("o_totalprice", "sum")}
     ).to_pandas().iloc[0]
@@ -343,13 +359,32 @@ FROM orders o WHERE o.o_custkey IN
 
 
 def q_customers_without_orders(sf_dir: str):
-    """J5 anti-join (existence): customers never seen in orders."""
-    orders = _rp(sf_dir, "orders", columns=["o_custkey"]).to_pandas()
-    have = set(orders["o_custkey"])
+    """J5 anti-join (existence): customers never seen in orders.
+
+    The filter side is the FACT table, so its key column never belongs
+    on the driver at scale (VERDICT round 2 #1): above the gate the
+    distinct order-custkeys are computed distributed
+    (agg.grouped_distinct — output bounded by #customers) and the
+    anti-join runs as a partitioned hash join (joins.hash_join
+    left_anti), zero driver-side key state."""
     cust = _rp(sf_dir, "customer", columns=["c_custkey"])
-    out = J.anti_join(cust, have, "c_custkey").to_pandas()
+    n_orders = pqt.read_metadata(_p(sf_dir, "orders")).num_rows
+    if n_orders > _SEMI_BROADCAST_MAX_ROWS:
+        keys = grouped_distinct(
+            _rp(sf_dir, "orders", columns=["o_custkey"]), ["o_custkey"]
+        ).map_batches(
+            lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+            batch_format="pandas",
+        )
+        out = J.hash_join(cust, keys, on="c_custkey", how="left_anti").to_pandas()
+    else:
+        orders = _rp(sf_dir, "orders", columns=["o_custkey"]).to_pandas()
+        have = set(orders["o_custkey"])
+        out = J.anti_join(cust, have, "c_custkey").to_pandas()
     if out.empty:  # empty Ray datasets drop their schema in to_pandas
         out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64")})
+    else:
+        out = out.sort_values("c_custkey").reset_index(drop=True)
     return out
 
 
