@@ -939,6 +939,30 @@ def q_ann_topk_ivf(sf_dir: str):
     return ANN.ann_topk_ivf(ds, ANN_QUERY_IDS, k=10, n_cells=64, nprobe=16)
 
 
+def q_ann_topk_ivf_indexed(sf_dir: str):
+    """IVF top-k served from a PERSISTED, partition-pruned index
+    (VERDICT round 2 #2; K6 full analogue —
+    `neo4j_pubmed_batch_embeddings_processor.py:722-748`). The index
+    (hive-partitioned by cell + centroid sidecar) is built once per
+    corpus under a content-keyed scratch dir and reused; serving reads
+    ONLY the queries' nprobe cell partitions. Same build parameters as
+    q_ann_topk_ivf → identical rows; rows-only check (recall<1 by
+    design, like the other approximate variants)."""
+    import hashlib
+    import os
+
+    src = _p(sf_dir, "embeddings")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:v1".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join("/tmp/biokg-ray-ivf-index", tag)
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if not os.path.isdir(os.path.join(index_dir, "_meta")):
+        ANN.build_ivf_index(ds, index_dir, n_cells=64)
+    return ANN.ann_topk_ivf_indexed(index_dir, ds, ANN_QUERY_IDS, k=10, nprobe=16)
+
+
 def q_label_embedding_stats(sf_dir: str):
     """List-column aggregate: per label count + mean of first embedding
     component."""
@@ -2554,6 +2578,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
     "label_embedding_stats": q_label_embedding_stats,
     # multimodal plumbing (+ real BMP decode kernel)
     "image_metadata": q_image_metadata,

@@ -231,26 +231,14 @@ def _kmeans_cosine(X: np.ndarray, n_cells: int, iters: int = 10,
     return C
 
 
-def ann_topk_ivf(
-    ds: ray.data.Dataset,
-    query_ids: list[int],
-    k: int = 10,
-    n_cells: int = 16,
-    nprobe: int = 4,
-    train_sample: int = 4096,
-    seed: int = 7,
-) -> ray.data.Dataset:
-    """IVF approximate top-k: corpus vectors are assigned to their
-    nearest of ``n_cells`` spherical-k-means centroids; a query scores
-    ONLY vectors in its ``nprobe`` nearest cells — the candidate set
-    shrinks ~nprobe/n_cells. Centroids train on a bounded driver-side
-    sample and broadcast; assignment + partial top-k is one vectorized
-    ``map_batches``; same output schema / deterministic tie-breaks as
-    the exact path. Recall vs brute force is recorded in BASELINE.md."""
-    # deterministic UNBIASED sample: ds.limit() takes the first rows in
-    # storage order, which biases centroids on any clustered/sorted
-    # layout; a stable id-hash filter samples uniformly regardless of
-    # layout, then limit() just caps the driver-side cost
+def _train_centroids(
+    ds: ray.data.Dataset, n_cells: int, train_sample: int, seed: int
+) -> np.ndarray:
+    """Deterministic UNBIASED training sample: ``ds.limit()`` takes the
+    first rows in storage order, which biases centroids on any
+    clustered/sorted layout; a stable id-hash filter samples uniformly
+    regardless of layout, then ``limit()`` just caps the driver-side
+    cost. Returns unit centroids from seeded spherical k-means."""
     n_total = ds.count()
     frac_pm = min(10_000, (train_sample * 12_000) // max(n_total, 1))
 
@@ -269,7 +257,26 @@ def ann_topk_ivf(
         .limit(train_sample).to_pandas()
     )
     train = _as_matrix(train_df["embedding"])
-    C = _kmeans_cosine(train, n_cells, seed=seed)
+    return _kmeans_cosine(train, n_cells, seed=seed)
+
+
+def ann_topk_ivf(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 4096,
+    seed: int = 7,
+) -> ray.data.Dataset:
+    """IVF approximate top-k: corpus vectors are assigned to their
+    nearest of ``n_cells`` spherical-k-means centroids; a query scores
+    ONLY vectors in its ``nprobe`` nearest cells — the candidate set
+    shrinks ~nprobe/n_cells. Centroids train on a bounded driver-side
+    sample and broadcast; assignment + partial top-k is one vectorized
+    ``map_batches``; same output schema / deterministic tie-breaks as
+    the exact path. Recall vs brute force is recorded in BASELINE.md."""
+    C = _train_centroids(ds, n_cells, train_sample, seed)
 
     qdf = _fetch_queries(ds, query_ids)
     Q = _normalize(_as_matrix(qdf["embedding"]))
@@ -314,6 +321,188 @@ def ann_topk_ivf(
 
     partials = ds.map_batches(
         IvfScorer, fn_constructor_kwargs={"ref": ref, "k": k},
+        batch_format="pandas", batch_size=2048, concurrency=(1, 4),
+    )
+    return partials.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Persisted, partition-pruned IVF index (K6 full analogue)
+# --------------------------------------------------------------------------
+# The reference builds a durable vector index that later queries hit
+# (`neo4j_pubmed_batch_embeddings_processor.py:722-748`,
+# `cql/embeddings/pubmed_embeddings.cql:7-15`). The Ray-native analogue:
+# ONE corpus pass assigns every vector its IVF cell and materializes the
+# assignment as hive-partitioned parquet (one directory per cell) plus a
+# centroid sidecar. Serving then reads ONLY the query's nprobe cells'
+# partitions — an index probe, not a corpus scan: at 100 TB the read is
+# ~nprobe/n_cells of the data, predicate-free because the pruning is
+# structural (directory selection), so no footer of any other cell is
+# even opened.
+
+_IVF_META_DIR = "_meta"
+
+
+def build_ivf_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    n_cells: int = 16,
+    train_sample: int = 4096,
+    seed: int = 7,
+) -> np.ndarray:
+    """Build the persisted IVF index: train centroids on a bounded
+    unbiased sample, assign every corpus vector its nearest cell in one
+    vectorized pass, and write ``index_dir/cell=<c>/*.parquet`` (hive
+    partitioning — resumable, one directory per cell) plus
+    ``index_dir/_meta/centroids.parquet``. Returns the centroids."""
+    import os
+
+    import pyarrow.parquet as pqt
+
+    C = _train_centroids(ds, n_cells, train_sample, seed)
+    cref = ray.put(C)
+
+    class CellAssign:
+        def __init__(self, cref):
+            self.C = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            if df.empty:
+                df["cell"] = pd.Series(dtype=np.int64)
+            else:
+                M = _normalize(_as_matrix(df["embedding"]))
+                df["cell"] = np.argmax(M @ self.C.T, axis=1).astype(np.int64)
+            # hive partitioning strips the partition column from file
+            # contents; keep a data-column copy so explicit-file reads
+            # (the pruned probe) still see each row's cell
+            df["cell_id"] = df["cell"]
+            return df
+
+    ds.map_batches(
+        CellAssign, fn_constructor_kwargs={"cref": cref},
+        batch_format="pandas", batch_size=2048, concurrency=(1, 4),
+    ).write_parquet(index_dir, partition_cols=["cell"])
+
+    meta_dir = os.path.join(index_dir, _IVF_META_DIR)
+    os.makedirs(meta_dir, exist_ok=True)
+    pqt.write_table(
+        pa.table({
+            "cell": pa.array(np.arange(C.shape[0], dtype=np.int64)),
+            "centroid": pa.array([row.tolist() for row in C],
+                                 pa.list_(pa.float64())),
+        }),
+        os.path.join(meta_dir, "centroids.parquet"),
+    )
+    return C
+
+
+def load_ivf_centroids(index_dir: str) -> np.ndarray:
+    import os
+
+    import pyarrow.parquet as pqt
+
+    t = pqt.read_table(os.path.join(index_dir, _IVF_META_DIR, "centroids.parquet"))
+    order = np.argsort(t["cell"].to_numpy())
+    return np.stack([np.asarray(v, dtype=np.float64)
+                     for v in t["centroid"].to_pylist()])[order]
+
+
+def ivf_probe_paths(index_dir: str, cells) -> list[str]:
+    """The partition directories a probe of ``cells`` reads — exposed so
+    tests (and ops) can assert the probe touches ONLY matching cells."""
+    import os
+
+    out = []
+    for c in sorted({int(c) for c in cells}):
+        p = os.path.join(index_dir, f"cell={c}")
+        if os.path.isdir(p):
+            out.append(p)
+    return out
+
+
+def _ivf_probe_files(index_dir: str, cells) -> list[str]:
+    """Explicit parquet file list under the probed cell directories
+    (Ray's ``read_parquet`` expands ONE directory but not a list of
+    them, so the pruned multi-cell read passes files)."""
+    import glob
+    import os
+
+    files: list[str] = []
+    for p in ivf_probe_paths(index_dir, cells):
+        files.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+    return files
+
+
+def ann_topk_ivf_indexed(
+    index_dir: str,
+    queries_ds: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 4,
+) -> ray.data.Dataset:
+    """Serve IVF top-k from the PERSISTED index: load the centroid
+    sidecar (tiny), fetch the query vectors (bounded filtered read of
+    the corpus), compute each query's ``nprobe`` nearest cells, and
+    read ONLY those cells' partitions of the index. Scoring semantics,
+    output schema and tie-breaks are identical to ``ann_topk_ivf`` —
+    with the same build parameters the two return identical rows; the
+    difference is I/O: this path never opens any other cell's files."""
+    import ray.data as rd
+
+    C = load_ivf_centroids(index_dir)
+    qdf = _fetch_queries(queries_ds, query_ids)
+    Q = _normalize(_as_matrix(qdf["embedding"]))
+    qcells = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+
+    files = _ivf_probe_files(index_dir, qcells.ravel())
+    if not files:
+        return rd.from_pandas(_EMPTY_TOPK.copy())
+    # metadata-free schema keeps Ray's schema-dedup fast path (pandas
+    # metadata makes hash(Schema) raise — same fix as queries._rp)
+    import pyarrow.parquet as pqt
+
+    full = pqt.read_schema(files[0]).remove_metadata()
+    cols = ["vec_id", "embedding", "cell_id"]
+    sch = pa.schema([full.field(c) for c in cols])
+    cand = rd.read_parquet(files, columns=cols, schema=sch)
+
+    ref = ray.put({"qids": qdf["vec_id"].to_numpy(), "Q": Q, "qcells": qcells})
+
+    class IndexedScorer:
+        def __init__(self, ref, k):
+            p = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.qids, self.Q, self.qcells = p["qids"], p["Q"], p["qcells"]
+            self.k = k
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return _EMPTY_TOPK.copy()
+            ids = df["vec_id"].to_numpy()
+            cell = df["cell_id"].astype(np.int64).to_numpy()
+            M = _normalize(_as_matrix(df["embedding"]))
+            out_q, out_v, out_c = [], [], []
+            for qi, qid in enumerate(self.qids):
+                sel = np.isin(cell, self.qcells[qi]) & (ids != qid)
+                if not sel.any():
+                    continue
+                cand_ids, candM = ids[sel], M[sel]
+                sc = candM @ self.Q[qi]
+                top = min(self.k, cand_ids.size)
+                order = np.lexsort((cand_ids, -sc))[:top]
+                out_q.extend([qid] * top)
+                out_v.extend(cand_ids[order])
+                out_c.extend(sc[order])
+            return pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, np.int64),
+                    "vec_id": np.asarray(out_v, np.int64),
+                    "cos": np.asarray(out_c, np.float64),
+                }
+            )
+
+    partials = cand.map_batches(
+        IndexedScorer, fn_constructor_kwargs={"ref": ref, "k": k},
         batch_format="pandas", batch_size=2048, concurrency=(1, 4),
     )
     return partials.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
