@@ -238,9 +238,21 @@ def run_kg_pipeline(
         # the scratch intermediate is pipeline-owned: clear leftovers
         # from a crashed earlier attempt — write_parquet APPENDS new
         # uuid-named part files, and a stale generation would double-
-        # count every triple in the re-reads below
+        # count every triple in the re-reads below. Only the parquet
+        # part files write_parquet produces are swept; anything else in
+        # a caller-supplied dir means it is NOT our scratch — refuse
+        # rather than delete someone's data (ADVICE round 2)
         if os.path.isdir(scratch):
-            for f in os.listdir(scratch):
+            entries = os.listdir(scratch)
+            stray = [f for f in entries if not f.endswith(".parquet")
+                     or not os.path.isfile(os.path.join(scratch, f))]
+            if stray:
+                raise RuntimeError(
+                    f"scratch_dir {scratch!r} contains non-scratch entries "
+                    f"{sorted(stray)[:5]} — refusing to clean; pass an empty "
+                    "or pipeline-owned directory"
+                )
+            for f in entries:
                 os.unlink(os.path.join(scratch, f))
         flagged.write_parquet(scratch)  # the ONE full pass over the corpus
         timings["corpus_pass"] = _time.perf_counter() - _t0
@@ -440,6 +452,18 @@ def _file_key(path: str) -> str:
     return hashlib.sha1(os.path.basename(path).encode()).hexdigest()[:12]
 
 
+def _input_stats(paths: list[str]) -> dict[str, list[int]]:
+    """size + mtime_ns per input file, recorded in the manifest lineage
+    so a shard whose CONTENTS change in place (same name) fails the
+    resume check and recomputes instead of silently reusing stale
+    phase-1 output (ADVICE round 2)."""
+    out = {}
+    for p in paths:
+        st = os.stat(p)
+        out[p] = [st.st_size, st.st_mtime_ns]
+    return out
+
+
 def run_partitioned(
     transcripts_dir: str,
     ontology_path: str,
@@ -502,8 +526,12 @@ def run_partitioned(
             todo.append(pid)
             continue
         lin = man.get("lineage", {})
-        if lin.get("inputs") != grp or lin.get("ontology") != ontology_path:
-            todo.append(pid)  # stale grouping → recompute (atomic overwrite)
+        if (
+            lin.get("inputs") != grp
+            or lin.get("ontology") != ontology_path
+            or lin.get("input_stats") != _input_stats(grp + [ontology_path])
+        ):
+            todo.append(pid)  # stale grouping/contents → recompute (atomic overwrite)
     # stale manifests OUTSIDE this run's partition set (a previous run
     # with larger n_parts, a different keying mode, or a since-REMOVED
     # input file) would leak their outputs into the phase-2 glob — refuse
@@ -549,7 +577,11 @@ def run_partitioned(
             phase1,
             pid,
             write,
-            lineage={"inputs": group_of[pid], "ontology": ontology_path},
+            lineage={
+                "inputs": group_of[pid],
+                "ontology": ontology_path,
+                "input_stats": _input_stats(group_of[pid] + [ontology_path]),
+            },
             metrics=lambda: {
                 "rows_linked": counts.get("linked", -1),
                 "rows_dead": counts.get("dead", -1),

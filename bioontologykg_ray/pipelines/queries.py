@@ -1554,7 +1554,13 @@ def q_doc_repetition(sf_dir: str):
 
 SQL_DOC_REPETITION = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+  -- empty/whitespace-only text must yield ZERO tokens like the
+  -- engine's strip().split() (string_split_regex('', '\s+') is [''] →
+  -- a phantom token; ADVICE round 2)
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS l
+  FROM documents
 ), pos AS (
   SELECT doc_id, l[i] AS tok,
          CASE WHEN i < len(l) THEN l[i] || ' ' || l[i+1] END AS bg
@@ -1570,10 +1576,16 @@ WITH toks AS (
     (SELECT doc_id, bg, count(*) AS c FROM pos WHERE bg IS NOT NULL GROUP BY 1,2)
   GROUP BY 1
 )
-SELECT a.doc_id, a.n_tokens, a.n_distinct, tt.top_token_n,
-       COALESCE(tb.top_bigram_n, 0) AS top_bigram_n,
-       1.0 - a.n_distinct / CAST(a.n_tokens AS DOUBLE) AS dup_ratio
-FROM agg a JOIN tt USING(doc_id) LEFT JOIN tb USING(doc_id)
+SELECT t.doc_id,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(COALESCE(tt.top_token_n, 0) AS BIGINT) AS top_token_n,
+       CAST(COALESCE(tb.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       CASE WHEN COALESCE(a.n_tokens, 0) > 0
+            THEN 1.0 - a.n_distinct / CAST(a.n_tokens AS DOUBLE)
+            ELSE 0.0 END AS dup_ratio
+FROM toks t LEFT JOIN agg a USING(doc_id) LEFT JOIN tt USING(doc_id)
+LEFT JOIN tb USING(doc_id)
 """
 
 

@@ -79,6 +79,19 @@ def triangle_counts(
         )
 
     n_nodes = deg.count()
+    if n_nodes:
+        # the wedge key packs two ids as (a<<32)|b — an id >= 2^32 would
+        # silently alias wedge keys into wrong counts (ADVICE round 2);
+        # the degree table is already materialized so the check is one
+        # cheap node-bounded aggregate
+        max_id = deg.max("node")
+        min_id = deg.min("node")
+        if max_id >= (1 << 32) or min_id < 0:
+            raise ValueError(
+                f"triangle_counts requires node ids in [0, 2^32) for the "
+                f"packed (a<<32)|b wedge key; got range [{min_id}, {max_id}] "
+                "— densify ids first (see the module docstring)"
+            )
     if n_nodes == 0:
         # degenerate graph (no edges survived upstream filters): an
         # empty deg dataset has no schema to group on downstream; the

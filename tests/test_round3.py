@@ -93,3 +93,98 @@ def test_ivf_probe_reads_only_matching_partitions(tmp_path):
 
     out = ANN.ann_topk_ivf_indexed(index_dir, ds, qids, k=10, nprobe=2).to_pandas()
     assert len(out) > 0 and set(out["query_id"]) == set(qids)
+
+
+def test_in_place_shard_change_invalidates_resume(tmp_path):
+    """A shard whose CONTENTS change in place (same file name) must fail
+    the lineage check and recompute its partition (ADVICE round 2 —
+    lineage records size+mtime, not just paths)."""
+    import glob
+    import os
+    import shutil
+
+    from bioontologykg_ray import synth
+    from bioontologykg_ray.config import PipelineConfig
+    from bioontologykg_ray.pipelines.kg import run_partitioned
+
+    cfg = PipelineConfig(link_concurrency=2, extract_batch_size=512)
+    d = synth.ensure_synth(0.001)
+    src_files = sorted(glob.glob(os.path.join(d, "transcripts", "*.parquet")))
+    assert len(src_files) >= 2
+    ont = os.path.join(d, "ontology_terms.parquet")
+
+    tdir = str(tmp_path / "transcripts")
+    os.makedirs(tdir)
+    for f in src_files[:2]:
+        shutil.copy(f, tdir)
+    local = sorted(glob.glob(os.path.join(tdir, "*.parquet")))
+
+    out = str(tmp_path / "out")
+    run_partitioned(tdir, ont, out, cfg, partition_by="file")
+    phase1 = os.path.join(out, "phase1")
+    mts = {
+        p: os.path.getmtime(os.path.join(p, "manifest.json"))
+        for p in glob.glob(os.path.join(phase1, "part-*"))
+    }
+
+    # swap shard 0's CONTENTS for shard 1's, keeping the name
+    shutil.copy(local[1], local[0])
+    run_partitioned(tdir, ont, out, cfg, partition_by="file")
+    after = {
+        p: os.path.getmtime(os.path.join(p, "manifest.json"))
+        for p in glob.glob(os.path.join(phase1, "part-*"))
+    }
+    changed = [p for p in mts if after[p] != mts[p]]
+    assert len(changed) == 1  # only the mutated shard's partition reran
+
+    # and the result equals a from-scratch run over the mutated input
+    out2 = str(tmp_path / "out2")
+    run_partitioned(tdir, ont, out2, cfg, partition_by="file")
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def edges(o):
+        fs = sorted(glob.glob(os.path.join(o, "graph", "edges", "*.parquet")))
+        df = pa.concat_tables([pq.read_table(f) for f in fs]).to_pandas()
+        return df.sort_values(["src", "predicate", "dst"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(edges(out), edges(out2))
+
+
+def test_scratch_cleanup_refuses_stray_entries(tmp_path):
+    """The spill-scratch sweep must refuse a caller-supplied dir holding
+    anything but our parquet part files (ADVICE round 2: the old sweep
+    os.unlink'ed blindly and crashed on subdirectories)."""
+    import os
+
+    import pytest
+
+    from bioontologykg_ray import synth
+    from bioontologykg_ray.config import PipelineConfig
+    from bioontologykg_ray.pipelines.kg import run_kg_pipeline
+
+    d = synth.ensure_synth(0.001)
+    scratch = str(tmp_path / "scratch")
+    os.makedirs(os.path.join(scratch, "user_data"))
+    with pytest.raises(RuntimeError, match="non-scratch entries"):
+        run_kg_pipeline(
+            os.path.join(d, "transcripts"),
+            os.path.join(d, "ontology_terms.parquet"),
+            PipelineConfig(link_concurrency=2),
+            scratch_dir=scratch,
+        )
+    assert os.path.isdir(os.path.join(scratch, "user_data"))  # untouched
+
+
+def test_triangle_counts_rejects_oversized_ids():
+    """Ids >= 2^32 would alias the packed wedge key — must raise, not
+    silently miscount (ADVICE round 2)."""
+    import pytest
+    import ray.data as rd
+
+    from bioontologykg_ray.stages.graph import triangle_counts
+
+    edges = pd.DataFrame({"u": [1, 2, 1 << 33], "v": [2, 1 << 33, 1]})
+    with pytest.raises(ValueError, match="densify"):
+        triangle_counts(rd.from_pandas(edges), u_col="u", v_col="v").to_pandas()
