@@ -1257,7 +1257,7 @@ def _sql_kg_extract(sf: float) -> str:
     tdir = os.path.join(SY.synth_dir(sf), "transcripts", "*.parquet")
     pat = TRIPLE_PATTERN.replace("'", "''")
     return f"""
-WITH m AS (
+WITH m AS MATERIALIZED (
   SELECT conv_id, turn_idx,
          unnest(regexp_extract_all(text, '{pat}')) AS mt
   FROM read_parquet('{tdir}'))
@@ -1349,7 +1349,7 @@ m AS (
   SELECT conv_id, turn_idx,
          unnest(regexp_extract_all(text, '{pat}')) AS mt
   FROM read_parquet('{tdir}')),
-triples AS (
+triples AS MATERIALIZED (
   SELECT regexp_extract(mt, '{pat}', 1) AS subj_surface,
          lower(regexp_extract(mt, '{pat}', 1)) AS s_alias,
          CASE regexp_extract(mt, '{pat}', 2)
@@ -1369,7 +1369,7 @@ need AS (
     SELECT o_alias, conv_id, turn_idx FROM triples)
   WHERE alias IN (SELECT alias FROM ambal)),
 ctx AS (SELECT * FROM read_parquet('{ctxp}')),
-scored AS (
+scored AS MATERIALIZED (
   SELECT n.alias, n.conv_id, n.turn_idx, a.term_id,
          round(list_inner_product(CAST(x.ctx_emb AS DOUBLE[]),
                                   CAST(a.embedding AS DOUBLE[])), 6) AS score
@@ -1382,7 +1382,7 @@ resolved AS (
       PARTITION BY alias, conv_id, turn_idx
       ORDER BY score DESC, term_id) AS rn
     FROM scored) WHERE rn = 1),
-linkedall AS (
+linkedall AS MATERIALIZED (
   SELECT t.subj_surface, t.obj_surface, t.pred, t.conv_id, t.turn_idx,
          coalesce(u1.term_id, r1.term_id) AS subj,
          coalesce(u2.term_id, r2.term_id) AS obj
@@ -1393,7 +1393,7 @@ linkedall AS (
   LEFT JOIN una u2 ON u2.alias = t.o_alias
   LEFT JOIN resolved r2 ON r2.alias = t.o_alias
        AND r2.conv_id = t.conv_id AND r2.turn_idx = t.turn_idx),
-linked AS (SELECT subj, pred, obj, conv_id, turn_idx FROM linkedall
+linked AS MATERIALIZED (SELECT subj, pred, obj, conv_id, turn_idx FROM linkedall
            WHERE subj IS NOT NULL AND obj IS NOT NULL),
 dead AS (SELECT subj_surface, obj_surface, pred,
                 CASE WHEN subj IS NULL THEN 'unlinked_subject'
@@ -1430,7 +1430,7 @@ sym AS (SELECT
   CASE WHEN pred IN ('INTERACTS_WITH','SAME_AS') AND subj > obj
        THEN subj ELSE obj END AS dst
   FROM facts),
-edges AS (SELECT src, predicate, dst, count(*) AS n_mentions
+edges AS MATERIALIZED (SELECT src, predicate, dst, count(*) AS n_mentions
           FROM sym GROUP BY src, predicate, dst),
 endpoints AS (SELECT DISTINCT node_id FROM
               (SELECT src AS node_id FROM edges UNION ALL SELECT dst FROM edges)),
@@ -2432,7 +2432,7 @@ def q_kg_pagerank(sf_dir: str):
 def _sql_kg_pagerank(sf: float) -> str:
     parts = [
         """,
-pr_e AS (SELECT DISTINCT src, dst FROM edges),
+pr_e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
 pr_n AS (SELECT DISTINCT node FROM
          (SELECT src AS node FROM pr_e UNION ALL SELECT dst FROM pr_e)),
 pr_od AS (SELECT src, count(*) AS od FROM pr_e GROUP BY src),
