@@ -1190,6 +1190,40 @@ FROM lk GROUP BY node_id
 """
 
 
+def q_import_edges(sf_dir: str):
+    """Declarative EDGE importer with a dynamic predicate taken from a
+    data column through a rename map (the reference's
+    `apoc.create.relationship` imports, `import_go_obo.py:248-258`;
+    monarch predicate→biolink mapping): lineitem rows become
+    (supplier)-[returnflag-mapped]->(part) edges; the unmapped 'N' flag
+    is DROPPED like relationships the reference has no type mapping
+    for, and duplicates merge into n_mentions (K2 MERGE shape)."""
+    from bioontologykg_ray.sources.importer import EdgeSpec, import_edges
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_suppkey", "l_returnflag", "l_partkey"])
+    spec = EdgeSpec(
+        subject="l_suppkey",
+        predicate="l_returnflag",
+        object="l_partkey",
+        predicate_map={"R": "RETURNED", "A": "ACCEPTED"},
+    )
+    out = import_edges(ds, spec).to_pandas()
+    return out.sort_values(["src", "predicate", "dst"]).reset_index(drop=True)
+
+
+SQL_IMPORT_EDGES = """
+SELECT l_suppkey AS src,
+       CASE l_returnflag WHEN 'R' THEN 'RETURNED'
+                         WHEN 'A' THEN 'ACCEPTED' END AS predicate,
+       l_partkey AS dst,
+       count(*) AS n_mentions
+FROM lineitem
+WHERE l_returnflag IN ('R', 'A')
+GROUP BY 1, 2, 3
+ORDER BY src, predicate, dst
+"""
+
+
 def q_frame_sample_counts(sf_dir: str):
     """Video-style frame sampling explode, counted per media id."""
     docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
@@ -2602,6 +2636,7 @@ QUERIES = {
     "wav_energy_windows": q_wav_energy_windows,
     # declarative importer
     "import_nodes": q_import_nodes,
+    "import_edges": q_import_edges,
     # KG flagship
     "kg_extract_triples": q_kg_extract_triples,
     "kg_ordered_turns": q_kg_ordered_turns,
@@ -2678,6 +2713,7 @@ ORACLE = {
     "bmv_frame_stats": SQL_BMV_FRAME_STATS,
     "wav_energy_windows": SQL_WAV_ENERGY_WINDOWS,
     "import_nodes": _sql_import_nodes(0.01),
+    "import_edges": SQL_IMPORT_EDGES,
     "kg_extract_triples": _sql_kg_extract(0.01),
     "kg_ordered_turns": _sql_kg_ordered(0.01),
     "kg_linked_triples": _sql_kg_linked(0.01),

@@ -53,6 +53,16 @@ class TableSpec:
     columns: tuple[ColumnSpec, ...] = ()
     merge: dict = field(default_factory=dict)   # out-col → first|last|concat
     concat_sep: str = "|"
+    # dynamic node label from a DATA column (the reference's
+    # label-from-category imports, `import_monarchkg_nodes.cql:20-21`:
+    # the CSV `category` column becomes the node label). In a tables
+    # world the label is just a column — this spells that out as spec
+    # surface: the source column's value (optionally through
+    # ``label_map``) lands in an output ``label`` column, merged
+    # 'first' like any property.
+    label_from: str | None = None
+    label_map: dict | None = None   # raw value → label; misses → default
+    label_default: str = "node"
 
 
 def _apply_columns(spec: TableSpec):
@@ -75,15 +85,25 @@ def _apply_columns(spec: TableSpec):
             elif c.type == "float64":
                 s = s.astype("Float64")
             out[c.name] = s
+        if spec.label_from is not None:
+            lbl = df[spec.label_from]
+            if spec.label_map is not None:
+                lbl = lbl.map(spec.label_map)
+            out["label"] = lbl.fillna(spec.label_default)
         return out
 
     return fn
 
 
+def _value_cols(spec: TableSpec) -> list[str]:
+    cols = [c.name for c in spec.columns if c.name not in (spec.key, spec.order)]
+    if spec.label_from is not None and "label" not in cols:
+        cols.append("label")
+    return cols
+
+
 def _merge_groups(spec: TableSpec):
-    value_cols = [
-        c.name for c in spec.columns if c.name not in (spec.key, spec.order)
-    ]
+    value_cols = _value_cols(spec)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -142,3 +162,56 @@ def import_table(ds: ray.data.Dataset, spec: TableSpec) -> ray.data.Dataset:
 
     typed = ds.map_batches(_apply_columns(spec), batch_format="pandas")
     return sorted_group_apply(typed, spec.key, _merge_groups(spec), hash_sort=True)
+
+
+@dataclass(frozen=True)
+class EdgeSpec:
+    """Declarative edge import: subject/predicate/object columns plus a
+    predicate rename map — the reference's dynamic-relationship-type
+    imports (`apoc.create.relationship` with the type taken from a data
+    column, `import_go_obo.py:248-258`;
+    `prompts/import/monarchkg/monarch_relationships_generic_prompt.txt`
+    maps source predicates onto canonical biolink types). Unmapped
+    predicate codes fall back to ``default_predicate``; with the
+    default of ``None`` those rows are DROPPED (the reference skips
+    relationships it has no type mapping for)."""
+
+    subject: str                    # input column → src
+    predicate: str                  # input column → predicate (via map)
+    object: str                     # input column → dst
+    predicate_map: dict = field(default_factory=dict)
+    default_predicate: str | None = None
+    count_col: str = "n_mentions"
+
+
+def import_edges(ds: ray.data.Dataset, spec: EdgeSpec) -> ray.data.Dataset:
+    """Raw rows → typed, deduplicated edge table
+    ``(src, predicate, dst, <count_col>)``. One vectorized map per
+    batch (rename + predicate lookup + null-endpoint drop), then one
+    keyed exchange counting mentions per distinct edge — the same
+    MERGE-on-(src,type,dst) upsert shape as the flagship's edge build
+    (SURVEY §2.2 K2)."""
+    from bioontologykg_ray.stages.agg import grouped_count
+
+    def xform(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "src": df[spec.subject],
+                "predicate": df[spec.predicate],
+                "dst": df[spec.object],
+            }
+        )
+        if spec.predicate_map:
+            mapped = out["predicate"].map(spec.predicate_map)
+            if spec.default_predicate is None:
+                keep = mapped.notna()
+                out = out.loc[keep]
+                out["predicate"] = mapped.loc[keep]
+            else:
+                out["predicate"] = mapped.fillna(spec.default_predicate)
+        return out[out["src"].notna() & out["dst"].notna()]
+
+    typed = ds.map_batches(xform, batch_format="pandas")
+    return grouped_count(
+        typed, ["src", "predicate", "dst"], out_col=spec.count_col
+    )

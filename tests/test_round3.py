@@ -188,3 +188,61 @@ def test_triangle_counts_rejects_oversized_ids():
     edges = pd.DataFrame({"u": [1, 2, 1 << 33], "v": [2, 1 << 33, 1]})
     with pytest.raises(ValueError, match="densify"):
         triangle_counts(rd.from_pandas(edges), u_col="u", v_col="v").to_pandas()
+
+
+def test_importer_label_from_column():
+    """Dynamic node label from a data column (label_from + label_map +
+    default), merged 'first' like any property."""
+    import ray.data as rd
+
+    from bioontologykg_ray.sources.importer import (
+        ColumnSpec, TableSpec, import_table,
+    )
+
+    df = pd.DataFrame(
+        {
+            "row_no": [1, 2, 3, 4],
+            "node_id": ["a", "a", "b", "c"],
+            "category": ["gene", "protein", "unknown_cat", "disease"],
+            "name": ["A1", "A2", "B", "C"],
+        }
+    )
+    spec = TableSpec(
+        key="node_id", order="row_no",
+        columns=(
+            ColumnSpec("row_no", type="int64"),
+            ColumnSpec("node_id"),
+            ColumnSpec("name"),
+        ),
+        label_from="category",
+        label_map={"gene": "Gene", "protein": "Protein", "disease": "Disease"},
+        label_default="node",
+    )
+    out = import_table(rd.from_pandas(df), spec).to_pandas()
+    out = out.sort_values("node_id").reset_index(drop=True)
+    assert list(out["label"]) == ["Gene", "node", "Disease"]  # first wins; miss→default
+    assert list(out["name"]) == ["A1", "B", "C"]
+
+
+def test_import_edges_default_predicate():
+    """With default_predicate set, unmapped codes keep the row under the
+    fallback type instead of dropping it."""
+    import ray.data as rd
+
+    from bioontologykg_ray.sources.importer import EdgeSpec, import_edges
+
+    df = pd.DataFrame(
+        {
+            "s": ["x", "x", "y", "z"],
+            "p": ["R", "N", "R", None],
+            "o": ["p1", "p1", "p2", "p3"],
+        }
+    )
+    spec = EdgeSpec(
+        subject="s", predicate="p", object="o",
+        predicate_map={"R": "RETURNED"}, default_predicate="RELATED_TO",
+    )
+    out = import_edges(rd.from_pandas(df), spec).to_pandas()
+    out = out.sort_values(["src", "predicate", "dst"]).reset_index(drop=True)
+    assert list(out["predicate"]) == ["RELATED_TO", "RETURNED", "RETURNED", "RELATED_TO"]
+    assert list(out["n_mentions"]) == [1, 1, 1, 1]
