@@ -44,7 +44,7 @@ from bioontologykg_ray.stages.dedup import (
     distinct_values,
 )
 from bioontologykg_ray.stages.extract import RELATION_PHRASES, extract_triples
-from bioontologykg_ray.stages.linker import build_alias_index, link_triples, split_linked
+from bioontologykg_ray.stages.linker import build_alias_index, link_triples
 from bioontologykg_ray.stages.ordering import order_conversations
 
 
@@ -484,6 +484,38 @@ def _file_key(path: str) -> str:
     return hashlib.sha1(os.path.basename(path).encode()).hexdigest()[:12]
 
 
+def _salvage_convs(tmp_dir: str, lineage: dict) -> list[str]:
+    """Record-level needs-work scan over a killed attempt's partial
+    output: conv_ids FULLY present in ``tmp_dir/flagged`` part files
+    with valid footers (a file is either whole or footerless — parquet
+    writes the footer last — and blocks are conv-atomic, so presence ==
+    completeness). Footerless leftovers are deleted so the resumed
+    write's directory holds only good files. A tmp whose recorded
+    lineage doesn't match THIS run's is from different inputs — wiped,
+    salvaging nothing."""
+    import shutil
+
+    if not os.path.isdir(tmp_dir):
+        return []
+    try:
+        with open(os.path.join(tmp_dir, "lineage.json")) as f:
+            old = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        old = None
+    if old != lineage:
+        shutil.rmtree(tmp_dir)
+        return []
+    convs: set = set()
+    for fp in glob.glob(os.path.join(tmp_dir, "flagged", "*.parquet")):
+        try:
+            col = pq.read_table(fp, columns=["conv_id"])["conv_id"]
+        except Exception:
+            os.unlink(fp)  # footerless partial file from the kill
+            continue
+        convs.update(col.to_pylist())
+    return sorted(convs)
+
+
 def _input_stats(paths: list[str]) -> dict[str, list[int]]:
     """size + mtime_ns per input file, recorded in the manifest lineage
     so a shard whose CONTENTS change in place (same name) fails the
@@ -581,9 +613,32 @@ def run_partitioned(
 
     group_of = dict(zip(pids, groups))
     for pid in todo:
+        lineage = {
+            "inputs": group_of[pid],
+            "ontology": ontology_path,
+            "input_stats": _input_stats(group_of[pid] + [ontology_path]),
+        }
+        tmp_dir = mf.partition_dir(phase1, pid) + ".tmp"
+        # record-level incremental resume (M14 parity, VERDICT round 2
+        # #4 — reference needs-work predicate scans,
+        # `readcube_abstract_embeddings.py:66-71`): conversations whose
+        # rows survived a killed attempt's partial flagged/ output are
+        # anti-joined out of the input; only the missing convs rerun.
+        salvaged = _salvage_convs(tmp_dir, lineage)
         ds = ray.data.read_parquet(
             group_of[pid], override_num_blocks=_read_blocks(group_of[pid])
         )
+        if salvaged:
+            done_ref = ray.put(pa.array(salvaged, pa.string()))
+
+            def drop_done(t: pa.Table, _ref=done_ref) -> pa.Table:
+                done = ray.get(_ref)
+                return t.filter(
+                    pc.invert(pc.is_in(t["conv_id"].combine_chunks().cast(pa.string()),
+                                       value_set=done))
+                )
+
+            ds = ds.map_batches(drop_done, batch_format="pyarrow")
         # sort commutes off the triple path (see run_kg_pipeline)
         raw = extract_triples(ds, dim=cfg.embedding_dim,
                               batch_size=cfg.extract_batch_size,
@@ -591,39 +646,54 @@ def run_partitioned(
         flagged = link_triples(raw, index_ref, batch_size=cfg.link_batch_size,
                                concurrency=None if cfg.link_stateless else cfg.link_concurrency,
                                min_score=cfg.min_link_score)
-        linked, dead = split_linked(flagged)
+        # conv-atomic blocks: every output block holds only COMPLETE
+        # conversations (sorted_group_apply contract), and a parquet
+        # file only ever contains whole blocks — so any conv present in
+        # a file with a valid footer is FULLY present, which is what
+        # makes the salvage anti-join above exact. One partition-LOCAL
+        # keyed exchange, bounded by the partition, never the corpus.
+        from bioontologykg_ray.stages.agg import sorted_group_apply
+
+        flagged = sorted_group_apply(
+            flagged, "conv_id", lambda df: df, hash_sort=True
+        )
 
         counts = {}
 
-        def write(tmp: str, linked=linked, dead=dead, counts=counts):
-            linked.write_parquet(os.path.join(tmp, "linked"))
-            dead.write_parquet(os.path.join(tmp, "dead"))
-            # row counts from parquet footers — no pipeline re-execution
-            for name in ("linked", "dead"):
-                counts[name] = sum(
-                    pq.read_metadata(f).num_rows
-                    for f in glob.glob(os.path.join(tmp, name, "*.parquet"))
-                )
+        def write(tmp: str, flagged=flagged, counts=counts, lineage=lineage):
+            # lineage lands FIRST so a later salvage can trust (or
+            # reject) whatever part files the kill left behind
+            with open(os.path.join(tmp, "lineage.json"), "w") as f:
+                json.dump(lineage, f, sort_keys=True)
+            flagged.write_parquet(os.path.join(tmp, "flagged"))
+            nlink = ndead = 0
+            for fp in glob.glob(os.path.join(tmp, "flagged", "*.parquet")):
+                col = pq.read_table(fp, columns=["linked"])["linked"]
+                t = int(pc.sum(col.cast(pa.int64())).as_py() or 0)
+                nlink += t
+                ndead += len(col) - t
+            counts["linked"], counts["dead"] = nlink, ndead
 
         mf.write_partition(
             phase1,
             pid,
             write,
-            lineage={
-                "inputs": group_of[pid],
-                "ontology": ontology_path,
-                "input_stats": _input_stats(group_of[pid] + [ontology_path]),
-            },
+            lineage=lineage,
             metrics=lambda: {
                 "rows_linked": counts.get("linked", -1),
                 "rows_dead": counts.get("dead", -1),
             },
+            keep_tmp=bool(salvaged),
         )
 
     # phase 2 — global consolidation over all phase-1 outputs
-    linked_files = sorted(glob.glob(os.path.join(phase1, "part-*", "linked", "*.parquet")))
+    import pyarrow.dataset as pads
+
+    flagged_files = sorted(glob.glob(os.path.join(phase1, "part-*", "flagged", "*.parquet")))
     linked_all = ray.data.read_parquet(
-        linked_files, override_num_blocks=_read_blocks(linked_files)
+        flagged_files, columns=_LINKED_COLS,
+        filter=pads.field("linked") == True,  # noqa: E712
+        override_num_blocks=_read_blocks(flagged_files),
     )
     sameas_text = linked_all.filter(expr="pred == 'SAME_AS'").map_batches(
         lambda t: pa.table({"a": t["subj"], "b": t["obj"]}), batch_format="pyarrow"
@@ -633,8 +703,9 @@ def run_partitioned(
                                   salt=min(cfg.salt_buckets, 4))
     if labels.count() <= cfg.broadcast_mapping_max:
         linked_spo = ray.data.read_parquet(
-            linked_files, columns=["subj", "pred", "obj"],
-            override_num_blocks=_read_blocks(linked_files),
+            flagged_files, columns=["subj", "pred", "obj"],
+            filter=pads.field("linked") == True,  # noqa: E712
+            override_num_blocks=_read_blocks(flagged_files),
         )
         edges = count_edges_packed(
             linked_spo,

@@ -46,13 +46,19 @@ def load_manifest(root: str, pid: int | str) -> dict | None:
         return None
 
 
-def write_partition(root: str, pid: int | str, write_fn, lineage: dict, metrics: dict) -> dict:
+def write_partition(root: str, pid: int | str, write_fn, lineage: dict,
+                    metrics: dict, keep_tmp: bool = False) -> dict:
     """Atomically produce partition ``pid``: ``write_fn(tmp_dir)`` writes
     the data files; the manifest lands last, so its presence == the
-    partition is complete. Safe against mid-write kills."""
+    partition is complete. Safe against mid-write kills.
+
+    ``keep_tmp=True`` preserves an existing tmp dir so ``write_fn`` can
+    APPEND next to salvaged part files (record-level resume — the
+    caller has already validated the tmp's lineage and pruned bad
+    files)."""
     final = partition_dir(root, pid)
     tmp = final + ".tmp"
-    if os.path.exists(tmp):
+    if os.path.exists(tmp) and not keep_tmp:
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
     write_fn(tmp)

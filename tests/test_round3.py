@@ -246,3 +246,103 @@ def test_import_edges_default_predicate():
     out = out.sort_values(["src", "predicate", "dst"]).reset_index(drop=True)
     assert list(out["predicate"]) == ["RELATED_TO", "RETURNED", "RETURNED", "RELATED_TO"]
     assert list(out["n_mentions"]) == [1, 1, 1, 1]
+
+
+def test_record_level_salvage_resume(tmp_path):
+    """Kill-resume INSIDE a partition (VERDICT round 2 #4): with a
+    partial flagged/ output left in the tmp dir, the resumed run
+    reprocesses ONLY the conversations missing from it, and the final
+    graph is identical to an uninterrupted run."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bioontologykg_ray import synth
+    from bioontologykg_ray.config import PipelineConfig
+    from bioontologykg_ray.pipelines import kg as KG
+    from bioontologykg_ray.pipelines import manifest as mf
+
+    cfg = PipelineConfig(link_concurrency=2, extract_batch_size=512)
+    d = synth.ensure_synth(0.001)
+    tdir = os.path.join(d, "transcripts")
+    ont = os.path.join(d, "ontology_terms.parquet")
+
+    # uninterrupted reference run
+    out_ref = str(tmp_path / "ref")
+    KG.run_partitioned(tdir, ont, out_ref, cfg, n_parts=2)
+
+    def edges(o):
+        fs = sorted(glob.glob(os.path.join(o, "graph", "edges", "*.parquet")))
+        df = pa.concat_tables([pq.read_table(f) for f in fs]).to_pandas()
+        return df.sort_values(["src", "predicate", "dst"]).reset_index(drop=True)
+
+    ref_edges = edges(out_ref)
+
+    # simulate a kill mid-partition-0: demote its finished output to a
+    # tmp dir holding only SOME of the flagged part files + one
+    # footerless partial, with the lineage marker a live write leaves
+    out = str(tmp_path / "out")
+    KG.run_partitioned(tdir, ont, out, cfg, n_parts=2)
+    phase1 = os.path.join(out, "phase1")
+    part0 = mf.partition_dir(phase1, 0)
+    tmp0 = part0 + ".tmp"
+    shutil.move(part0, tmp0)
+    os.unlink(os.path.join(tmp0, "manifest.json"))
+    flag_files = sorted(glob.glob(os.path.join(tmp0, "flagged", "*.parquet")))
+    assert len(flag_files) >= 2, "need >=2 part files to keep a strict subset"
+    all_convs = set()
+    for f in flag_files:
+        all_convs.update(pq.read_table(f, columns=["conv_id"])["conv_id"].to_pylist())
+    kept = flag_files[: len(flag_files) // 2]
+    kept_convs = set()
+    for f in flag_files:
+        if f in kept:
+            kept_convs.update(
+                pq.read_table(f, columns=["conv_id"])["conv_id"].to_pylist()
+            )
+        else:
+            os.unlink(f)
+    missing = all_convs - kept_convs
+    assert missing, "subset must actually drop some convs"
+    with open(os.path.join(tmp0, "flagged", "partial-killed.parquet"), "wb") as f:
+        f.write(b"no parquet footer here")
+
+    # the salvage contract is over INPUT convs: convs that emitted zero
+    # flagged rows never appear in the output and legitimately rerun
+    # (idempotent no-ops), so the expected rerun set is input minus kept
+    m0_ref = mf.load_manifest(os.path.join(out_ref, "phase1"), 0)
+    input_convs = set()
+    for f in m0_ref["lineage"]["inputs"]:
+        input_convs.update(pq.read_table(f, columns=["conv_id"])["conv_id"].to_pylist())
+    expected_rerun = input_convs - kept_convs
+    assert missing <= expected_rerun
+
+    # instrument: count convs that actually flow through extraction
+    seen_convs: set = set()
+    orig_extract = KG.extract_triples
+
+    def spy_extract(ds, **kw):
+        import pandas as pd
+
+        for b in ds.iter_batches(batch_format="pandas", batch_size=4096):
+            seen_convs.update(b["conv_id"])
+        return orig_extract(ds, **kw)
+
+    KG.extract_triples = spy_extract
+    try:
+        KG.run_partitioned(tdir, ont, out, cfg, n_parts=2)
+    finally:
+        KG.extract_triples = orig_extract
+
+    # only partition 0 was pending, and within it only the non-salvaged
+    # convs ran — every salvaged conv was anti-joined out of the input
+    assert seen_convs == expected_rerun
+    assert seen_convs.isdisjoint(kept_convs)
+    pd.testing.assert_frame_equal(edges(out), ref_edges)
+    # metrics still cover the WHOLE partition (salvaged + reprocessed)
+    m0 = mf.load_manifest(phase1, 0)
+    assert m0["metrics"] == m0_ref["metrics"]
