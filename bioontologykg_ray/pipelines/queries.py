@@ -833,11 +833,23 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
 """
 
 
+# below this documents-parquet size the 2-exchange fused MinHash plan
+# (shingle sets ride the banding exchange) beats the 3-exchange staged
+# plan — barriers dominate, not shuffle bytes; above it the staged plan
+# ships only candidate sets (stages/neardup.minhash_lsh_pairs docstring)
+_MINHASH_FUSE_MAX_BYTES = 512 << 20
+
+
 def q_minhash_dup_pairs(sf_dir: str):
     """MinHash(64) + LSH(32 bands × 2 rows) candidates, exact-Jaccard
     verified at τ=0.6 (miss prob ≈ 6e-7 at the threshold → equals the
-    exact SQL result)."""
-    return ND.minhash_lsh_pairs(_docs_plus_truncated_copies(sf_dir), n=3, tau=0.6)
+    exact SQL result). Plan choice is size-gated: fused 2-exchange
+    verify below _MINHASH_FUSE_MAX_BYTES, staged 3-exchange above
+    (identical output either way — pytest-pinned)."""
+    fuse = os.path.getsize(_p(sf_dir, "documents")) < _MINHASH_FUSE_MAX_BYTES
+    return ND.minhash_lsh_pairs(
+        _docs_plus_truncated_copies(sf_dir), n=3, tau=0.6, fuse_verify=fuse
+    )
 
 
 SQL_MINHASH_DUP_PAIRS = f"""
