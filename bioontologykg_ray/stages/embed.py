@@ -174,6 +174,7 @@ def embed_texts_stage(
     concurrency: int = 4,
     backend: str = "hash",
     num_gpus: float = 0,
+    **backend_kwargs,
 ) -> ray.data.Dataset:
     """The T1-shaped stage: fixed actor pool, batched encode.
 
@@ -184,7 +185,7 @@ def embed_texts_stage(
     from bioontologykg_ray.util import clamp_pool
 
     cls, kw = make_embedder(
-        backend, dim=dim, pooling=pooling, text_col=text_col
+        backend, dim=dim, pooling=pooling, text_col=text_col, **backend_kwargs
     )
     ray_kwargs = {"num_gpus": num_gpus} if num_gpus else {}
     return ds.map_batches(
