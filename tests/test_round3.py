@@ -366,3 +366,46 @@ def test_minhash_fused_matches_staged():
     )
     assert len(staged) > 0
     pd.testing.assert_frame_equal(staged, fused)
+
+
+def test_salvage_resume_with_everything_salvaged(tmp_path):
+    """Edge case: the kill landed AFTER all flagged files were written
+    but BEFORE the manifest — every conversation salvages, the rerun's
+    remaining input is empty, and the partition still finalizes with
+    correct metrics."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bioontologykg_ray import synth
+    from bioontologykg_ray.config import PipelineConfig
+    from bioontologykg_ray.pipelines import kg as KG
+    from bioontologykg_ray.pipelines import manifest as mf
+
+    cfg = PipelineConfig(link_concurrency=2, extract_batch_size=512)
+    d = synth.ensure_synth(0.001)
+    tdir = os.path.join(d, "transcripts")
+    ont = os.path.join(d, "ontology_terms.parquet")
+
+    out = str(tmp_path / "out")
+    KG.run_partitioned(tdir, ont, out, cfg, n_parts=2)
+    phase1 = os.path.join(out, "phase1")
+    ref_m0 = mf.load_manifest(phase1, 0)
+
+    def edges(o):
+        fs = sorted(glob.glob(os.path.join(o, "graph", "edges", "*.parquet")))
+        df = pa.concat_tables([pq.read_table(f) for f in fs]).to_pandas()
+        return df.sort_values(["src", "predicate", "dst"]).reset_index(drop=True)
+
+    ref_edges = edges(out)
+
+    part0 = mf.partition_dir(phase1, 0)
+    shutil.move(part0, part0 + ".tmp")
+    os.unlink(os.path.join(part0 + ".tmp", "manifest.json"))
+
+    KG.run_partitioned(tdir, ont, out, cfg, n_parts=2)
+    assert mf.load_manifest(phase1, 0)["metrics"] == ref_m0["metrics"]
+    pd.testing.assert_frame_equal(edges(out), ref_edges)
