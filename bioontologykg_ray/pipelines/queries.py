@@ -963,15 +963,23 @@ def q_ann_topk_ivf_indexed(sf_dir: str):
     import hashlib
     import os
 
+    n_cells, train_sample, seed = 64, 4096, 7
     src = _p(sf_dir, "embeddings")
     st = os.stat(src)
+    # tag = corpus identity + EVERY build parameter: a parameter change
+    # must never serve a stale incompatible index (round-3 review), and
+    # build_ivf_index's atomic tmp-dir publish makes concurrent builders
+    # race-safe (one wins, the loser discards)
     tag = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:v1".encode()
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
+        f":c{n_cells}:t{train_sample}:s{seed}:v2".encode()
     ).hexdigest()[:16]
     index_dir = os.path.join("/tmp/biokg-ray-ivf-index", tag)
     ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     if not os.path.isdir(os.path.join(index_dir, "_meta")):
-        ANN.build_ivf_index(ds, index_dir, n_cells=64)
+        ANN.build_ivf_index(
+            ds, index_dir, n_cells=n_cells, train_sample=train_sample, seed=seed
+        )
     return ANN.ann_topk_ivf_indexed(index_dir, ds, ANN_QUERY_IDS, k=10, nprobe=16)
 
 

@@ -201,14 +201,22 @@ def import_edges(ds: ray.data.Dataset, spec: EdgeSpec) -> ray.data.Dataset:
                 "dst": df[spec.object],
             }
         )
-        if spec.predicate_map:
-            mapped = out["predicate"].map(spec.predicate_map)
-            if spec.default_predicate is None:
-                keep = mapped.notna()
-                out = out.loc[keep]
-                out["predicate"] = mapped.loc[keep]
-            else:
-                out["predicate"] = mapped.fillna(spec.default_predicate)
+        # the drop-or-default rule applies uniformly: with a map,
+        # unmapped codes are misses; without one, only NULL predicates
+        # are misses (raw passthrough). Either way a miss falls back to
+        # default_predicate, or the row is dropped EXPLICITLY here when
+        # the default is None — never silently in a downstream groupby
+        # (round-3 review finding).
+        mapped = (
+            out["predicate"].map(spec.predicate_map)
+            if spec.predicate_map else out["predicate"]
+        )
+        if spec.default_predicate is None:
+            keep = mapped.notna()
+            out = out.loc[keep]
+            out["predicate"] = mapped.loc[keep]
+        else:
+            out["predicate"] = mapped.fillna(spec.default_predicate)
         return out[out["src"].notna() & out["dst"].notna()]
 
     typed = ds.map_batches(xform, batch_format="pandas")

@@ -256,6 +256,11 @@ def _train_centroids(
         ds.map_batches(hash_sample, batch_format="pyarrow")
         .limit(train_sample).to_pandas()
     )
+    # sort by id: the streamed sample arrives in block-completion order,
+    # and k-means init + float mean accumulation are ROW-ORDER
+    # sensitive — unsorted, two runs over the same corpus train
+    # different centroids (round-3 review: broke indexed/live parity)
+    train_df = train_df.sort_values("vec_id").reset_index(drop=True)
     train = _as_matrix(train_df["embedding"])
     return _kmeans_cosine(train, n_cells, seed=seed)
 
@@ -353,11 +358,30 @@ def build_ivf_index(
     """Build the persisted IVF index: train centroids on a bounded
     unbiased sample, assign every corpus vector its nearest cell in one
     vectorized pass, and write ``index_dir/cell=<c>/*.parquet`` (hive
-    partitioning — resumable, one directory per cell) plus
-    ``index_dir/_meta/centroids.parquet``. Returns the centroids."""
+    partitioning, one directory per cell) plus
+    ``index_dir/_meta/centroids.parquet``. Returns the centroids.
+
+    Crash/race safety (round-3 review finding): the build lands in a
+    process-unique tmp dir and is atomically renamed into place — a
+    killed build leaves only an orphaned tmp (swept on the next build),
+    never partial cell partitions that a rebuild would APPEND next to;
+    when two builders race, one rename wins and the loser discards its
+    tmp, so readers only ever see a complete index."""
+    import glob as _glob
     import os
+    import shutil
+    import tempfile
 
     import pyarrow.parquet as pqt
+
+    parent = os.path.dirname(os.path.abspath(index_dir)) or "."
+    os.makedirs(parent, exist_ok=True)
+    # sweep orphaned tmps from crashed earlier builds of THIS index
+    for stale in _glob.glob(index_dir + ".build-*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    tmp_dir = tempfile.mkdtemp(
+        prefix=os.path.basename(index_dir) + ".build-", dir=parent
+    )
 
     C = _train_centroids(ds, n_cells, train_sample, seed)
     cref = ray.put(C)
@@ -382,9 +406,9 @@ def build_ivf_index(
     ds.map_batches(
         CellAssign, fn_constructor_kwargs={"cref": cref},
         batch_format="pandas", batch_size=2048, concurrency=(1, 4),
-    ).write_parquet(index_dir, partition_cols=["cell"])
+    ).write_parquet(tmp_dir, partition_cols=["cell"])
 
-    meta_dir = os.path.join(index_dir, _IVF_META_DIR)
+    meta_dir = os.path.join(tmp_dir, _IVF_META_DIR)
     os.makedirs(meta_dir, exist_ok=True)
     pqt.write_table(
         pa.table({
@@ -394,6 +418,14 @@ def build_ivf_index(
         }),
         os.path.join(meta_dir, "centroids.parquet"),
     )
+    try:
+        os.rename(tmp_dir, index_dir)  # atomic publish
+    except OSError:
+        # a concurrent builder won the rename (or a stale complete
+        # index exists): theirs is complete — discard ours
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        if not os.path.isdir(os.path.join(index_dir, _IVF_META_DIR)):
+            raise
     return C
 
 

@@ -293,15 +293,3 @@ def link_triples(
         concurrency=concurrency,
     )
 
-
-def split_linked(ds: ray.data.Dataset):
-    """Split into (linked triples, dead letters). Materializes once so the
-    two branches don't re-execute the upstream pipeline."""
-    mat = ds.materialize()
-    linked = mat.filter(expr="linked == True").select_columns(
-        ["subj", "pred", "obj", "conv_id", "turn_idx"]
-    )
-    dead = mat.filter(expr="linked == False").select_columns(
-        ["subj_surface", "obj_surface", "pred", "reason", "conv_id", "turn_idx"]
-    )
-    return linked, dead

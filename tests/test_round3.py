@@ -409,3 +409,48 @@ def test_salvage_resume_with_everything_salvaged(tmp_path):
     KG.run_partitioned(tdir, ont, out, cfg, n_parts=2)
     assert mf.load_manifest(phase1, 0)["metrics"] == ref_m0["metrics"]
     pd.testing.assert_frame_equal(edges(out), ref_edges)
+
+
+def test_import_edges_passthrough_null_predicates():
+    """No predicate_map: raw predicates pass through; NULL predicates
+    drop (default None) or take the fallback — never silently vanish in
+    a downstream groupby."""
+    import ray.data as rd
+
+    from bioontologykg_ray.sources.importer import EdgeSpec, import_edges
+
+    df = pd.DataFrame(
+        {"s": ["x", "y", "z"], "p": ["REL", None, "REL"], "o": ["a", "b", "c"]}
+    )
+    dropped = import_edges(
+        rd.from_pandas(df), EdgeSpec(subject="s", predicate="p", object="o")
+    ).to_pandas().sort_values("src").reset_index(drop=True)
+    assert list(dropped["src"]) == ["x", "z"]
+    assert set(dropped["predicate"]) == {"REL"}
+
+    kept = import_edges(
+        rd.from_pandas(df),
+        EdgeSpec(subject="s", predicate="p", object="o",
+                 default_predicate="RELATED_TO"),
+    ).to_pandas().sort_values("src").reset_index(drop=True)
+    assert list(kept["predicate"]) == ["REL", "RELATED_TO", "REL"]
+
+
+def test_ivf_build_is_atomic_and_race_safe(tmp_path):
+    """A killed build must leave no partial cell partitions at the
+    final path (tmp-dir publish), and a second build over an existing
+    complete index must not duplicate vectors."""
+    import glob
+    import os
+
+    ds, index_dir, ANN = _ivf_setup(tmp_path)
+    # no orphaned tmps after a successful build
+    assert not glob.glob(index_dir + ".build-*")
+    n_files = len(glob.glob(os.path.join(index_dir, "cell=*", "*.parquet")))
+
+    # rebuild onto the existing complete index: the loser path discards
+    ANN.build_ivf_index(ds, index_dir, n_cells=16)
+    assert len(glob.glob(os.path.join(index_dir, "cell=*", "*.parquet"))) == n_files
+    out = ANN.ann_topk_ivf_indexed(index_dir, ds, [0, 1], k=10, nprobe=4).to_pandas()
+    # no duplicated (query, vec) rows from an append
+    assert not out.duplicated(["query_id", "vec_id"]).any()
