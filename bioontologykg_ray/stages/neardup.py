@@ -287,8 +287,43 @@ def minhash_lsh_pairs(
     # one whole exchange of the candidate stream saved (the fixed
     # sort+materialize barrier dominates at bench scale)
 
-    sets_ds = ds.map_batches(
+    # only CANDIDATE endpoints need their shingle set in the attach
+    # exchange: a bloom bitmap of the candidate ids (bounded bytes
+    # regardless of candidate count) prunes the corpus-wide set stream
+    # map-side BEFORE the set is even computed — false positives cost a
+    # few extra sets through the sort, never correctness (round-3: the
+    # set side previously shipped EVERY doc's set through the sort).
+    # cand is materialized because it now has two consumers (bloom +
+    # probe rows) — it is the post-LSH stream, ≪ corpus by design.
+    from bioontologykg_ray.stages.joins import _bloom_positions, bloom_bitmap
+
+    cand = cand.materialize()
+    endpoints = cand.map_batches(
         lambda t: pa.table(
+            {"key": pa.concat_arrays([
+                t["a"].combine_chunks().cast(pa.int64()),
+                t["b"].combine_chunks().cast(pa.int64()),
+            ])}
+        ),
+        batch_format="pyarrow",
+    )
+    _M_BITS, _K = 1 << 22, 4
+    bloom_ref = ray.put(bloom_bitmap(endpoints, "key", m_bits=_M_BITS, k=_K))
+
+    def set_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        w = ray.get(bloom_ref)
+        if len(ids):
+            pos = _bloom_positions(ids, _M_BITS, _K)
+            hit = (
+                (w[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+            ).astype(bool).all(axis=1)
+        else:
+            hit = np.zeros(0, dtype=bool)
+        t = t.filter(pa.array(hit))
+        return pa.table(
             {
                 "key": t["doc_id"].combine_chunks().cast(pa.int64()),
                 "pa_": pa.array(np.full(t.num_rows, -1, np.int64)),
@@ -302,9 +337,9 @@ def minhash_lsh_pairs(
                 ),
                 "is_set": pa.array(np.ones(t.num_rows, np.int8)),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    sets_ds = ds.map_batches(set_rows, batch_format="pyarrow")
 
     def probes(t: pa.Table) -> pa.Table:
         a = t["a"].combine_chunks().cast(pa.int64())
