@@ -912,18 +912,21 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embeddi
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
-def _ann_query_df(sf_dir: str):
+def _ann_query_df(sf_dir: str, query_ids=None):
     """Query vectors via a PREDICATE-PUSHED parquet read (row-group
     stats prune on vec_id) instead of a full-corpus filter scan —
     VERDICT round 2 'what's wrong' #4: fetching a handful of query rows
-    must not cost a corpus pass."""
+    must not cost a corpus pass. The ANN entry points re-validate that
+    this frame covers exactly the query_ids they were called with
+    (ann._check_qdf), so the two can never silently diverge."""
     import pyarrow.dataset as pads
 
+    ids = ANN_QUERY_IDS if query_ids is None else list(query_ids)
     qdf = _rp(
         sf_dir, "embeddings", columns=["vec_id", "embedding"],
-        filter=pads.field("vec_id").isin(ANN_QUERY_IDS),
+        filter=pads.field("vec_id").isin(ids),
     ).to_pandas().sort_values("vec_id").reset_index(drop=True)
-    missing = set(ANN_QUERY_IDS) - set(qdf["vec_id"])
+    missing = set(ids) - set(qdf["vec_id"])
     if missing:
         raise ValueError(f"query_ids not present in the corpus: {sorted(missing)}")
     return qdf

@@ -56,6 +56,18 @@ def _fetch_queries(ds: ray.data.Dataset, query_ids: list[int]) -> pd.DataFrame:
     return qdf
 
 
+def _check_qdf(qdf: pd.DataFrame, query_ids: list[int]) -> pd.DataFrame:
+    """A caller-supplied query frame must cover EXACTLY query_ids —
+    otherwise the explicit argument would be silently dead (round-3
+    review #5)."""
+    got, want = set(qdf["vec_id"]), set(query_ids)
+    if got != want:
+        raise ValueError(
+            f"qdf vec_ids {sorted(got)} do not match query_ids {sorted(want)}"
+        )
+    return qdf.sort_values("vec_id").reset_index(drop=True)
+
+
 def _normalize(M: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(M, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -120,7 +132,7 @@ def ann_topk_bruteforce(
     ``qdf`` lets the caller hand in the query rows from a
     predicate-pushed parquet read instead of the full-corpus filter
     scan ``_fetch_queries`` does (VERDICT round 2 'what's wrong' #4)."""
-    qdf = _fetch_queries(ds, query_ids) if qdf is None else qdf
+    qdf = _fetch_queries(ds, query_ids) if qdf is None else _check_qdf(qdf, query_ids)
     ref = ray.put({"qids": qdf["vec_id"].to_numpy(), "Q": _as_matrix(qdf["embedding"])})
     partials = ds.map_batches(
         BruteForceScorer,
@@ -158,7 +170,7 @@ def ann_topk_lsh(
     per-table miss prob p^nbits compounds to (1-p^nbits)^L misses).
     Same output schema as the brute-force variant; recall measured in
     BASELINE.md (recall@10 vs brute force on the driver embeddings)."""
-    qdf = _fetch_queries(ds, query_ids) if qdf is None else qdf
+    qdf = _fetch_queries(ds, query_ids) if qdf is None else _check_qdf(qdf, query_ids)
     Q = _as_matrix(qdf["embedding"])
     if dim is None:
         dim = Q.shape[1]  # infer from the data (a wrong explicit dim
@@ -239,33 +251,37 @@ def _kmeans_cosine(X: np.ndarray, n_cells: int, iters: int = 10,
 def _train_centroids(
     ds: ray.data.Dataset, n_cells: int, train_sample: int, seed: int
 ) -> np.ndarray:
-    """Deterministic UNBIASED training sample: ``ds.limit()`` takes the
-    first rows in storage order, which biases centroids on any
-    clustered/sorted layout; a stable id-hash filter samples uniformly
-    regardless of layout, then ``limit()`` just caps the driver-side
-    cost. Returns unit centroids from seeded spherical k-means."""
+    """FULLY deterministic unbiased training sample. A stable id-hash
+    filter samples uniformly regardless of storage layout (``limit()``
+    alone would bias centroids on any clustered/sorted layout); the
+    sample is then capped by taking the ``train_sample`` SMALLEST hash
+    values — a deterministic top-k by hash, so both membership AND row
+    order are run-independent. (``limit()`` after the filter kept
+    whichever rows arrived first in block-completion order: membership
+    itself was nondeterministic, and k-means init + float mean
+    accumulation are row-order sensitive — two runs trained different
+    centroids, breaking indexed/live parity. Round-3 review.) The
+    driver holds ~1.2 × train_sample rows in expectation, never the
+    corpus. Returns unit centroids from seeded spherical k-means."""
     n_total = ds.count()
     frac_pm = min(10_000, (train_sample * 12_000) // max(n_total, 1))
 
     def hash_sample(t: pa.Table) -> pa.Table:
         from bioontologykg_ray.functions.hashing import md5_low64
 
-        keep = np.fromiter(
-            (md5_low64("ivf:" + str(i)) % 10_000 < frac_pm
-             for i in t["vec_id"].to_pylist()),
-            dtype=bool, count=t.num_rows,
+        hs = np.fromiter(
+            (md5_low64("ivf:" + str(i)) for i in t["vec_id"].to_pylist()),
+            dtype=np.uint64, count=t.num_rows,
         )
-        return t.filter(pa.array(keep))
+        keep = hs % np.uint64(10_000) < np.uint64(frac_pm)
+        t = t.filter(pa.array(keep))
+        return t.append_column("__h", pa.array(hs[keep]))
 
+    train_df = ds.map_batches(hash_sample, batch_format="pyarrow").to_pandas()
     train_df = (
-        ds.map_batches(hash_sample, batch_format="pyarrow")
-        .limit(train_sample).to_pandas()
+        train_df.sort_values(["__h", "vec_id"])
+        .head(train_sample).reset_index(drop=True)
     )
-    # sort by id: the streamed sample arrives in block-completion order,
-    # and k-means init + float mean accumulation are ROW-ORDER
-    # sensitive — unsorted, two runs over the same corpus train
-    # different centroids (round-3 review: broke indexed/live parity)
-    train_df = train_df.sort_values("vec_id").reset_index(drop=True)
     train = _as_matrix(train_df["embedding"])
     return _kmeans_cosine(train, n_cells, seed=seed)
 
@@ -289,7 +305,7 @@ def ann_topk_ivf(
     the exact path. Recall vs brute force is recorded in BASELINE.md."""
     C = _train_centroids(ds, n_cells, train_sample, seed)
 
-    qdf = _fetch_queries(ds, query_ids) if qdf is None else qdf
+    qdf = _fetch_queries(ds, query_ids) if qdf is None else _check_qdf(qdf, query_ids)
     Q = _normalize(_as_matrix(qdf["embedding"]))
     # each query's nprobe nearest cells
     qcells = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
@@ -369,10 +385,12 @@ def build_ivf_index(
 
     Crash/race safety (round-3 review finding): the build lands in a
     process-unique tmp dir and is atomically renamed into place — a
-    killed build leaves only an orphaned tmp (swept on the next build),
-    never partial cell partitions that a rebuild would APPEND next to;
-    when two builders race, one rename wins and the loser discards its
-    tmp, so readers only ever see a complete index."""
+    killed build leaves only an orphaned tmp (swept AFTER the next
+    successful publish, never before: a pre-build sweep could destroy a
+    live racer's in-progress tmp and let it publish an incomplete
+    index), never partial cell partitions that a rebuild would APPEND
+    next to; when builders race, one rename wins, the loser discards
+    its tmp and returns the PUBLISHED index's centroids."""
     import glob as _glob
     import os
     import shutil
@@ -382,9 +400,6 @@ def build_ivf_index(
 
     parent = os.path.dirname(os.path.abspath(index_dir)) or "."
     os.makedirs(parent, exist_ok=True)
-    # sweep orphaned tmps from crashed earlier builds of THIS index
-    for stale in _glob.glob(index_dir + ".build-*"):
-        shutil.rmtree(stale, ignore_errors=True)
     tmp_dir = tempfile.mkdtemp(
         prefix=os.path.basename(index_dir) + ".build-", dir=parent
     )
@@ -427,11 +442,24 @@ def build_ivf_index(
     try:
         os.rename(tmp_dir, index_dir)  # atomic publish
     except OSError:
-        # a concurrent builder won the rename (or a stale complete
-        # index exists): theirs is complete — discard ours
+        # a concurrent builder won the rename (or a complete index
+        # already exists): theirs is complete — discard ours and hand
+        # back the PUBLISHED index's centroids, not our discarded ones
+        # (round-3 review #3: the returned centroids must always match
+        # what serving against index_dir will use)
         shutil.rmtree(tmp_dir, ignore_errors=True)
         if not os.path.isdir(os.path.join(index_dir, _IVF_META_DIR)):
             raise
+        return load_ivf_centroids(index_dir)
+    # OUR publish won: only now is it safe to sweep orphaned tmps from
+    # crashed earlier builds — index_dir existing means no concurrent
+    # builder can publish a partial tmp anymore (its rename must fail),
+    # so sweeping a LIVE builder's tmp at worst wastes its work, never
+    # corrupts the published index. (Round-3 review #1: a pre-build
+    # sweep could delete a live racer's tmp and let it publish an index
+    # missing the files written before the sweep.)
+    for stale in _glob.glob(index_dir + ".build-*"):
+        shutil.rmtree(stale, ignore_errors=True)
     return C
 
 
@@ -490,7 +518,7 @@ def ann_topk_ivf_indexed(
     import ray.data as rd
 
     C = load_ivf_centroids(index_dir)
-    qdf = _fetch_queries(queries_ds, query_ids) if qdf is None else qdf
+    qdf = _fetch_queries(queries_ds, query_ids) if qdf is None else _check_qdf(qdf, query_ids)
     Q = _normalize(_as_matrix(qdf["embedding"]))
     qcells = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
 
