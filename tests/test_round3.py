@@ -454,3 +454,33 @@ def test_ivf_build_is_atomic_and_race_safe(tmp_path):
     out = ANN.ann_topk_ivf_indexed(index_dir, ds, [0, 1], k=10, nprobe=4).to_pandas()
     # no duplicated (query, vec) rows from an append
     assert not out.duplicated(["query_id", "vec_id"]).any()
+
+
+def test_ivf_build_survives_orphaned_tmp(tmp_path):
+    """An orphaned tmp dir from a killed earlier build must not leak
+    into the published index, and a successful publish sweeps it."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from bioontologykg_ray.pipelines.queries import _rp
+    from bioontologykg_ray.stages import ann as ANN
+
+    ds = _rp(SF, "embeddings", columns=["vec_id", "embedding"])
+    index_dir = str(tmp_path / "ivf_index")
+    # simulate a killed build: partial cell dirs + junk inside a tmp
+    orphan = index_dir + ".build-dead0"
+    os.makedirs(os.path.join(orphan, "cell=0"))
+    with open(os.path.join(orphan, "cell=0", "partial.parquet"), "wb") as f:
+        f.write(b"killed mid-write")
+
+    ANN.build_ivf_index(ds, index_dir, n_cells=16)
+    assert not glob.glob(index_dir + ".build-*")  # orphan swept on publish
+    # the published index contains no junk files
+    for fp in glob.glob(os.path.join(index_dir, "cell=*", "*.parquet")):
+        import pyarrow.parquet as pq
+
+        pq.read_metadata(fp)  # raises on a non-parquet leftover
+    out = ANN.ann_topk_ivf_indexed(index_dir, ds, [0, 1], k=5, nprobe=4).to_pandas()
+    assert len(out) > 0
