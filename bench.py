@@ -187,6 +187,7 @@ def run_kg_only() -> dict:
         os.path.join(d, "transcripts"), os.path.join(d, "ontology_terms.parquet"), cfg
     )
     n_edges = res["edges"].count()
+    n_linked = res["linked"].count()  # footer read, not a re-execution
     sec = time.time() - t0
     import shutil
 
@@ -196,7 +197,11 @@ def run_kg_only() -> dict:
         "kg_sec": round(sec, 3),
         "turns": n_turns,
         "edges": n_edges,
+        "linked_triples": n_linked,
         "turns_per_sec": round(n_turns / sec, 1),
+        # the north-rule metric is TRIPLES/sec; turns/sec is kept for
+        # round-over-round continuity
+        "triples_per_sec": round(n_linked / sec, 1),
         "num_cpus": num_cpus,
         "kg_sf": kg_sf,
         "embed_all": embed_all,
@@ -290,6 +295,8 @@ def run_scaling():
                 "kg_sf": r_hi["kg_sf"],
                 f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
                 f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
+                f"triples_per_sec_{lo}": r_lo.get("triples_per_sec"),
+                f"triples_per_sec_{hi}": r_hi.get("triples_per_sec"),
             }
         )
     best = max(pairs, key=lambda p: p["efficiency"])
@@ -302,6 +309,8 @@ def run_scaling():
         f"sec_{hi}": best[f"sec_{hi}"],
         f"turns_per_sec_{lo}": best[f"turns_per_sec_{lo}"],
         f"turns_per_sec_{hi}": best[f"turns_per_sec_{hi}"],
+        f"triples_per_sec_{lo}": best.get(f"triples_per_sec_{lo}"),
+        f"triples_per_sec_{hi}": best.get(f"triples_per_sec_{hi}"),
         "scaling_efficiency": best["efficiency"],
         "all_pairs": [p["efficiency"] for p in pairs],
         "note": "pair sits below the single box's memory-bus saturation "
@@ -313,6 +322,7 @@ def run_scaling():
         r_sup = run(32)
         out["supp_sec_32"] = r_sup["kg_sec"]
         out["supp_turns_per_sec_32"] = r_sup["turns_per_sec"]
+        out["supp_triples_per_sec_32"] = r_sup.get("triples_per_sec")
         out["supp_efficiency_vs_lo"] = round(
             (best[f"sec_{lo}"] / r_sup["kg_sec"]) / (32 / lo), 3
         )
@@ -342,6 +352,8 @@ def run_weak_scaling():
                 f"sec_{hi}_sf{sf_hi}": r_hi["kg_sec"],
                 f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
                 f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
+                f"triples_per_sec_{lo}": r_lo.get("triples_per_sec"),
+                f"triples_per_sec_{hi}": r_hi.get("triples_per_sec"),
                 "efficiency": round(
                     (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / (hi / lo), 3
                 ),
