@@ -187,8 +187,12 @@ def run_kg_only() -> dict:
         os.path.join(d, "transcripts"), os.path.join(d, "ontology_terms.parquet"), cfg
     )
     n_edges = res["edges"].count()
-    n_linked = res["linked"].count()  # footer read, not a re-execution
     sec = time.time() - t0
+    # the linked count is MEASUREMENT, not pipeline work: with a
+    # row-filter Ray cannot use the parquet footer fast path, so
+    # counting inside the timed window would inflate kg_sec and break
+    # turns/sec continuity with earlier rounds (round-3 review)
+    n_linked = res["linked"].count()
     import shutil
 
     if res.get("scratch"):

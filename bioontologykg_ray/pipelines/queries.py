@@ -936,7 +936,7 @@ def q_ann_topk(sf_dir: str):
     """T6 kNN re-expressed: brute-force cosine top-10 per query vector,
     partial top-k per batch against the broadcast query matrix."""
     ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ANN.ann_topk_bruteforce(ds, ANN_QUERY_IDS, k=10, qdf=_ann_query_df(sf_dir))
+    return ANN.ann_topk_bruteforce(ds, ANN_QUERY_IDS, k=10, qdf=_ann_query_df(sf_dir, ANN_QUERY_IDS))
 
 
 SQL_ANN_TOPK = """
@@ -960,7 +960,7 @@ def q_ann_topk_lsh(sf_dir: str):
     BASELINE.md — best recall per candidate scanned on this corpus."""
     ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ANN.ann_topk_lsh(ds, ANN_QUERY_IDS, k=10, nbits=6, n_tables=32, dim=64,
-                            qdf=_ann_query_df(sf_dir))
+                            qdf=_ann_query_df(sf_dir, ANN_QUERY_IDS))
 
 
 def q_ann_topk_ivf(sf_dir: str):
@@ -970,7 +970,7 @@ def q_ann_topk_ivf(sf_dir: str):
     vectorized pass (recall<1 by design → rows-only check)."""
     ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ANN.ann_topk_ivf(ds, ANN_QUERY_IDS, k=10, n_cells=64, nprobe=16,
-                            qdf=_ann_query_df(sf_dir))
+                            qdf=_ann_query_df(sf_dir, ANN_QUERY_IDS))
 
 
 def q_ann_topk_ivf_indexed(sf_dir: str):
@@ -1003,7 +1003,7 @@ def q_ann_topk_ivf_indexed(sf_dir: str):
             ds, index_dir, n_cells=n_cells, train_sample=train_sample, seed=seed
         )
     return ANN.ann_topk_ivf_indexed(index_dir, ds, ANN_QUERY_IDS, k=10, nprobe=16,
-                                    qdf=_ann_query_df(sf_dir))
+                                    qdf=_ann_query_df(sf_dir, ANN_QUERY_IDS))
 
 
 def q_label_embedding_stats(sf_dir: str):

@@ -61,9 +61,10 @@ def _check_qdf(qdf: pd.DataFrame, query_ids: list[int]) -> pd.DataFrame:
     otherwise the explicit argument would be silently dead (round-3
     review #5)."""
     got, want = set(qdf["vec_id"]), set(query_ids)
-    if got != want:
+    if got != want or len(qdf) != len(got):
         raise ValueError(
-            f"qdf vec_ids {sorted(got)} do not match query_ids {sorted(want)}"
+            f"qdf vec_ids {sorted(qdf['vec_id'])} do not match query_ids "
+            f"{sorted(want)} (must cover each exactly once)"
         )
     return qdf.sort_values("vec_id").reset_index(drop=True)
 
@@ -264,7 +265,11 @@ def _train_centroids(
     driver holds ~1.2 × train_sample rows in expectation, never the
     corpus. Returns unit centroids from seeded spherical k-means."""
     n_total = ds.count()
-    frac_pm = min(10_000, (train_sample * 12_000) // max(n_total, 1))
+    # max(1, ...): past train_sample*12000 corpus rows the ratio floors
+    # to 0 and the sample would be EMPTY (numpy crash in k-means —
+    # round-3 review); at 1 per-mille the driver holds ~n/10000 rows
+    # before the top-k trim, still ≪ corpus
+    frac_pm = max(1, min(10_000, (train_sample * 12_000) // max(n_total, 1)))
 
     def hash_sample(t: pa.Table) -> pa.Table:
         from bioontologykg_ray.functions.hashing import md5_low64
@@ -450,17 +455,34 @@ def build_ivf_index(
         shutil.rmtree(tmp_dir, ignore_errors=True)
         if not os.path.isdir(os.path.join(index_dir, _IVF_META_DIR)):
             raise
+        _sweep_stale_build_tmps(index_dir)
         return load_ivf_centroids(index_dir)
-    # OUR publish won: only now is it safe to sweep orphaned tmps from
-    # crashed earlier builds — index_dir existing means no concurrent
-    # builder can publish a partial tmp anymore (its rename must fail),
-    # so sweeping a LIVE builder's tmp at worst wastes its work, never
-    # corrupts the published index. (Round-3 review #1: a pre-build
-    # sweep could delete a live racer's tmp and let it publish an index
-    # missing the files written before the sweep.)
-    for stale in _glob.glob(index_dir + ".build-*"):
-        shutil.rmtree(stale, ignore_errors=True)
+    # a published index_dir means no concurrent builder can publish a
+    # partial tmp anymore (its rename must fail), so sweeping orphans is
+    # safe on BOTH exit paths — but only AGE-GATED ones, so a live
+    # racer's in-progress tmp is never deleted out from under its write
+    # tasks (round-3 review #1/#4; a pre-build sweep was worse still: it
+    # could let the swept racer publish an incomplete index).
+    _sweep_stale_build_tmps(index_dir)
     return C
+
+
+def _sweep_stale_build_tmps(index_dir: str, max_age_sec: float = 3600.0) -> None:
+    """Remove orphaned ``<index>.build-*`` tmp dirs older than
+    ``max_age_sec`` — old enough that no live builder still owns them
+    (a crashed build's tmp holds a corpus-sized partial copy)."""
+    import glob as _glob
+    import os
+    import shutil
+    import time as _time
+
+    now = _time.time()
+    for stale in _glob.glob(index_dir + ".build-*"):
+        try:
+            if now - os.stat(stale).st_mtime > max_age_sec:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass  # another sweeper got it first
 
 
 def load_ivf_centroids(index_dir: str) -> np.ndarray:

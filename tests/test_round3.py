@@ -469,14 +469,23 @@ def test_ivf_build_survives_orphaned_tmp(tmp_path):
 
     ds = _rp(SF, "embeddings", columns=["vec_id", "embedding"])
     index_dir = str(tmp_path / "ivf_index")
-    # simulate a killed build: partial cell dirs + junk inside a tmp
+    # simulate a killed build: partial cell dirs + junk inside a tmp,
+    # backdated past the sweep's age gate (a FRESH tmp might belong to
+    # a live racing builder and must be left alone)
     orphan = index_dir + ".build-dead0"
     os.makedirs(os.path.join(orphan, "cell=0"))
     with open(os.path.join(orphan, "cell=0", "partial.parquet"), "wb") as f:
         f.write(b"killed mid-write")
+    old = 10_000.0
+    os.utime(orphan, (old, old))
+
+    # a fresh tmp (simulated live racer) survives the sweep
+    live = index_dir + ".build-live0"
+    os.makedirs(live)
 
     ANN.build_ivf_index(ds, index_dir, n_cells=16)
-    assert not glob.glob(index_dir + ".build-*")  # orphan swept on publish
+    left = glob.glob(index_dir + ".build-*")
+    assert left == [live]  # backdated orphan swept, live tmp untouched
     # the published index contains no junk files
     for fp in glob.glob(os.path.join(index_dir, "cell=*", "*.parquet")):
         import pyarrow.parquet as pq
