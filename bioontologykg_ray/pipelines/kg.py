@@ -353,56 +353,96 @@ def run_kg_pipeline(
     }
 
 
+_SAFE_JSON_CHARS = r"^[ !#-\[\]-~]*$"  # printable ASCII minus '"' and '\'
+
+
+def _props_json(defs_col) -> np.ndarray:
+    """Vectorized ``json.dumps({"definition": d}, sort_keys=True)`` per
+    row (round-3 verdict #6 — this loop was the last O(#entities)
+    driver-serial floor in the flagship). Definitions made only of
+    JSON-safe printable ASCII (the overwhelming majority) concat in one
+    Arrow kernel; rows needing escaping (or nulls) fall back to
+    json.dumps — byte-identical output either way."""
+    arr = (
+        defs_col.combine_chunks()
+        if isinstance(defs_col, pa.ChunkedArray)
+        else pa.array(defs_col, pa.string())
+    )
+    safe = pc.fill_null(
+        pc.match_substring_regex(arr, _SAFE_JSON_CHARS), False
+    ).to_numpy(zero_copy_only=False)
+    out = pc.binary_join_element_wise(
+        '{"definition": "', arr, '"}', ""
+    ).to_numpy(zero_copy_only=False)
+    for i in np.nonzero(~safe)[0]:
+        out[i] = json.dumps({"definition": arr[i].as_py()}, sort_keys=True)
+    return out
+
+
 def build_nodes(edges: ray.data.Dataset, ontology: pa.Table, cfg: PipelineConfig):
     """Distinct edge endpoints → node table with term props + embedding.
 
     The ontology side is broadcast (ray.put once, read per actor) — a
     small-side lookup join, never a shuffle (SURVEY.md §2.5 J1)."""
-    tids = ontology["term_id"].to_pylist()
-    names = ontology["name"].to_pylist()
-    namespaces = ontology["namespace"].to_pylist()
-    defs = ontology["definition"].to_pylist()
+    tids_np = ontology["term_id"].to_numpy(zero_copy_only=False)
+    n = len(tids_np)
+    names_np = ontology["name"].to_numpy(zero_copy_only=False)
+    ns_np = ontology["namespace"].to_numpy(zero_copy_only=False)
+    props_np = _props_json(ontology["definition"])
     emb = np.asarray(ontology["embedding"].combine_chunks().flatten(), dtype=np.float32)
     dim = cfg.embedding_dim
-    emb = emb.reshape(len(tids), dim)
-    info = {
-        t: (names[i], namespaces[i], defs[i], i) for i, t in enumerate(tids)
-    }
+    emb = emb.reshape(n, dim)
+    rows_np = np.arange(n, dtype=np.int64)
+    # duplicate term_ids (shouldn't happen; dict build kept LAST): keep
+    # the last occurrence so the vocabulary stays key-unique
+    dup = pd.Index(tids_np).duplicated(keep="last")
+    base_ids, base_rows = (
+        (tids_np[~dup], rows_np[~dup]) if dup.any() else (tids_np, rows_np)
+    )
+    vocab_ids, vocab_rows = base_ids, base_rows
     # alt-id canonical roots resolve to their term's properties: the
     # lexicographic-min component root is routinely an ALT id (merged-
     # away ids sort low), and leaving those as property-less stubs
     # strips real, fully-described terms (round-2 review finding).
     # A real term id always wins over an alt mapping; an alt id shared
     # by two terms (pathological) resolves to the MIN term_id.
+    # Vectorized (round-3 verdict #6): explode + isin + stable sort +
+    # drop_duplicates instead of the O(#entities×#alts) Python loop.
     if "alt_ids" in ontology.schema.names:
-        alt_best: dict[str, int] = {}
-        for i, al in enumerate(ontology["alt_ids"].to_pylist()):
-            for a in al or []:
-                if a in info:
-                    continue
-                j = alt_best.get(a)
-                if j is None or tids[i] < tids[j]:
-                    alt_best[a] = i
-        for a, i in alt_best.items():
-            info[a] = (names[i], namespaces[i], defs[i], i)
+        adf = (
+            pd.DataFrame(
+                {
+                    "alt": ontology["alt_ids"].to_pylist(),
+                    "tid": tids_np,
+                    "row": rows_np,
+                }
+            )
+            .explode("alt")
+            .dropna(subset=["alt"])
+        )
+        adf = adf[~adf["alt"].isin(pd.Index(base_ids))]
+        adf = adf.sort_values(["alt", "tid"], kind="mergesort").drop_duplicates(
+            "alt", keep="first"
+        )
+        if len(adf):
+            vocab_ids = np.concatenate(
+                [base_ids, adf["alt"].to_numpy(dtype=object)]
+            )
+            vocab_rows = np.concatenate(
+                [base_rows, adf["row"].to_numpy(dtype=np.int64)]
+            )
+    order = np.argsort(vocab_ids, kind="stable")
+    vocab_ids, rows_v = vocab_ids[order], vocab_rows[order]
     # columnar broadcast payload: parallel arrays over the known-id
     # vocabulary so the per-batch lookup is one vectorized pc.index_in
     # + np.take, never a per-row dict probe (VERDICT round 2 #8). The
-    # props JSON is precomputed ONCE here — O(#entities), driver-side.
-    vocab = sorted(info)
-    names_v = np.array([info[v][0] for v in vocab], dtype=object)
-    labels_v = np.array([info[v][1] for v in vocab], dtype=object)
-    props_v = np.array(
-        [json.dumps({"definition": info[v][2]}, sort_keys=True) for v in vocab],
-        dtype=object,
-    )
-    rows_v = np.array([info[v][3] for v in vocab], dtype=np.int64)
+    # props JSON is precomputed ONCE here, in Arrow kernels.
     info_ref = ray.put(
         {
-            "vocab": pa.array(vocab, pa.string()),
-            "names": names_v,
-            "labels": labels_v,
-            "props": props_v,
+            "vocab": pa.array(vocab_ids, pa.string()),
+            "names": names_np[rows_v],
+            "labels": ns_np[rows_v],
+            "props": props_np[rows_v],
             "rows": rows_v,
             "emb": emb,
         }

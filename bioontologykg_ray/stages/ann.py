@@ -24,6 +24,43 @@ import ray.data
 
 
 def _as_matrix(col) -> np.ndarray:
+    """Embedding column → (n, dim) float64 matrix.
+
+    Fast paths (round-3 verdict #3 — this sits on the hottest ANN inner
+    loop): Arrow list columns with uniform lengths reshape via
+    ``combine_chunks().flatten()`` (the ``kg.py`` FixedSizeList idiom,
+    one C-level copy instead of a per-row Python loop); pandas object
+    columns of equal-length ndarrays go through ONE ``np.stack`` + ONE
+    ``astype``. The per-row loop survives only for ragged inputs."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+        if pa.types.is_fixed_size_list(col.type) and col.null_count == 0:
+            dim = col.type.list_size
+            return (
+                np.asarray(col.flatten(), dtype=np.float64).reshape(len(col), dim)
+                if len(col)
+                else np.zeros((0, 0), dtype=np.float64)
+            )
+        if (
+            pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+        ) and col.null_count == 0:
+            lens = np.asarray(col.value_lengths())
+            if len(lens) == 0:
+                return np.zeros((0, 0), dtype=np.float64)
+            if (lens == lens[0]).all():
+                return np.asarray(col.flatten(), dtype=np.float64).reshape(
+                    len(col), int(lens[0])
+                )
+        col = col.to_pylist()  # ragged / nullable fallback
+    if isinstance(col, pd.Series):
+        vals = col.to_numpy()
+        if len(vals) and isinstance(vals[0], np.ndarray):
+            try:
+                return np.stack(vals).astype(np.float64, copy=False)
+            except ValueError:  # ragged rows
+                pass
+        col = vals
     vs = [np.asarray(v, dtype=np.float64) for v in col]
     if not vs:  # np.stack([]) raises a cryptic ValueError
         return np.zeros((0, 0), dtype=np.float64)
@@ -62,9 +99,13 @@ def _check_qdf(qdf: pd.DataFrame, query_ids: list[int]) -> pd.DataFrame:
     review #5)."""
     got, want = set(qdf["vec_id"]), set(query_ids)
     if got != want or len(qdf) != len(got):
+        # counts + a bounded sample only: a mistakenly corpus-sized qdf
+        # must not interpolate every vec_id into the exception (ADVICE r3)
+        extra, missing = sorted(got - want)[:10], sorted(want - got)[:10]
         raise ValueError(
-            f"qdf vec_ids {sorted(qdf['vec_id'])} do not match query_ids "
-            f"{sorted(want)} (must cover each exactly once)"
+            f"qdf ({len(qdf)} rows, {len(got)} distinct vec_ids) does not "
+            f"match query_ids ({len(want)} ids; must cover each exactly "
+            f"once); first extra ids: {extra}, first missing ids: {missing}"
         )
     return qdf.sort_values("vec_id").reset_index(drop=True)
 
@@ -402,7 +443,11 @@ def build_ivf_index(
 
     import pyarrow.parquet as pqt
 
-    parent = os.path.dirname(os.path.abspath(index_dir)) or "."
+    # normalize first: a trailing slash would make basename(index_dir)
+    # empty, naming the tmp '.build-*' where the sweep glob
+    # `index_dir + '.build-*'` can never match it (ADVICE r3)
+    index_dir = os.path.abspath(index_dir)
+    parent = os.path.dirname(index_dir) or "."
     os.makedirs(parent, exist_ok=True)
     tmp_dir = tempfile.mkdtemp(
         prefix=os.path.basename(index_dir) + ".build-", dir=parent
@@ -601,3 +646,108 @@ def ann_topk_ivf_indexed(
         batch_format="pandas", batch_size=2048, concurrency=(1, 4),
     )
     return partials.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# predicate-filtered kNN (round-3 verdict "what's missing" #1)
+# --------------------------------------------------------------------------
+
+def ann_topk_filtered(
+    filtered_ds: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    qdf: pd.DataFrame | None = None,
+    queries_ds: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """EXACT cosine top-k restricted to corpus rows satisfying a
+    metadata predicate — the reference's filtered vector query
+    (`cql/embeddings/pubmed_embeddings.cql:48-61,102-115,161-174`: kNN
+    `WHERE` year/journal/mesh predicates).
+
+    ``filtered_ds`` is the ALREADY-FILTERED corpus: pass a
+    predicate-pushed ``read_parquet(filter=...)`` so only matching
+    row-groups leave storage — the predicate never costs a full scan.
+    Query vectors are fetched UNFILTERED (from ``qdf`` or
+    ``queries_ds``): a query need not itself satisfy the predicate.
+    Exact semantics → SQL-expressible → exact-oracle (★) entry, unlike
+    the approximate ANN variants."""
+    if qdf is None:
+        if queries_ds is None:
+            raise ValueError("ann_topk_filtered needs qdf or queries_ds")
+        qdf = _fetch_queries(queries_ds, query_ids)
+    else:
+        qdf = _check_qdf(qdf, query_ids)
+    return ann_topk_bruteforce(filtered_ds, query_ids, k=k, qdf=qdf)
+
+
+def ann_topk_filtered_indexed(
+    index_dir: str,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 4,
+    qdf: pd.DataFrame | None = None,
+    predicate=None,
+) -> ray.data.Dataset:
+    """Filtered kNN served from the PERSISTED IVF index — the scale
+    path for repeated filtered queries: read ONLY the queries' nprobe
+    cell partitions AND push ``predicate`` (a ``pyarrow.dataset``
+    expression over the index columns, e.g. ``field('label') == 3``)
+    into that pruned read, then re-rank the survivors exactly.  Probe
+    I/O is ~nprobe/n_cells of the corpus further cut by the predicate's
+    row-group pruning; recall<1 vs the exact variant by IVF design
+    (identical rows at nprobe=n_cells — pinned in tests)."""
+    import ray.data as rd
+
+    if qdf is None:
+        raise ValueError("ann_topk_filtered_indexed needs qdf (query vectors)")
+    qdf = _check_qdf(qdf, query_ids)
+    C = load_ivf_centroids(index_dir)
+    Q = _normalize(_as_matrix(qdf["embedding"]))
+    qcells = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+
+    files = _ivf_probe_files(index_dir, qcells.ravel())
+    if not files:
+        return rd.from_pandas(_EMPTY_TOPK.copy())
+    import pyarrow.parquet as pqt
+
+    full = pqt.read_schema(files[0]).remove_metadata()
+    cols = [f for f in full.names if f != "cell"]
+    sch = pa.schema([full.field(c) for c in cols])
+    cand = rd.read_parquet(files, columns=cols, schema=sch, filter=predicate)
+    return ann_topk_bruteforce(
+        cand.select_columns(["vec_id", "embedding"]), query_ids, k=k, qdf=qdf
+    )
+
+
+def sweep_index_root(
+    root: str, keep_tags: set[str] | None = None, max_age_sec: float = 86400.0
+) -> None:
+    """Sweep STALE entries across the whole index root (ADVICE r3):
+    content-keyed tags accumulate when the corpus changes — old
+    published indexes and crashed builds' corpus-sized ``.build-*``
+    tmps under superseded tags were never matched by the per-tag sweep.
+    Age-gated (default 1 day) so a concurrent job serving an older tag
+    is never yanked mid-read; ``keep_tags`` always survive."""
+    import os
+    import shutil
+    import time as _time
+
+    keep = keep_tags or set()
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    now = _time.time()
+    for name in entries:
+        tag = name.split(".build-", 1)[0]
+        if tag in keep:
+            continue
+        path = os.path.join(root, name)
+        try:
+            newest = os.stat(path).st_mtime
+            for child in os.listdir(path):
+                newest = max(newest, os.stat(os.path.join(path, child)).st_mtime)
+            if now - newest > max_age_sec:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass  # racing sweeper or non-dir entry

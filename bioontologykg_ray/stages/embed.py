@@ -141,8 +141,21 @@ def make_embedder(backend: str = "auto", **kwargs):
     cfg.embedding_dim must use backend='hash' or a matching model."""
     if backend not in ("auto", "transformer", "hash"):
         raise ValueError(f"unknown embedder backend {backend!r}")
+
+    def _hash_kwargs(kw):
+        # same whitelist as the auto-fallback: an explicit 'hash' with a
+        # transformer-only kwarg (e.g. model_name) must be ignored, not
+        # TypeError in HashEmbedder.__init__ (ADVICE r3)
+        kw = {
+            k: v for k, v in kw.items()
+            if k in ("dim", "pooling", "text_col", "out_col", "char_limit")
+        }
+        if kw.get("pooling") == "cls":  # hash stand-in has no CLS token
+            kw["pooling"] = "mean"
+        return kw
+
     if backend == "hash":
-        return HashEmbedder, kwargs
+        return HashEmbedder, _hash_kwargs(kwargs)
     try:
         import torch  # noqa: F401
         import transformers  # noqa: F401
@@ -156,13 +169,7 @@ def make_embedder(backend: str = "auto", **kwargs):
     except ImportError:
         if backend == "transformer":
             raise
-        kwargs = {
-            k: v for k, v in kwargs.items()
-            if k in ("dim", "pooling", "text_col", "out_col", "char_limit")
-        }
-        if kwargs.get("pooling") == "cls":  # hash stand-in has no CLS token
-            kwargs["pooling"] = "mean"
-        return HashEmbedder, kwargs
+        return HashEmbedder, _hash_kwargs(kwargs)
 
 
 def embed_texts_stage(

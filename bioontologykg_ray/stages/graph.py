@@ -84,8 +84,12 @@ def triangle_counts(
         # silently alias wedge keys into wrong counts (ADVICE round 2);
         # the degree table is already materialized so the check is one
         # cheap node-bounded aggregate
-        max_id = deg.max("node")
-        min_id = deg.min("node")
+        # one aggregation job for both bounds (ADVICE r3: max()+min()
+        # each launched a separate full pass over the degree table)
+        from ray.data.aggregate import Max, Min
+
+        bounds = deg.aggregate(Max("node"), Min("node"))
+        max_id, min_id = bounds["max(node)"], bounds["min(node)"]
         if max_id >= (1 << 32) or min_id < 0:
             raise ValueError(
                 f"triangle_counts requires node ids in [0, 2^32) for the "
