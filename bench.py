@@ -121,7 +121,11 @@ def run_bench() -> dict:
     ):
         pq.read_table(f)
 
-    _warm_workers(num_cpus)
+    # GRAFT_NO_WARM=1 skips the worker-pool warm-up (page cache still
+    # warmed) so each round records BOTH a warmed and an unwarmed suite
+    # total and cross-round comparisons stay like-for-like.
+    if os.environ.get("GRAFT_NO_WARM", "") != "1":
+        _warm_workers(num_cpus)
 
     queries: dict[str, float] = {}
 
