@@ -1003,6 +1003,14 @@ def _ensure_ivf_index(sf_dir: str) -> str:
             _rp(sf_dir, "embeddings"), index_dir,
             n_cells=n_cells, train_sample=train_sample, seed=seed,
         )
+    else:
+        # serving refreshes the published dir's mtime: reads alone never
+        # touch mtimes, so WITHOUT this a concurrent process still
+        # probing a >1-day-old tag would be swept mid-read (review fix)
+        try:
+            os.utime(index_dir, None)
+        except OSError:
+            pass
     # superseded content tags (older corpora) accumulate published dirs
     # and crashed-build tmps the per-tag sweep never matches — age-gated
     # root-wide sweep, current tag always kept (ADVICE r3)
@@ -1049,7 +1057,9 @@ def q_ann_topk_filtered(sf_dir: str):
     )
 
 
-SQL_ANN_TOPK_FILTERED = """
+# the Python-side constants are interpolated so oracle and operator can
+# never drift apart when one is retuned (review fix)
+SQL_ANN_TOPK_FILTERED = f"""
 SELECT * FROM (
   SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
          round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])), 6) AS cos,
@@ -1058,7 +1068,7 @@ SELECT * FROM (
             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])) DESC, v.vec_id
          ) AS BIGINT) AS rank
   FROM embeddings q JOIN embeddings v ON v.vec_id != q.vec_id
-  WHERE q.vec_id < 5 AND v.label = 3)
+  WHERE q.vec_id < {len(ANN_QUERY_IDS)} AND v.label = {ANN_FILTER_LABEL})
 WHERE rank <= 10
 """
 
@@ -1076,6 +1086,47 @@ def q_ann_topk_filtered_indexed(sf_dir: str):
         qdf=_ann_query_df(sf_dir, ANN_QUERY_IDS),
         predicate=pads.field("label") == ANN_FILTER_LABEL,
     )
+
+
+ANN_HYBRID_KEYWORD = "spark"
+ANN_HYBRID_LEX_WEIGHT = 0.25  # exactly representable: fusion adds no float noise
+
+
+def q_ann_topk_hybrid(sf_dir: str):
+    """HYBRID vector + full-text retrieval (the reference's combined
+    queries, `cql/embeddings/pubmed_embeddings.cql:102-115`): fused
+    score = cos(q, v) + 0.25·[text(v) contains 'spark'], top-10 per
+    query. The lexical flag is computed per doc batch and attached to
+    the embedding stream via the distributed cogroup join — corpus-sized
+    state never broadcast. Exact semantics → exact SQL oracle (★)."""
+    emb = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return ANN.ann_topk_hybrid(
+        emb, docs, ANN_QUERY_IDS, k=10,
+        keyword=ANN_HYBRID_KEYWORD, lex_weight=ANN_HYBRID_LEX_WEIGHT,
+        qdf=_ann_query_df(sf_dir, ANN_QUERY_IDS),
+    )
+
+
+_HYBRID_SQL_SCORE = (
+    "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))"
+    f" + {ANN_HYBRID_LEX_WEIGHT} * "
+    f"(CASE WHEN d.text LIKE '%{ANN_HYBRID_KEYWORD}%' THEN 1 ELSE 0 END)"
+)
+SQL_ANN_TOPK_HYBRID = f"""
+SELECT * FROM (
+  SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+         round({_HYBRID_SQL_SCORE}, 6) AS score,
+         CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY {_HYBRID_SQL_SCORE} DESC, v.vec_id
+         ) AS BIGINT) AS rank
+  FROM embeddings q
+  JOIN embeddings v ON v.vec_id != q.vec_id
+  JOIN documents d ON d.doc_id = v.vec_id
+  WHERE q.vec_id < {len(ANN_QUERY_IDS)})
+WHERE rank <= 10
+"""
 
 
 def q_label_embedding_stats(sf_dir: str):
@@ -2742,6 +2793,7 @@ QUERIES = {
     "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
     "ann_topk_filtered": q_ann_topk_filtered,
     "ann_topk_filtered_indexed": q_ann_topk_filtered_indexed,
+    "ann_topk_hybrid": q_ann_topk_hybrid,
     "label_embedding_stats": q_label_embedding_stats,
     # multimodal plumbing (+ real BMP decode kernel)
     "image_metadata": q_image_metadata,
@@ -2820,6 +2872,7 @@ ORACLE = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ann_topk": SQL_ANN_TOPK,
     "ann_topk_filtered": SQL_ANN_TOPK_FILTERED,
+    "ann_topk_hybrid": SQL_ANN_TOPK_HYBRID,
     "label_embedding_stats": SQL_LABEL_EMBEDDING_STATS,
     "image_metadata": SQL_IMAGE_METADATA,
     "frame_sample_counts": SQL_FRAME_SAMPLE_COUNTS,
@@ -3301,9 +3354,10 @@ _DRIVER_WINDOW = [
     "wav_audio_stats",
     "bmv_frame_stats",
     "wav_energy_windows",
-    # similarity search (exact + filtered exact + persisted-index path)
+    # similarity search (exact + filtered/hybrid exact + persisted-index path)
     "ann_topk",
     "ann_topk_filtered",
+    "ann_topk_hybrid",
     "ann_topk_ivf_indexed",
     "label_embedding_stats",
     # as-of / range / window operators
@@ -3331,9 +3385,9 @@ _DRIVER_WINDOW = [
     # sketches
     "hll_user_registers",
     "cms_user_registers",
-    # text joins
+    # text joins (docs_containing_spark moved past the window: the hybrid
+    # ANN entry oracle-checks the same substring-containment semantics)
     "word_prefix_doc_counts",
-    "docs_containing_spark",
     "event_enrichment",
 ]
 

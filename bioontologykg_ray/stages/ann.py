@@ -67,13 +67,17 @@ def _as_matrix(col) -> np.ndarray:
     return np.stack(vs)
 
 
-_EMPTY_TOPK = pd.DataFrame(
-    {
-        "query_id": pd.Series(dtype=np.int64),
-        "vec_id": pd.Series(dtype=np.int64),
-        "cos": pd.Series(dtype=np.float64),
-    }
-)
+def _empty_topk(col: str = "cos") -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype=np.int64),
+            "vec_id": pd.Series(dtype=np.int64),
+            col: pd.Series(dtype=np.float64),
+        }
+    )
+
+
+_EMPTY_TOPK = _empty_topk("cos")
 
 
 def _fetch_queries(ds: ray.data.Dataset, query_ids: list[int]) -> pd.DataFrame:
@@ -117,20 +121,37 @@ def _normalize(M: np.ndarray) -> np.ndarray:
 
 
 class BruteForceScorer:
-    """Per-batch partial top-k against the broadcast query matrix."""
+    """Per-batch partial top-k against the broadcast query matrix.
 
-    def __init__(self, queries_ref, k: int):
+    One implementation serves plain cosine AND hybrid retrieval (review
+    fix — a separate HybridScorer duplicated the partial-top-k loop):
+    with ``lex_weight`` nonzero the fused score adds
+    ``lex_weight · df['lex']`` per candidate; ``packed=True`` reads the
+    binary-packed ``emb`` column (the cogroup-exchange format) instead
+    of the list-typed ``embedding``; ``out_col`` names the score."""
+
+    def __init__(self, queries_ref, k: int, lex_weight: float = 0.0,
+                 packed: bool = False, out_col: str = "cos"):
         payload = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
         self.qids = payload["qids"]
         self.Q = _normalize(payload["Q"])
         self.k = k
+        self.lex_weight = float(lex_weight)
+        self.packed = packed
+        self.out_col = out_col
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
-            return _EMPTY_TOPK.copy()
+            return _empty_topk(self.out_col)
         ids = df["vec_id"].to_numpy()
-        M = _normalize(_as_matrix(df["embedding"]))
+        M = _normalize(
+            _unpack_embeddings(df["emb"]) if self.packed
+            else _as_matrix(df["embedding"])
+        )
         C = self.Q @ M.T  # (nq, batch)
+        if self.lex_weight:
+            lex = df["lex"].to_numpy().astype(np.float64)
+            C = C + self.lex_weight * lex[None, :]
         out_q, out_v, out_c = [], [], []
         for qi, qid in enumerate(self.qids):
             scores = C[qi]
@@ -149,18 +170,18 @@ class BruteForceScorer:
             {
                 "query_id": np.asarray(out_q, np.int64),
                 "vec_id": np.asarray(out_v, np.int64),
-                "cos": np.asarray(out_c, np.float64),
+                self.out_col: np.asarray(out_c, np.float64),
             }
         )
 
 
-def _final_topk(k: int):
+def _final_topk(k: int, col: str = "cos"):
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "vec_id"], ascending=[False, True],
+        g = g.sort_values([col, "vec_id"], ascending=[False, True],
                           kind="mergesort").head(k)
         g = g.copy()
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["cos"] = g["cos"].round(6)
+        g[col] = g[col].round(6)
         return g
 
     return fn
@@ -573,6 +594,47 @@ def _ivf_probe_files(index_dir: str, cells) -> list[str]:
     return files
 
 
+class IndexedScorer:
+    """Per-batch partial top-k over index-partition candidates with the
+    PER-QUERY cell mask: each query scores only rows from ITS OWN
+    nprobe cells (``np.isin(cell, qcells[qi])``), so a query's result
+    never depends on which other queries shared the probe read (the
+    union of files fetched is an I/O optimization, not a semantics
+    change). Shared by the plain and the predicate-filtered indexed
+    serving paths."""
+
+    def __init__(self, ref, k):
+        p = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.qids, self.Q, self.qcells = p["qids"], p["Q"], p["qcells"]
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY_TOPK.copy()
+        ids = df["vec_id"].to_numpy()
+        cell = df["cell_id"].astype(np.int64).to_numpy()
+        M = _normalize(_as_matrix(df["embedding"]))
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(self.qids):
+            sel = np.isin(cell, self.qcells[qi]) & (ids != qid)
+            if not sel.any():
+                continue
+            cand_ids, candM = ids[sel], M[sel]
+            sc = candM @ self.Q[qi]
+            top = min(self.k, cand_ids.size)
+            order = np.lexsort((cand_ids, -sc))[:top]
+            out_q.extend([qid] * top)
+            out_v.extend(cand_ids[order])
+            out_c.extend(sc[order])
+        return pd.DataFrame(
+            {
+                "query_id": np.asarray(out_q, np.int64),
+                "vec_id": np.asarray(out_v, np.int64),
+                "cos": np.asarray(out_c, np.float64),
+            }
+        )
+
+
 def ann_topk_ivf_indexed(
     index_dir: str,
     queries_ds: ray.data.Dataset,
@@ -608,38 +670,6 @@ def ann_topk_ivf_indexed(
     cand = rd.read_parquet(files, columns=cols, schema=sch)
 
     ref = ray.put({"qids": qdf["vec_id"].to_numpy(), "Q": Q, "qcells": qcells})
-
-    class IndexedScorer:
-        def __init__(self, ref, k):
-            p = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            self.qids, self.Q, self.qcells = p["qids"], p["Q"], p["qcells"]
-            self.k = k
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if df.empty:
-                return _EMPTY_TOPK.copy()
-            ids = df["vec_id"].to_numpy()
-            cell = df["cell_id"].astype(np.int64).to_numpy()
-            M = _normalize(_as_matrix(df["embedding"]))
-            out_q, out_v, out_c = [], [], []
-            for qi, qid in enumerate(self.qids):
-                sel = np.isin(cell, self.qcells[qi]) & (ids != qid)
-                if not sel.any():
-                    continue
-                cand_ids, candM = ids[sel], M[sel]
-                sc = candM @ self.Q[qi]
-                top = min(self.k, cand_ids.size)
-                order = np.lexsort((cand_ids, -sc))[:top]
-                out_q.extend([qid] * top)
-                out_v.extend(cand_ids[order])
-                out_c.extend(sc[order])
-            return pd.DataFrame(
-                {
-                    "query_id": np.asarray(out_q, np.int64),
-                    "vec_id": np.asarray(out_v, np.int64),
-                    "cos": np.asarray(out_c, np.float64),
-                }
-            )
 
     partials = cand.map_batches(
         IndexedScorer, fn_constructor_kwargs={"ref": ref, "k": k},
@@ -695,7 +725,16 @@ def ann_topk_filtered_indexed(
     into that pruned read, then re-rank the survivors exactly.  Probe
     I/O is ~nprobe/n_cells of the corpus further cut by the predicate's
     row-group pruning; recall<1 vs the exact variant by IVF design
-    (identical rows at nprobe=n_cells — pinned in tests)."""
+    (identical rows at nprobe=n_cells — pinned in tests).
+
+    Scoring uses the shared ``IndexedScorer`` with the PER-QUERY cell
+    mask (review fix: an earlier draft brute-forced the UNION of all
+    queries' probed cells, so a query's rows depended on which other
+    queries shared the batch and the probe degenerated toward a full
+    filtered scan as the batch grew). The predicate read keeps every
+    index column in the projection — Arrow binds the filter against the
+    projected schema, and the index (v3) carries all metadata columns
+    for exactly this."""
     import ray.data as rd
 
     if qdf is None:
@@ -711,11 +750,16 @@ def ann_topk_filtered_indexed(
     import pyarrow.parquet as pqt
 
     full = pqt.read_schema(files[0]).remove_metadata()
-    cols = [f for f in full.names if f != "cell"]
-    sch = pa.schema([full.field(c) for c in cols])
-    cand = rd.read_parquet(files, columns=cols, schema=sch, filter=predicate)
-    return ann_topk_bruteforce(
-        cand.select_columns(["vec_id", "embedding"]), query_ids, k=k, qdf=qdf
+    cand = rd.read_parquet(
+        files, columns=list(full.names), schema=full, filter=predicate
+    )
+    ref = ray.put({"qids": qdf["vec_id"].to_numpy(), "Q": Q, "qcells": qcells})
+    partials = cand.map_batches(
+        IndexedScorer, fn_constructor_kwargs={"ref": ref, "k": k},
+        batch_format="pandas", batch_size=2048, concurrency=(1, 4),
+    )
+    return partials.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas"
     )
 
 
@@ -726,8 +770,14 @@ def sweep_index_root(
     content-keyed tags accumulate when the corpus changes — old
     published indexes and crashed builds' corpus-sized ``.build-*``
     tmps under superseded tags were never matched by the per-tag sweep.
-    Age-gated (default 1 day) so a concurrent job serving an older tag
-    is never yanked mid-read; ``keep_tags`` always survive."""
+    Age-gated (default 1 day); ``keep_tags`` always survive. The age
+    gate reads the newest mtime under each entry, and serving REFRESHES
+    the published dir's mtime on every probe (``_ensure_ivf_index``
+    calls ``os.utime`` before sweeping — review fix: reads alone never
+    touch mtimes, so a >1-day-old index still being actively served by
+    another process would otherwise be rmtree'd mid-read). Only
+    same-convention servers get that protection; the 1-day gate is the
+    backstop for everything else."""
     import os
     import shutil
     import time as _time
@@ -751,3 +801,129 @@ def sweep_index_root(
                 shutil.rmtree(path, ignore_errors=True)
         except OSError:
             pass  # racing sweeper or non-dir entry
+
+
+# --------------------------------------------------------------------------
+# hybrid vector + lexical retrieval (the reference's hybrid queries)
+# --------------------------------------------------------------------------
+
+def _pack_embeddings(col) -> pa.Array:
+    """list<float> embedding column → variable-width ``binary`` column
+    (row = raw little-endian float32 bytes). List-typed columns cannot
+    ride the pandas-block hash-sort exchange inside ``cogroup_attach``
+    (Ray wraps them in TensorArray, whose sorted-block merge rejects
+    object rows); bytes pass through pandas untouched. One flatten +
+    one ``tobytes`` — no per-row loop."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = np.asarray(arr.flatten(), dtype=np.float32)
+    lens = np.asarray(arr.value_lengths(), dtype=np.int64) * 4
+    offsets = np.zeros(len(arr) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(arr),
+        [None, pa.py_buffer(offsets.astype(np.int32).tobytes()),
+         pa.py_buffer(flat.tobytes())],
+    )
+
+
+def _unpack_embeddings(col: pd.Series) -> np.ndarray:
+    """binary embedding column (uniform dim) → (n, dim) float64 matrix:
+    one bytes-join + one frombuffer. Ragged rows cannot form a scoring
+    matrix at all — fail loud instead of a cryptic np.stack error."""
+    vals = col.to_list()
+    if not vals:
+        return np.zeros((0, 0), dtype=np.float64)
+    n0 = len(vals[0])
+    if any(len(v) != n0 for v in vals):
+        bad = sorted({len(v) for v in vals})[:5]
+        raise ValueError(
+            f"embedding rows have mixed byte lengths {bad}; cosine scoring "
+            "needs a uniform dimension"
+        )
+    return (
+        np.frombuffer(b"".join(vals), dtype=np.float32)
+        .reshape(len(vals), n0 // 4)
+        .astype(np.float64)
+    )
+
+
+def ann_topk_hybrid(
+    ds: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    keyword: str = "",
+    lex_weight: float = 0.25,
+    qdf: pd.DataFrame | None = None,
+    doc_key: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """HYBRID retrieval — vector similarity fused with a full-text
+    match, the reference's combined vector+lexical queries
+    (`cql/embeddings/pubmed_embeddings.cql:102-115`: fulltext index hits
+    re-ranked against embedding similarity). Fused score per candidate:
+    ``cos(q, v) + lex_weight · [keyword ∈ text(v)]``; top-k per query,
+    ties by vec_id. ``lex_weight`` defaults to 0.25 (exactly
+    representable in binary — the fusion adds no float noise beyond the
+    cosine itself, keeping the SQL oracle bit-comparable at 6 dp).
+
+    Scale shape: the lexical flag is computed vectorized per DOC batch
+    and attached to the embedding stream via the distributed cogroup
+    join (``joins.cogroup_attach`` — corpus-sized state rides the keyed
+    exchange, never a broadcast, never the driver); scoring is then the
+    standard broadcast-query partial-top-k combiner. Exact semantics →
+    exact SQL oracle (★), unlike the approximate ANN variants."""
+    from bioontologykg_ray.stages.joins import cogroup_attach
+
+    qdf = _fetch_queries(ds, query_ids) if qdf is None else _check_qdf(qdf, query_ids)
+    ref = ray.put({"qids": qdf["vec_id"].to_numpy(), "Q": _as_matrix(qdf["embedding"])})
+
+    def _lex_flags(t: pa.Table) -> pa.Table:
+        flag = pc.cast(
+            pc.fill_null(pc.match_substring(t[text_col], keyword), False),
+            pa.int8(),
+        )
+        return pa.table(
+            {"vec_id": t[doc_key].combine_chunks().cast(pa.int64()), "lex": flag}
+        )
+
+    def _packed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].combine_chunks().cast(pa.int64()),
+                "emb": _pack_embeddings(t["embedding"]),
+            }
+        )
+
+    lex = docs.map_batches(_lex_flags, batch_format="pyarrow")
+    packed = ds.map_batches(_packed, batch_format="pyarrow")
+    empty = pd.DataFrame(
+        {
+            "vec_id": pd.Series(dtype=np.int64),
+            "emb": pd.Series(dtype=object),
+            "lex": pd.Series(dtype=np.int8),
+        }
+    )
+    joined = cogroup_attach(
+        packed, "vec_id",
+        {"vec_id": pa.int64(), "emb": pa.binary()},
+        lex, "vec_id",
+        {"lex": pa.int8()},
+        fills={"vec_id": -1, "emb": b"", "lex": 0},
+        post=lambda m: m[["vec_id", "emb", "lex"]],
+        empty_out=empty,
+    )
+    partials = joined.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs={
+            "queries_ref": ref, "k": k, "lex_weight": lex_weight,
+            "packed": True, "out_col": "score",
+        },
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 4),
+    )
+    return partials.groupby("query_id").map_groups(
+        _final_topk(k, col="score"), batch_format="pandas"
+    )

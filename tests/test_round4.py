@@ -28,7 +28,7 @@ def test_driver_window_covers_flagship_with_oracles():
         "kg_linked_unambiguous", "kg_canonical_edges", "kg_nodes",
         "kg_dead_letter", "kg_component_labels", "entity_degrees",
         "kg_pagerank", "import_nodes", "import_edges",
-        "ann_topk_ivf_indexed", "ann_topk_filtered",
+        "ann_topk_ivf_indexed", "ann_topk_filtered", "ann_topk_hybrid",
         "image_metadata", "frame_sample_counts", "bmp_image_stats",
         "bmp_resized_stats", "wav_audio_stats", "bmv_frame_stats",
         "wav_energy_windows",
@@ -303,11 +303,6 @@ def test_make_embedder_hash_ignores_transformer_kwargs():
 # RealImageDecoder (VERDICT round 3 #7)
 # ---------------------------------------------------------------------------
 
-def test_real_image_decoder_without_pil_fails_fast():
-    pytest.importorskip("PIL", reason="PIL present: the no-PIL contract n/a")
-    # unreachable in this container; kept for environments WITH PIL
-
-
 def test_real_image_decoder_contract():
     from bioontologykg_ray.stages.multimodal import RealImageDecoder
 
@@ -336,3 +331,127 @@ def test_real_image_decoder_contract():
 # graph bounds single pass (ADVICE round 3 #4): behavior is unchanged —
 # test_round3.test_triangle_counts_rejects_oversized_ids still covers the
 # range validation the fused Max+Min aggregate now computes in one job.
+
+
+# ---------------------------------------------------------------------------
+# hybrid vector + lexical retrieval (reference's combined queries)
+# ---------------------------------------------------------------------------
+
+def test_ann_topk_hybrid_matches_sql_oracle():
+    import duckdb
+
+    from bioontologykg_ray.pipelines.queries import ORACLE, QUERIES
+
+    got = (
+        QUERIES["ann_topk_hybrid"](SF).to_pandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    for t in ("embeddings", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    want = (
+        con.execute(ORACLE["ann_topk_hybrid"]).df()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"}),
+        want[cols].astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"}),
+    )
+
+
+def test_hybrid_lexical_bonus_actually_reranks():
+    """With lex_weight 0 the hybrid reduces to plain cosine; with the
+    default bonus, docs containing the keyword must displace some plain
+    top-k rows (otherwise the fusion is dead code on this corpus)."""
+    from bioontologykg_ray.pipelines.queries import QUERIES
+
+    plain = QUERIES["ann_topk"](SF).to_pandas()
+    hybrid = QUERIES["ann_topk_hybrid"](SF).to_pandas()
+    P = set(map(tuple, plain[["query_id", "vec_id"]].values))
+    H = set(map(tuple, hybrid[["query_id", "vec_id"]].values))
+    assert len(P) == len(H) == 50
+    assert P != H  # the keyword bonus changed at least one slot
+
+
+def test_pack_unpack_embeddings_roundtrip():
+    from bioontologykg_ray.stages.ann import _pack_embeddings, _unpack_embeddings
+
+    rng = np.random.default_rng(7)
+    M = rng.normal(size=(17, 8)).astype(np.float32)
+    col = pa.array(list(M), pa.list_(pa.float32()))
+    packed = _pack_embeddings(col)
+    assert packed.type == pa.binary()
+    out = _unpack_embeddings(pd.Series(packed.to_pylist()))
+    np.testing.assert_allclose(out, M.astype(np.float64), rtol=0, atol=0)
+    # ragged fallback
+    ragged = pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float32()))
+    rp = _pack_embeddings(ragged)
+    assert [len(v) for v in rp.to_pylist()] == [8, 4]
+
+
+def test_filtered_indexed_per_query_cell_mask():
+    """A query's filtered-indexed rows must NOT depend on which other
+    queries share the probe (review fix: an earlier draft scored each
+    query against the UNION of all queries' probed cells)."""
+    import pyarrow.dataset as pads
+
+    from bioontologykg_ray.pipelines.queries import (
+        ANN_FILTER_LABEL, ANN_QUERY_IDS, _ann_query_df, _ensure_ivf_index,
+    )
+    from bioontologykg_ray.stages import ann as ANN
+
+    index_dir = _ensure_ivf_index(SF)
+    pred = pads.field("label") == ANN_FILTER_LABEL
+
+    def run(qids):
+        return (
+            ANN.ann_topk_filtered_indexed(
+                index_dir, qids, k=10, nprobe=4,
+                qdf=_ann_query_df(SF, qids), predicate=pred,
+            )
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+
+    together = run(ANN_QUERY_IDS)
+    alone = run([ANN_QUERY_IDS[0]])
+    got = together[together["query_id"] == ANN_QUERY_IDS[0]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, alone)
+
+
+def test_filtered_indexed_exact_at_full_probe():
+    """At nprobe = n_cells the filtered-indexed path must return the
+    exact filtered rows (same pin as the unfiltered indexed variant)."""
+    import pyarrow.dataset as pads
+
+    from bioontologykg_ray.pipelines.queries import (
+        ANN_FILTER_LABEL, ANN_QUERY_IDS, _ann_query_df, _ensure_ivf_index,
+        q_ann_topk_filtered,
+    )
+    from bioontologykg_ray.stages import ann as ANN
+
+    index_dir = _ensure_ivf_index(SF)
+    full = (
+        ANN.ann_topk_filtered_indexed(
+            index_dir, ANN_QUERY_IDS, k=10, nprobe=64,
+            qdf=_ann_query_df(SF, ANN_QUERY_IDS),
+            predicate=pads.field("label") == ANN_FILTER_LABEL,
+        )
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    exact = (
+        q_ann_topk_filtered(SF).to_pandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(full[["query_id", "vec_id", "rank"]],
+                                  exact[["query_id", "vec_id", "rank"]])
+
+
+def test_unpack_embeddings_rejects_ragged():
+    from bioontologykg_ray.stages.ann import _unpack_embeddings
+
+    with pytest.raises(ValueError, match="mixed byte lengths"):
+        _unpack_embeddings(pd.Series([b"12345678", b"1234"]))
