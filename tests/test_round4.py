@@ -455,3 +455,21 @@ def test_unpack_embeddings_rejects_ragged():
 
     with pytest.raises(ValueError, match="mixed byte lengths"):
         _unpack_embeddings(pd.Series([b"12345678", b"1234"]))
+
+
+def test_alt_vocab_collision_resolves_to_min_term_id():
+    """An alt id shared by two terms maps to the MIN term_id's row; an
+    alt equal to a real term id is dropped; nulls are ignored."""
+    from bioontologykg_ray.pipelines.kg import _alt_vocab
+
+    tids = np.array(["B:2", "A:1", "C:3"], dtype=object)
+    rows = np.arange(3, dtype=np.int64)
+    alts = pa.array(
+        [["X:9", "A:1"], ["X:9", None], ["Y:7"]], pa.list_(pa.string())
+    )
+    vocab_ids, vocab_rows = _alt_vocab(alts, tids, rows, tids, rows)
+    m = dict(zip(vocab_ids, vocab_rows))
+    assert m["X:9"] == 1  # shared by B:2 (row 0) and A:1 (row 1): min tid wins
+    assert m["Y:7"] == 2
+    assert m["A:1"] == 1  # the real term row, not an alt remap
+    assert len(vocab_ids) == 5  # 3 terms + X:9 + Y:7 (null dropped)
