@@ -389,7 +389,11 @@ def _alt_vocab(alt_col, base_ids, base_rows, tids_np, rows_np):
     terms resolves to the MIN term_id (the dup loop, rare groups
     only)."""
     arr = alt_col.combine_chunks() if isinstance(alt_col, pa.ChunkedArray) else alt_col
-    lens = np.asarray(arr.value_lengths(), dtype=np.int64)
+    # a NULL list row yields a null length (→ huge negative on int cast)
+    # while flatten() skips the row entirely — fill to 0 so the parent
+    # repeat stays aligned with flatten (review fix: null alt_ids rows
+    # crashed np.repeat; the old pandas path handled them)
+    lens = np.asarray(pc.fill_null(arr.value_lengths(), 0), dtype=np.int64)
     flat = arr.flatten()
     parent = np.repeat(rows_np, lens)
     keep = ~pc.is_in(

@@ -1006,7 +1006,11 @@ def _ensure_ivf_index(sf_dir: str) -> str:
     else:
         # serving refreshes the published dir's mtime: reads alone never
         # touch mtimes, so WITHOUT this a concurrent process still
-        # probing a >1-day-old tag would be swept mid-read (review fix)
+        # probing a >1-day-old tag would be swept mid-read. This NARROWS
+        # the race, it does not close it (no lock: a sweeper that statted
+        # just before this utime can still delete, and the utime happens
+        # at plan-build time while Ray reads lazily afterwards) — the
+        # 1-day age gate is the real backstop for this /tmp-cache tier.
         try:
             os.utime(index_dir, None)
         except OSError:
@@ -1057,8 +1061,10 @@ def q_ann_topk_filtered(sf_dir: str):
     )
 
 
-# the Python-side constants are interpolated so oracle and operator can
-# never drift apart when one is retuned (review fix)
+# the Python-side constants are interpolated so oracle and operator track
+# each other when one is retuned (review fix); the IN-list form stays
+# correct for non-contiguous id sets too
+_ANN_IDS_SQL = ", ".join(str(int(i)) for i in ANN_QUERY_IDS)
 SQL_ANN_TOPK_FILTERED = f"""
 SELECT * FROM (
   SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
@@ -1068,7 +1074,7 @@ SELECT * FROM (
             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])) DESC, v.vec_id
          ) AS BIGINT) AS rank
   FROM embeddings q JOIN embeddings v ON v.vec_id != q.vec_id
-  WHERE q.vec_id < {len(ANN_QUERY_IDS)} AND v.label = {ANN_FILTER_LABEL})
+  WHERE q.vec_id IN ({_ANN_IDS_SQL}) AND v.label = {ANN_FILTER_LABEL})
 WHERE rank <= 10
 """
 
@@ -1108,10 +1114,14 @@ def q_ann_topk_hybrid(sf_dir: str):
     )
 
 
+# contains() is literal substring containment — exactly the operator's
+# pc.match_substring semantics, immune to LIKE metacharacters in a
+# retuned keyword (review fix); single quotes escaped for the literal
+_HYBRID_KW_SQL = ANN_HYBRID_KEYWORD.replace("'", "''")
 _HYBRID_SQL_SCORE = (
     "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))"
     f" + {ANN_HYBRID_LEX_WEIGHT} * "
-    f"(CASE WHEN d.text LIKE '%{ANN_HYBRID_KEYWORD}%' THEN 1 ELSE 0 END)"
+    f"(CASE WHEN contains(d.text, '{_HYBRID_KW_SQL}') THEN 1 ELSE 0 END)"
 )
 SQL_ANN_TOPK_HYBRID = f"""
 SELECT * FROM (
@@ -1124,7 +1134,7 @@ SELECT * FROM (
   FROM embeddings q
   JOIN embeddings v ON v.vec_id != q.vec_id
   JOIN documents d ON d.doc_id = v.vec_id
-  WHERE q.vec_id < {len(ANN_QUERY_IDS)})
+  WHERE q.vec_id IN ({_ANN_IDS_SQL}))
 WHERE rank <= 10
 """
 

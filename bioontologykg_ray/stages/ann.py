@@ -635,6 +635,22 @@ class IndexedScorer:
         )
 
 
+def _serve_indexed(cand, qdf: pd.DataFrame, Q: np.ndarray, qcells: np.ndarray,
+                   k: int) -> ray.data.Dataset:
+    """Shared serving tail of both indexed paths: broadcast the query
+    payload once, partial-top-k with the per-query cell mask, final
+    top-k per query (review fix — previously duplicated verbatim, so a
+    batch-size/concurrency retune had to be applied twice)."""
+    ref = ray.put({"qids": qdf["vec_id"].to_numpy(), "Q": Q, "qcells": qcells})
+    partials = cand.map_batches(
+        IndexedScorer, fn_constructor_kwargs={"ref": ref, "k": k},
+        batch_format="pandas", batch_size=2048, concurrency=(1, 4),
+    )
+    return partials.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas"
+    )
+
+
 def ann_topk_ivf_indexed(
     index_dir: str,
     queries_ds: ray.data.Dataset,
@@ -668,14 +684,7 @@ def ann_topk_ivf_indexed(
     cols = ["vec_id", "embedding", "cell_id"]
     sch = pa.schema([full.field(c) for c in cols])
     cand = rd.read_parquet(files, columns=cols, schema=sch)
-
-    ref = ray.put({"qids": qdf["vec_id"].to_numpy(), "Q": Q, "qcells": qcells})
-
-    partials = cand.map_batches(
-        IndexedScorer, fn_constructor_kwargs={"ref": ref, "k": k},
-        batch_format="pandas", batch_size=2048, concurrency=(1, 4),
-    )
-    return partials.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+    return _serve_indexed(cand, qdf, Q, qcells, k)
 
 
 # --------------------------------------------------------------------------
@@ -753,14 +762,7 @@ def ann_topk_filtered_indexed(
     cand = rd.read_parquet(
         files, columns=list(full.names), schema=full, filter=predicate
     )
-    ref = ray.put({"qids": qdf["vec_id"].to_numpy(), "Q": Q, "qcells": qcells})
-    partials = cand.map_batches(
-        IndexedScorer, fn_constructor_kwargs={"ref": ref, "k": k},
-        batch_format="pandas", batch_size=2048, concurrency=(1, 4),
-    )
-    return partials.groupby("query_id").map_groups(
-        _final_topk(k), batch_format="pandas"
-    )
+    return _serve_indexed(cand, qdf, Q, qcells, k)
 
 
 def sweep_index_root(
@@ -815,10 +817,24 @@ def _pack_embeddings(col) -> pa.Array:
     object rows); bytes pass through pandas untouched. One flatten +
     one ``tobytes`` — no per-row loop."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    # fail loud on inputs that would silently corrupt the unvalidated
+    # from_buffers construction (review fix): a null row's length casts
+    # to a huge negative (non-monotonic offsets), and int32 offsets wrap
+    # past 2 GiB per batch
+    if arr.null_count:
+        raise ValueError(
+            f"embedding column has {arr.null_count} null rows; "
+            "cosine scoring needs a vector per row"
+        )
     flat = np.asarray(arr.flatten(), dtype=np.float32)
     lens = np.asarray(arr.value_lengths(), dtype=np.int64) * 4
     offsets = np.zeros(len(arr) + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
+    if offsets[-1] > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"embedding batch is {offsets[-1]} bytes; int32 binary offsets "
+            "cap a batch at 2 GiB — lower batch_size"
+        )
     return pa.Array.from_buffers(
         pa.binary(),
         len(arr),

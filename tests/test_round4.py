@@ -473,3 +473,24 @@ def test_alt_vocab_collision_resolves_to_min_term_id():
     assert m["Y:7"] == 2
     assert m["A:1"] == 1  # the real term row, not an alt remap
     assert len(vocab_ids) == 5  # 3 terms + X:9 + Y:7 (null dropped)
+
+
+def test_alt_vocab_null_list_row():
+    """A NULL alt_ids row (not []) must be ignored, not crash np.repeat
+    (review fix: null value_lengths cast to a huge negative repeat)."""
+    from bioontologykg_ray.pipelines.kg import _alt_vocab
+
+    tids = np.array(["A:1", "B:2"], dtype=object)
+    rows = np.arange(2, dtype=np.int64)
+    alts = pa.array([None, ["X:9"]], pa.list_(pa.string()))
+    vocab_ids, vocab_rows = _alt_vocab(alts, tids, rows, tids, rows)
+    m = dict(zip(vocab_ids, vocab_rows))
+    assert m == {"A:1": 0, "B:2": 1, "X:9": 1}
+
+
+def test_pack_embeddings_rejects_nulls():
+    from bioontologykg_ray.stages.ann import _pack_embeddings
+
+    col = pa.array([[1.0, 2.0], None], pa.list_(pa.float32()))
+    with pytest.raises(ValueError, match="null rows"):
+        _pack_embeddings(col)
