@@ -3185,6 +3185,35 @@ FROM events
 """
 
 
+def q_event_running_totals(sf_dir: str):
+    """A5 'running metrics' as a first-class windowed operator: per-user
+    cumulative SUM(value) ordered by (ts, event_id) — the running-total
+    window function, distributed via the same complete-key-group
+    sorted-block apply as event_seq_numbers (ONE keyed exchange; the
+    per-group accumulation order is identical on both sides, so float64
+    results are bit-comparable at 6 dp)."""
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
+        run = df.groupby("user_id")["value"].cumsum()
+        out = df[["user_id", "event_id"]].copy()
+        out["running_value"] = run.round(6)
+        return out
+
+    return sorted_group_apply(ds, "user_id", apply)
+
+
+SQL_EVENT_RUNNING_TOTALS = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+FROM events
+"""
+
+
 def q_events_asof_signup(sf_dir: str):
     """AS-OF JOIN (backward): every purchase event matched to the same
     user's most recent prior-or-equal signup — the classic as-of
@@ -3304,6 +3333,7 @@ JOIN una u2 ON t.o_alias = u2.alias
 QUERIES.update(
     {
         "event_seq_numbers": q_event_seq_numbers,
+        "event_running_totals": q_event_running_totals,
         "events_asof_signup": q_events_asof_signup,
         "signup_errors_1h": q_signup_errors_1h,
         "kg_linked_unambiguous": q_kg_linked_unambiguous,
@@ -3312,6 +3342,7 @@ QUERIES.update(
 ORACLE.update(
     {
         "event_seq_numbers": SQL_EVENT_SEQ_NUMBERS,
+        "event_running_totals": SQL_EVENT_RUNNING_TOTALS,
         "events_asof_signup": SQL_EVENTS_ASOF_SIGNUP,
         "signup_errors_1h": SQL_SIGNUP_ERRORS_1H,
         "kg_linked_unambiguous": _sql_kg_linked_unambiguous(0.01),

@@ -494,3 +494,21 @@ def test_pack_embeddings_rejects_nulls():
     col = pa.array([[1.0, 2.0], None], pa.list_(pa.float32()))
     with pytest.raises(ValueError, match="null rows"):
         _pack_embeddings(col)
+
+
+def test_event_running_totals_matches_sql_oracle():
+    import duckdb
+
+    from bioontologykg_ray.pipelines.queries import ORACLE, QUERIES
+
+    got = QUERIES["event_running_totals"](SF)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = con.execute(ORACLE["event_running_totals"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
