@@ -910,6 +910,9 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embeddi
 # =========================================================================
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+# interpolated into every ANN oracle so a retuned id set (including a
+# non-contiguous one) keeps oracle and operator in lockstep
+_ANN_IDS_SQL = ", ".join(str(int(i)) for i in ANN_QUERY_IDS)
 
 
 def _ann_query_df(sf_dir: str, query_ids=None):
@@ -939,7 +942,7 @@ def q_ann_topk(sf_dir: str):
     return ANN.ann_topk_bruteforce(ds, ANN_QUERY_IDS, k=10, qdf=_ann_query_df(sf_dir, ANN_QUERY_IDS))
 
 
-SQL_ANN_TOPK = """
+SQL_ANN_TOPK = f"""
 SELECT * FROM (
   SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
          round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])), 6) AS cos,
@@ -948,7 +951,7 @@ SELECT * FROM (
             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])) DESC, v.vec_id
          ) AS BIGINT) AS rank
   FROM embeddings q JOIN embeddings v ON v.vec_id != q.vec_id
-  WHERE q.vec_id < 5)
+  WHERE q.vec_id IN ({_ANN_IDS_SQL}))
 WHERE rank <= 10
 """
 
@@ -1062,9 +1065,7 @@ def q_ann_topk_filtered(sf_dir: str):
 
 
 # the Python-side constants are interpolated so oracle and operator track
-# each other when one is retuned (review fix); the IN-list form stays
-# correct for non-contiguous id sets too
-_ANN_IDS_SQL = ", ".join(str(int(i)) for i in ANN_QUERY_IDS)
+# each other when one is retuned (review fix)
 SQL_ANN_TOPK_FILTERED = f"""
 SELECT * FROM (
   SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
@@ -3185,6 +3186,21 @@ FROM events
 """
 
 
+def _running_totals_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-user running SUM(value) with SQL window semantics: NULL
+    values are IGNORED by the accumulation (the running total carries
+    through a null row), and a row whose frame has seen no non-null
+    value yet gets NULL — exactly DuckDB's SUM OVER (review fix: bare
+    pandas cumsum instead put NaN AT the null row)."""
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
+    grp = df["user_id"]
+    run = df["value"].fillna(0.0).groupby(grp).cumsum()
+    seen = df["value"].notna().groupby(grp).cumsum()
+    out = df[["user_id", "event_id"]].copy()
+    out["running_value"] = run.where(seen > 0).round(6)
+    return out
+
+
 def q_event_running_totals(sf_dir: str):
     """A5 'running metrics' as a first-class windowed operator: per-user
     cumulative SUM(value) ordered by (ts, event_id) — the running-total
@@ -3195,15 +3211,7 @@ def q_event_running_totals(sf_dir: str):
     from bioontologykg_ray.stages.agg import sorted_group_apply
 
     ds = _rp(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
-
-    def apply(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
-        run = df.groupby("user_id")["value"].cumsum()
-        out = df[["user_id", "event_id"]].copy()
-        out["running_value"] = run.round(6)
-        return out
-
-    return sorted_group_apply(ds, "user_id", apply)
+    return sorted_group_apply(ds, "user_id", _running_totals_apply)
 
 
 SQL_EVENT_RUNNING_TOTALS = """

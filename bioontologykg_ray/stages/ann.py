@@ -826,7 +826,15 @@ def _pack_embeddings(col) -> pa.Array:
             f"embedding column has {arr.null_count} null rows; "
             "cosine scoring needs a vector per row"
         )
-    flat = np.asarray(arr.flatten(), dtype=np.float32)
+    flat_arr = arr.flatten()
+    if flat_arr.null_count:
+        # a null ELEMENT inside a list row passes the row-level check but
+        # would pack as NaN bytes → silently-NaN cosine scores downstream
+        raise ValueError(
+            f"embedding lists contain {flat_arr.null_count} null elements; "
+            "cosine scoring needs fully-populated vectors"
+        )
+    flat = np.asarray(flat_arr, dtype=np.float32)
     lens = np.asarray(arr.value_lengths(), dtype=np.int64) * 4
     offsets = np.zeros(len(arr) + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])

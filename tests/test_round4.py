@@ -512,3 +512,32 @@ def test_event_running_totals_matches_sql_oracle():
     g = got[cols].sort_values(cols).reset_index(drop=True)
     w = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_pack_embeddings_rejects_null_elements():
+    from bioontologykg_ray.stages.ann import _pack_embeddings
+
+    col = pa.array([[1.0, None], [2.0, 3.0]], pa.list_(pa.float32()))
+    with pytest.raises(ValueError, match="null elements"):
+        _pack_embeddings(col)
+
+
+def test_running_totals_null_semantics_match_sql():
+    """NULL values are skipped by the accumulation (SQL SUM OVER), and
+    rows before the first non-null get NULL — not NaN at the null row."""
+    from bioontologykg_ray.pipelines.queries import _running_totals_apply
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "event_id": [10, 11, 12, 20, 21],
+            "ts": pd.to_datetime([1, 2, 3, 1, 2], unit="s"),
+            "value": [1.0, None, 2.0, None, 5.0],
+        }
+    )
+    out = _running_totals_apply(df).set_index("event_id")["running_value"]
+    assert out[10] == 1.0
+    assert out[11] == 1.0  # carries through the null, not NaN
+    assert out[12] == 3.0
+    assert pd.isna(out[20])  # no non-null seen yet -> NULL like SQL
+    assert out[21] == 5.0
