@@ -126,15 +126,19 @@ class BruteForceScorer:
     One implementation serves plain cosine AND hybrid retrieval (review
     fix — a separate HybridScorer duplicated the partial-top-k loop):
     with ``lex_weight`` nonzero the fused score adds
-    ``lex_weight · df['lex']`` per candidate; ``packed=True`` reads the
-    binary-packed ``emb`` column (the cogroup-exchange format) instead
-    of the list-typed ``embedding``; ``out_col`` names the score."""
+    ``lex_weight · lex`` per candidate, where lex comes either from the
+    pre-joined ``lex`` column (cogroup plan) or from membership in the
+    broadcast ``hit_ids`` payload (broadcast plan); ``packed=True``
+    reads the binary-packed ``emb`` column (the cogroup-exchange
+    format) instead of the list-typed ``embedding``; ``out_col`` names
+    the score."""
 
     def __init__(self, queries_ref, k: int, lex_weight: float = 0.0,
                  packed: bool = False, out_col: str = "cos"):
         payload = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
         self.qids = payload["qids"]
         self.Q = _normalize(payload["Q"])
+        self.hit_ids = payload.get("hit_ids")  # sorted int64, or None
         self.k = k
         self.lex_weight = float(lex_weight)
         self.packed = packed
@@ -150,7 +154,10 @@ class BruteForceScorer:
         )
         C = self.Q @ M.T  # (nq, batch)
         if self.lex_weight:
-            lex = df["lex"].to_numpy().astype(np.float64)
+            if self.hit_ids is not None:
+                lex = np.isin(ids, self.hit_ids).astype(np.float64)
+            else:
+                lex = df["lex"].to_numpy().astype(np.float64)
             C = C + self.lex_weight * lex[None, :]
         out_q, out_v, out_c = [], [], []
         for qi, qid in enumerate(self.qids):
@@ -882,6 +889,7 @@ def ann_topk_hybrid(
     qdf: pd.DataFrame | None = None,
     doc_key: str = "doc_id",
     text_col: str = "text",
+    plan: str = "cogroup",
 ) -> ray.data.Dataset:
     """HYBRID retrieval — vector similarity fused with a full-text
     match, the reference's combined vector+lexical queries
@@ -892,15 +900,57 @@ def ann_topk_hybrid(
     representable in binary — the fusion adds no float noise beyond the
     cosine itself, keeping the SQL oracle bit-comparable at 6 dp).
 
-    Scale shape: the lexical flag is computed vectorized per DOC batch
-    and attached to the embedding stream via the distributed cogroup
-    join (``joins.cogroup_attach`` — corpus-sized state rides the keyed
-    exchange, never a broadcast, never the driver); scoring is then the
-    standard broadcast-query partial-top-k combiner. Exact semantics →
-    exact SQL oracle (★), unlike the approximate ANN variants."""
+    Two size-gated plans (same pattern as the fused/staged MinHash):
+
+    - ``plan="cogroup"`` (the 100-TB path, default): the lexical flag is
+      computed vectorized per DOC batch and attached to the embedding
+      stream via the distributed cogroup join (``joins.cogroup_attach``
+      — corpus-sized state rides the keyed exchange, never a broadcast,
+      never the driver). Two keyed exchanges.
+    - ``plan="broadcast"``: only the MATCHING doc ids (a filtered,
+      typically small id list) are collected and broadcast inside the
+      query payload; the scorer derives lex by ``np.isin`` membership.
+      ZERO extra exchanges — right whenever the matching-id list is
+      bounded (callers gate on the documents file size). Identical rows
+      to the cogroup plan (pinned in tests).
+
+    Exact semantics either way → exact SQL oracle (★), unlike the
+    approximate ANN variants."""
     from bioontologykg_ray.stages.joins import cogroup_attach
 
+    if plan not in ("cogroup", "broadcast"):
+        raise ValueError(f"unknown hybrid plan {plan!r}")
     qdf = _fetch_queries(ds, query_ids) if qdf is None else _check_qdf(qdf, query_ids)
+
+    if plan == "broadcast":
+        def _hit_ids(t: pa.Table) -> pa.Table:
+            m = pc.fill_null(pc.match_substring(t[text_col], keyword), False)
+            if isinstance(m, pa.ChunkedArray):
+                m = m.combine_chunks()
+            return pa.table(
+                {"vec_id": t[doc_key].combine_chunks().cast(pa.int64()).filter(m)}
+            )
+
+        hits = np.sort(
+            docs.map_batches(_hit_ids, batch_format="pyarrow")
+            .to_pandas()["vec_id"].to_numpy(dtype=np.int64)
+        )
+        ref = ray.put(
+            {"qids": qdf["vec_id"].to_numpy(),
+             "Q": _as_matrix(qdf["embedding"]), "hit_ids": hits}
+        )
+        partials = ds.map_batches(
+            BruteForceScorer,
+            fn_constructor_kwargs={
+                "queries_ref": ref, "k": k, "lex_weight": lex_weight,
+                "out_col": "score",
+            },
+            batch_format="pandas", batch_size=2048, concurrency=(1, 4),
+        )
+        return partials.groupby("query_id").map_groups(
+            _final_topk(k, col="score"), batch_format="pandas"
+        )
+
     ref = ray.put({"qids": qdf["vec_id"].to_numpy(), "Q": _as_matrix(qdf["embedding"])})
 
     def _lex_flags(t: pa.Table) -> pa.Table:

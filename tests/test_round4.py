@@ -541,3 +541,27 @@ def test_running_totals_null_semantics_match_sql():
     assert out[12] == 3.0
     assert pd.isna(out[20])  # no non-null seen yet -> NULL like SQL
     assert out[21] == 5.0
+
+
+def test_hybrid_plans_row_identical():
+    """The broadcast and cogroup hybrid plans must return identical
+    rows (the size gate is an optimization, never a semantics change)."""
+    from bioontologykg_ray.pipelines.queries import (
+        ANN_HYBRID_KEYWORD, ANN_HYBRID_LEX_WEIGHT, ANN_QUERY_IDS,
+        _ann_query_df, _rp,
+    )
+    from bioontologykg_ray.stages import ann as ANN
+
+    def run(plan):
+        return (
+            ANN.ann_topk_hybrid(
+                _rp(SF, "embeddings", columns=["vec_id", "embedding"]),
+                _rp(SF, "documents", columns=["doc_id", "text"]),
+                ANN_QUERY_IDS, k=10, keyword=ANN_HYBRID_KEYWORD,
+                lex_weight=ANN_HYBRID_LEX_WEIGHT,
+                qdf=_ann_query_df(SF, ANN_QUERY_IDS), plan=plan,
+            )
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run("broadcast"), run("cogroup"))
