@@ -837,7 +837,11 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
 # (shingle sets ride the banding exchange) beats the 3-exchange staged
 # plan — barriers dominate, not shuffle bytes; above it the staged plan
 # ships only candidate sets (stages/neardup.minhash_lsh_pairs docstring)
-_MINHASH_FUSE_MAX_BYTES = 512 << 20
+# one shared small-side plan gate (fused MinHash, broadcast hybrid):
+# below this many bytes of documents, driver/broadcast plans win; above,
+# the fully-distributed plans take over
+_SMALL_DOCS_GATE_BYTES = 512 << 20
+_MINHASH_FUSE_MAX_BYTES = _SMALL_DOCS_GATE_BYTES
 
 
 def q_minhash_dup_pairs(sf_dir: str):
@@ -1103,20 +1107,19 @@ def q_ann_topk_hybrid(sf_dir: str):
     """HYBRID vector + full-text retrieval (the reference's combined
     queries, `cql/embeddings/pubmed_embeddings.cql:102-115`): fused
     score = cos(q, v) + 0.25·[text(v) contains 'spark'], top-10 per
-    query. Size-gated plan (the fused-MinHash pattern): below 512 MB of
-    documents the matching-id list is trivially broadcastable and the
-    zero-exchange broadcast plan wins (measured 5.5 s → sub-2 s at
-    sf0.1 — both cogroup exchanges were fixed overhead at toy scale);
-    above the gate the lexical flags ride the distributed cogroup join
-    so nothing corpus-sized is ever broadcast. Plans are row-identical
+    query. Size-gated plan (the fused-MinHash pattern, same shared gate
+    constant): below _SMALL_DOCS_GATE_BYTES of documents the doc-id +
+    matching-id lists are trivially broadcastable and the zero-exchange
+    broadcast plan wins (measured 5.5 s → 2.2 s at sf0.1 — both cogroup
+    exchanges were fixed overhead at toy scale); above the gate the
+    lexical flags ride the distributed cogroup join so nothing
+    corpus-sized is ever broadcast. Plans are row-identical
     (pytest-pinned). Exact semantics → exact SQL oracle (★)."""
-    import os as _os
-
     emb = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     docs = _rp(sf_dir, "documents", columns=["doc_id", "text"])
     plan = (
         "broadcast"
-        if _os.path.getsize(_p(sf_dir, "documents")) <= 512 * 1024 * 1024
+        if os.path.getsize(_p(sf_dir, "documents")) < _SMALL_DOCS_GATE_BYTES
         else "cogroup"
     )
     return ANN.ann_topk_hybrid(

@@ -120,6 +120,16 @@ def _normalize(M: np.ndarray) -> np.ndarray:
     return M / n
 
 
+def _sorted_member(sorted_arr: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``ids`` in a SORTED int array via
+    searchsorted (the reason the broadcast id payloads are sorted)."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(ids), dtype=bool)
+    idx = np.searchsorted(sorted_arr, ids)
+    idx[idx == len(sorted_arr)] = 0
+    return sorted_arr[idx] == ids
+
+
 class BruteForceScorer:
     """Per-batch partial top-k against the broadcast query matrix.
 
@@ -139,6 +149,12 @@ class BruteForceScorer:
         self.qids = payload["qids"]
         self.Q = _normalize(payload["Q"])
         self.hit_ids = payload.get("hit_ids")  # sorted int64, or None
+        # doc_ids (sorted): candidates must ALSO have a document row —
+        # the cogroup plan's inner join and the SQL oracle's JOIN both
+        # drop doc-less embeddings, so the broadcast plan must too
+        # (review fix: the plans diverged on corpora where some vec_id
+        # has no document)
+        self.doc_ids = payload.get("doc_ids")
         self.k = k
         self.lex_weight = float(lex_weight)
         self.packed = packed
@@ -147,6 +163,10 @@ class BruteForceScorer:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return _empty_topk(self.out_col)
+        if self.doc_ids is not None:
+            df = df[_sorted_member(self.doc_ids, df["vec_id"].to_numpy())]
+            if df.empty:
+                return _empty_topk(self.out_col)
         ids = df["vec_id"].to_numpy()
         M = _normalize(
             _unpack_embeddings(df["emb"]) if self.packed
@@ -155,7 +175,7 @@ class BruteForceScorer:
         C = self.Q @ M.T  # (nq, batch)
         if self.lex_weight:
             if self.hit_ids is not None:
-                lex = np.isin(ids, self.hit_ids).astype(np.float64)
+                lex = _sorted_member(self.hit_ids, ids).astype(np.float64)
             else:
                 lex = df["lex"].to_numpy().astype(np.float64)
             C = C + self.lex_weight * lex[None, :]
@@ -194,6 +214,25 @@ def _final_topk(k: int, col: str = "cos"):
     return fn
 
 
+def _score_topk(ds, ref, k: int, lex_weight: float = 0.0,
+                packed: bool = False, out_col: str = "cos") -> ray.data.Dataset:
+    """Shared brute-force scoring tail: broadcast-payload partial top-k
+    per batch, final top-k per query (review fix — this scaffolding was
+    triplicated across the plain, broadcast-hybrid and cogroup-hybrid
+    paths)."""
+    partials = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs={
+            "queries_ref": ref, "k": k, "lex_weight": lex_weight,
+            "packed": packed, "out_col": out_col,
+        },
+        batch_format="pandas", batch_size=2048, concurrency=(1, 4),
+    )
+    return partials.groupby("query_id").map_groups(
+        _final_topk(k, col=out_col), batch_format="pandas"
+    )
+
+
 def ann_topk_bruteforce(
     ds: ray.data.Dataset, query_ids: list[int], k: int = 10,
     qdf: pd.DataFrame | None = None,
@@ -204,14 +243,7 @@ def ann_topk_bruteforce(
     scan ``_fetch_queries`` does (VERDICT round 2 'what's wrong' #4)."""
     qdf = _fetch_queries(ds, query_ids) if qdf is None else _check_qdf(qdf, query_ids)
     ref = ray.put({"qids": qdf["vec_id"].to_numpy(), "Q": _as_matrix(qdf["embedding"])})
-    partials = ds.map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k},
-        batch_format="pandas",
-        batch_size=2048,
-        concurrency=(1, 4),
-    )
-    return partials.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+    return _score_topk(ds, ref, k)
 
 
 # --------------------------------------------------------------------------
@@ -923,33 +955,29 @@ def ann_topk_hybrid(
     qdf = _fetch_queries(ds, query_ids) if qdf is None else _check_qdf(qdf, query_ids)
 
     if plan == "broadcast":
-        def _hit_ids(t: pa.Table) -> pa.Table:
+        # one pass over docs collects BOTH id sets the scorer needs:
+        # all doc ids (inner-join semantics — the cogroup plan and the
+        # SQL oracle drop doc-less embeddings, so this plan must too)
+        # and the keyword-matching subset (the lexical flag)
+        def _doc_ids(t: pa.Table) -> pa.Table:
             m = pc.fill_null(pc.match_substring(t[text_col], keyword), False)
             if isinstance(m, pa.ChunkedArray):
                 m = m.combine_chunks()
             return pa.table(
-                {"vec_id": t[doc_key].combine_chunks().cast(pa.int64()).filter(m)}
+                {"vec_id": t[doc_key].combine_chunks().cast(pa.int64()),
+                 "lex": m}
             )
 
+        flags = docs.map_batches(_doc_ids, batch_format="pyarrow").to_pandas()
+        all_ids = np.sort(flags["vec_id"].to_numpy(dtype=np.int64))
         hits = np.sort(
-            docs.map_batches(_hit_ids, batch_format="pyarrow")
-            .to_pandas()["vec_id"].to_numpy(dtype=np.int64)
+            flags.loc[flags["lex"], "vec_id"].to_numpy(dtype=np.int64)
         )
         ref = ray.put(
-            {"qids": qdf["vec_id"].to_numpy(),
-             "Q": _as_matrix(qdf["embedding"]), "hit_ids": hits}
+            {"qids": qdf["vec_id"].to_numpy(), "Q": _as_matrix(qdf["embedding"]),
+             "hit_ids": hits, "doc_ids": all_ids}
         )
-        partials = ds.map_batches(
-            BruteForceScorer,
-            fn_constructor_kwargs={
-                "queries_ref": ref, "k": k, "lex_weight": lex_weight,
-                "out_col": "score",
-            },
-            batch_format="pandas", batch_size=2048, concurrency=(1, 4),
-        )
-        return partials.groupby("query_id").map_groups(
-            _final_topk(k, col="score"), batch_format="pandas"
-        )
+        return _score_topk(ds, ref, k, lex_weight=lex_weight, out_col="score")
 
     ref = ray.put({"qids": qdf["vec_id"].to_numpy(), "Q": _as_matrix(qdf["embedding"])})
 
@@ -988,16 +1016,5 @@ def ann_topk_hybrid(
         post=lambda m: m[["vec_id", "emb", "lex"]],
         empty_out=empty,
     )
-    partials = joined.map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs={
-            "queries_ref": ref, "k": k, "lex_weight": lex_weight,
-            "packed": True, "out_col": "score",
-        },
-        batch_format="pandas",
-        batch_size=2048,
-        concurrency=(1, 4),
-    )
-    return partials.groupby("query_id").map_groups(
-        _final_topk(k, col="score"), batch_format="pandas"
-    )
+    return _score_topk(joined, ref, k, lex_weight=lex_weight,
+                       packed=True, out_col="score")

@@ -565,3 +565,43 @@ def test_hybrid_plans_row_identical():
         )
 
     pd.testing.assert_frame_equal(run("broadcast"), run("cogroup"))
+
+
+def test_hybrid_broadcast_drops_docless_embeddings():
+    """Both plans and the SQL oracle inner-join documents: an embedding
+    with no document row must never appear as a candidate under the
+    broadcast plan either (review fix)."""
+    import ray.data as rd
+
+    from bioontologykg_ray.stages import ann as ANN
+
+    rng = np.random.default_rng(11)
+    n, dim = 40, 8
+    emb = rng.normal(size=(n, dim)).astype(np.float32)
+    # vec_id 30..39 have NO document row; make one of them the global
+    # nearest neighbor of query 0 so a leak would be visible in top-k
+    emb[35] = emb[0] + 0.01 * rng.normal(size=dim).astype(np.float32)
+    emb_t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+    })
+    docs_t = pa.table({
+        "doc_id": pa.array(range(30), pa.int64()),
+        "text": pa.array(
+            ["spark text" if i % 3 == 0 else "plain text" for i in range(30)]
+        ),
+    })
+    qdf = pd.DataFrame({"vec_id": [0], "embedding": [emb[0]]})
+
+    def run(plan):
+        return (
+            ANN.ann_topk_hybrid(
+                rd.from_arrow(emb_t), rd.from_arrow(docs_t), [0], k=10,
+                keyword="spark", lex_weight=0.25, qdf=qdf, plan=plan,
+            )
+            .to_pandas().sort_values("rank").reset_index(drop=True)
+        )
+
+    b, c = run("broadcast"), run("cogroup")
+    assert not (set(b["vec_id"]) & set(range(30, 40))), "doc-less leak"
+    pd.testing.assert_frame_equal(b, c)
