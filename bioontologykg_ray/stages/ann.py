@@ -120,16 +120,6 @@ def _normalize(M: np.ndarray) -> np.ndarray:
     return M / n
 
 
-def _sorted_member(sorted_arr: np.ndarray, ids: np.ndarray) -> np.ndarray:
-    """Vectorized membership of ``ids`` in a SORTED int array via
-    searchsorted (the reason the broadcast id payloads are sorted)."""
-    if len(sorted_arr) == 0:
-        return np.zeros(len(ids), dtype=bool)
-    idx = np.searchsorted(sorted_arr, ids)
-    idx[idx == len(sorted_arr)] = 0
-    return sorted_arr[idx] == ids
-
-
 class BruteForceScorer:
     """Per-batch partial top-k against the broadcast query matrix.
 
@@ -148,13 +138,15 @@ class BruteForceScorer:
         payload = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
         self.qids = payload["qids"]
         self.Q = _normalize(payload["Q"])
-        self.hit_ids = payload.get("hit_ids")  # sorted int64, or None
-        # doc_ids (sorted): candidates must ALSO have a document row —
+        # broadcast-plan payload: doc_ids (sorted int64) with a PARALLEL
+        # doc_lex boolean array. Candidates must have a document row —
         # the cogroup plan's inner join and the SQL oracle's JOIN both
-        # drop doc-less embeddings, so the broadcast plan must too
-        # (review fix: the plans diverged on corpora where some vec_id
-        # has no document)
+        # drop doc-less embeddings, so the broadcast plan must too — and
+        # one searchsorted serves both the membership test and the
+        # lexical flag lookup (review fix: two overlapping id arrays
+        # paid two passes per batch)
         self.doc_ids = payload.get("doc_ids")
+        self.doc_lex = payload.get("doc_lex")
         self.k = k
         self.lex_weight = float(lex_weight)
         self.packed = packed
@@ -163,10 +155,18 @@ class BruteForceScorer:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return _empty_topk(self.out_col)
+        lex_bcast = None
         if self.doc_ids is not None:
-            df = df[_sorted_member(self.doc_ids, df["vec_id"].to_numpy())]
-            if df.empty:
+            ids0 = df["vec_id"].to_numpy()
+            if len(self.doc_ids) == 0:
                 return _empty_topk(self.out_col)
+            idx = np.searchsorted(self.doc_ids, ids0)
+            idx[idx == len(self.doc_ids)] = 0
+            member = self.doc_ids[idx] == ids0
+            if not member.any():
+                return _empty_topk(self.out_col)
+            df = df[member]
+            lex_bcast = self.doc_lex[idx[member]].astype(np.float64)
         ids = df["vec_id"].to_numpy()
         M = _normalize(
             _unpack_embeddings(df["emb"]) if self.packed
@@ -174,10 +174,10 @@ class BruteForceScorer:
         )
         C = self.Q @ M.T  # (nq, batch)
         if self.lex_weight:
-            if self.hit_ids is not None:
-                lex = _sorted_member(self.hit_ids, ids).astype(np.float64)
-            else:
-                lex = df["lex"].to_numpy().astype(np.float64)
+            lex = (
+                lex_bcast if lex_bcast is not None
+                else df["lex"].to_numpy().astype(np.float64)
+            )
             C = C + self.lex_weight * lex[None, :]
         out_q, out_v, out_c = [], [], []
         for qi, qid in enumerate(self.qids):
@@ -939,12 +939,13 @@ def ann_topk_hybrid(
       stream via the distributed cogroup join (``joins.cogroup_attach``
       — corpus-sized state rides the keyed exchange, never a broadcast,
       never the driver). Two keyed exchanges.
-    - ``plan="broadcast"``: only the MATCHING doc ids (a filtered,
-      typically small id list) are collected and broadcast inside the
-      query payload; the scorer derives lex by ``np.isin`` membership.
-      ZERO extra exchanges — right whenever the matching-id list is
-      bounded (callers gate on the documents file size). Identical rows
-      to the cogroup plan (pinned in tests).
+    - ``plan="broadcast"``: the sorted doc-id array plus a parallel
+      lexical-flag array are collected and broadcast inside the query
+      payload (the payload scales with the DOCUMENT COUNT, ~9 bytes per
+      doc — callers gate on the documents file size accordingly); the
+      scorer resolves membership AND the flag with one searchsorted per
+      batch. ZERO extra exchanges. Identical rows to the cogroup plan,
+      including dropping doc-less embeddings (pinned in tests).
 
     Exact semantics either way → exact SQL oracle (★), unlike the
     approximate ANN variants."""
@@ -955,11 +956,12 @@ def ann_topk_hybrid(
     qdf = _fetch_queries(ds, query_ids) if qdf is None else _check_qdf(qdf, query_ids)
 
     if plan == "broadcast":
-        # one pass over docs collects BOTH id sets the scorer needs:
-        # all doc ids (inner-join semantics — the cogroup plan and the
-        # SQL oracle drop doc-less embeddings, so this plan must too)
-        # and the keyword-matching subset (the lexical flag)
-        def _doc_ids(t: pa.Table) -> pa.Table:
+        # one pass over docs collects everything the scorer needs: the
+        # sorted doc-id array (inner-join semantics — the cogroup plan
+        # and the SQL oracle drop doc-less embeddings, so this plan must
+        # too) with a PARALLEL lexical-flag array, so scoring pays ONE
+        # searchsorted per batch for both membership and the flag
+        def _doc_flags(t: pa.Table) -> pa.Table:
             m = pc.fill_null(pc.match_substring(t[text_col], keyword), False)
             if isinstance(m, pa.ChunkedArray):
                 m = m.combine_chunks()
@@ -968,14 +970,13 @@ def ann_topk_hybrid(
                  "lex": m}
             )
 
-        flags = docs.map_batches(_doc_ids, batch_format="pyarrow").to_pandas()
-        all_ids = np.sort(flags["vec_id"].to_numpy(dtype=np.int64))
-        hits = np.sort(
-            flags.loc[flags["lex"], "vec_id"].to_numpy(dtype=np.int64)
-        )
+        flags = docs.map_batches(_doc_flags, batch_format="pyarrow").to_pandas()
+        ids_np = flags["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids_np, kind="stable")
         ref = ray.put(
             {"qids": qdf["vec_id"].to_numpy(), "Q": _as_matrix(qdf["embedding"]),
-             "hit_ids": hits, "doc_ids": all_ids}
+             "doc_ids": ids_np[order],
+             "doc_lex": flags["lex"].to_numpy(dtype=bool)[order]}
         )
         return _score_topk(ds, ref, k, lex_weight=lex_weight, out_col="score")
 
