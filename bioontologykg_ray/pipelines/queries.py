@@ -3372,6 +3372,239 @@ ORACLE.update(
 )
 
 
+# =========================================================================
+# analytic-window / OLAP widening (round-4 continuation): per-group top-N,
+# lag interarrival, pivot, grouped exact median, ROLLUP grouping sets
+# =========================================================================
+
+_TOP_ORDERS_EMPTY = pd.DataFrame(
+    {
+        "o_custkey": pd.Series(dtype=np.int64),
+        "rank": pd.Series(dtype=np.int64),
+        "o_orderkey": pd.Series(dtype=np.int64),
+        "o_totalprice": pd.Series(dtype=np.float64),
+    }
+)
+
+
+def _top_orders_apply(df: pd.DataFrame) -> pd.DataFrame:
+    if df.empty:
+        return _TOP_ORDERS_EMPTY.copy()
+    df = df.sort_values(
+        ["o_custkey", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True], kind="mergesort",
+    )
+    out = df.groupby("o_custkey").head(2).copy()
+    out["rank"] = out.groupby("o_custkey").cumcount().to_numpy() + 1
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out[["o_custkey", "rank", "o_orderkey", "o_totalprice"]]
+
+
+def q_top_orders_per_cust(sf_dir: str):
+    """Per-group TOP-N window (row_number() ≤ 2 per customer by price):
+    the general rank-emitting form of O2/first_event_per_user. ONE keyed
+    exchange (hash-sorted complete customer groups per block), then a
+    single vectorized sort + groupby.head across ALL groups in the block
+    — no per-group Python dispatch. Deterministic tie-break
+    (o_totalprice DESC, o_orderkey ASC) mirrored by the oracle."""
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    ds = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return sorted_group_apply(
+        ds, "o_custkey", _top_orders_apply, _TOP_ORDERS_EMPTY, hash_sort=True
+    )
+
+
+SQL_TOP_ORDERS_PER_CUST = """
+SELECT o_custkey, rank, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders) t
+WHERE rank <= 2
+"""
+
+
+_INTERARRIVAL_EMPTY = pd.DataFrame(
+    {
+        "user_id": pd.Series(dtype=np.int64),
+        "n_events": pd.Series(dtype=np.int64),
+        "avg_gap_us": pd.Series(dtype=np.float64),
+        "max_gap_us": pd.Series(dtype=np.float64),
+    }
+)
+
+
+def _interarrival_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-user LAG deltas, vectorized across every user in the block:
+    one mergesort by (user, ts, event_id), one shift-diff masked at user
+    boundaries, one groupby-agg. Gap sums are integer-exact in float64
+    (µs deltas ≪ 2^53), so avg is bit-identical to SQL AVG; a
+    single-event user has no gaps → NULL avg/max, exactly SQL's
+    aggregate-over-empty semantics."""
+    if df.empty:
+        return _INTERARRIVAL_EMPTY.copy()
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ts_us = df["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    gap = ts_us.diff().where(df["user_id"].eq(df["user_id"].shift()))
+    out = (
+        df.assign(__gap=gap)
+        .groupby("user_id", as_index=False)
+        .agg(n_events=("user_id", "size"),
+             avg_gap_us=("__gap", "mean"),
+             max_gap_us=("__gap", "max"))
+    )
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["avg_gap_us"] = out["avg_gap_us"].round(6)
+    out["max_gap_us"] = out["max_gap_us"].astype(np.float64)
+    return out
+
+
+def q_event_interarrival(sf_dir: str):
+    """LAG window → per-user inter-arrival stats (event count, mean and
+    max gap in µs between consecutive events ordered by ts, event_id) —
+    the lag/lead window family, distributed via the same complete-group
+    sorted-block apply as event_running_totals."""
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    return sorted_group_apply(ds, "user_id", _interarrival_apply,
+                              _INTERARRIVAL_EMPTY)
+
+
+SQL_EVENT_INTERARRIVAL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id, count(*) AS n_events,
+       round(avg(gap), 6) AS avg_gap_us,
+       CAST(max(gap) AS DOUBLE) AS max_gap_us
+FROM g GROUP BY user_id
+"""
+
+
+def q_order_status_pivot(sf_dir: str):
+    """PIVOT via conditional aggregation: orders wide-counted per year ×
+    status (open/fulfilled/pending columns). Map-side one-hot int
+    columns, then the standard two-phase sum — the exchange moves one
+    row per year per batch; no per-status passes over the data."""
+    ds = _rp(sf_dir, "orders", columns=["o_orderdate", "o_orderstatus"])
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "year": df["o_orderdate"].dt.year.astype(np.int64),
+                "n_open": (df["o_orderstatus"] == "O").to_numpy(np.int64),
+                "n_fulfilled": (df["o_orderstatus"] == "F").to_numpy(np.int64),
+                "n_pending": (df["o_orderstatus"] == "P").to_numpy(np.int64),
+            }
+        )
+
+    wide = ds.map_batches(widen, batch_format="pandas")
+    return grouped_agg(
+        wide,
+        ["year"],
+        {
+            "n_open": ("n_open", "sum"),
+            "n_fulfilled": ("n_fulfilled", "sum"),
+            "n_pending": ("n_pending", "sum"),
+        },
+    ).to_pandas()
+
+
+SQL_ORDER_STATUS_PIVOT = """
+SELECT year(o_orderdate) AS year,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_fulfilled,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders GROUP BY 1
+"""
+
+
+def q_median_qty_per_flag(sf_dir: str):
+    """Grouped EXACT median (the grouped form of exact_quantiles):
+    per-returnflag median of l_quantity via the bounded value histogram
+    — the exchange moves O(#flags × #distinct quantities) ≈ 150 rows
+    regardless of corpus size (agg.grouped_median_discrete)."""
+    from bioontologykg_ray.stages.agg import grouped_median_discrete
+
+    ds = _rp(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    out = grouped_median_discrete(ds, ["l_returnflag"], "l_quantity",
+                                  out_col="median_qty")
+    out["median_qty"] = out["median_qty"].round(2)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_MEDIAN_QTY_PER_FLAG = """
+SELECT l_returnflag, round(median(l_quantity), 2) AS median_qty,
+       count(l_quantity) AS n_vals
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_customer_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(region, nation) customer counts — grouping sets.
+    The finest (region, nation) level is the distributed part (two-hop
+    broadcast bridge + two-phase count, J8 idiom); the ROLLUP expansion
+    (region subtotals + grand total) runs on the driver over the
+    ≤ #nations aggregate rows, never the fact table. Subtotal levels
+    carry SQL NULLs exactly as ROLLUP emits them."""
+    nation = _rp(sf_dir, "nation").to_pandas()
+    region = _rp(sf_dir, "region").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    cust = _rp(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = J.broadcast_lookup(cust, n2r, "c_nationkey", "regionkey")
+    cust = J.broadcast_lookup(cust, r2name, "regionkey", "r_name")
+    cust = J.broadcast_lookup(cust, n2name, "c_nationkey", "n_name")
+    fine = grouped_count(cust, ["r_name", "n_name"]).to_pandas()
+    sub = fine.groupby("r_name", as_index=False)["n"].sum()
+    sub["n_name"] = None
+    total = pd.DataFrame(
+        {"r_name": [None], "n_name": [None], "n": [fine["n"].sum()]}
+    )
+    out = pd.concat(
+        [fine, sub[["r_name", "n_name", "n"]], total], ignore_index=True
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(
+        ["r_name", "n_name"], na_position="last"
+    ).reset_index(drop=True)
+
+
+SQL_CUSTOMER_ROLLUP = """
+SELECT r_name, n_name, count(*) AS n
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+QUERIES.update(
+    {
+        "top_orders_per_cust": q_top_orders_per_cust,
+        "event_interarrival": q_event_interarrival,
+        "order_status_pivot": q_order_status_pivot,
+        "median_qty_per_flag": q_median_qty_per_flag,
+        "customer_rollup": q_customer_rollup,
+    }
+)
+ORACLE.update(
+    {
+        "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
+        "event_interarrival": SQL_EVENT_INTERARRIVAL,
+        "order_status_pivot": SQL_ORDER_STATUS_PIVOT,
+        "median_qty_per_flag": SQL_MEDIAN_QTY_PER_FLAG,
+        "customer_rollup": SQL_CUSTOMER_ROLLUP,
+    }
+)
+
+
 _ORACLE_FOR_SF_EXTRA = True  # marker: oracle_for_sf below must refresh kg SQL
 
 

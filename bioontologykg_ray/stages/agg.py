@@ -247,6 +247,54 @@ def grouped_agg(
     return two_phase_agg(ds, partial, combine, combine_partitions)
 
 
+def grouped_median_discrete(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    col: str,
+    out_col: str = "median",
+) -> pd.DataFrame:
+    """EXACT per-group median via a bounded (keys × value) histogram.
+
+    Median rule (SQL ``median()`` over numerics, which the oracle
+    replays): odd n → the middle value; even n → the arithmetic mean of
+    the two middle values. NULL values are ignored (SQL aggregate
+    semantics); ``n_vals`` is the per-group non-null count.
+
+    Scale shape — the grouped companion to ``exact_quantiles``: one
+    two-phase grouped count moves O(#groups × #distinct values) rows
+    over the exchange, NOT O(#rows); the final cumsum/rank pick runs on
+    the driver over that (small by assumption) histogram. ASSUMES the
+    value column has bounded cardinality (quantities, codes, lengths);
+    bin a continuous column first or use a sort-based plan.
+    """
+    import numpy as np
+
+    hist = grouped_agg(ds, keys + [col], {"n": (col, "count")}).to_pandas()
+    empty = pd.DataFrame(
+        {**{k: pd.Series(dtype=object) for k in keys},
+         out_col: pd.Series(dtype="float64"),
+         "n_vals": pd.Series(dtype="int64")}
+    )
+    if hist.empty or col not in hist.columns:
+        # 0-row Ray datasets drop their schema on to_pandas (memory
+        # gotcha #1) — the histogram frame may arrive column-less
+        return empty
+    hist = hist[hist[col].notna() & (hist["n"] > 0)]
+    hist = hist.sort_values(keys + [col], kind="mergesort").reset_index(drop=True)
+    rows = []
+    for gkey, g in hist.groupby(keys, dropna=False, sort=True):
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        vals = g[col].to_numpy(np.float64)
+        lo = vals[int(np.searchsorted(cum, (n + 1) // 2, side="left"))]
+        hi = vals[int(np.searchsorted(cum, (n + 2) // 2, side="left"))]
+        key_vals = gkey if isinstance(gkey, tuple) else (gkey,)
+        rows.append((*key_vals, (lo + hi) / 2.0, n))
+    return pd.DataFrame(rows, columns=keys + [out_col, "n_vals"]).astype(
+        {out_col: np.float64, "n_vals": np.int64}
+    )
+
+
 def exact_quantiles(
     ds: ray.data.Dataset,
     col: str,

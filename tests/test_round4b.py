@@ -1,0 +1,151 @@
+"""Round-4 continuation: analytic-window / OLAP widening — per-group
+top-N, lag interarrival stats, pivot, grouped exact median (bounded
+histogram), ROLLUP grouping sets."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from bioontologykg_ray.pipelines.queries import (
+    _interarrival_apply,
+    _top_orders_apply,
+)
+from bioontologykg_ray.stages.agg import grouped_median_discrete
+
+
+# ---------------------------------------------------------------------------
+# grouped exact median (bounded histogram)
+# ---------------------------------------------------------------------------
+
+def test_grouped_median_odd_even_and_nulls():
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 3 + ["b"] * 4 + ["c"] * 2,
+            "v": [3.0, 1.0, 2.0,            # odd: median 2
+                  10.0, 40.0, 20.0, 30.0,   # even: (20+30)/2 = 25
+                  5.0, None],               # null ignored: median 5, n=1
+        }
+    )
+    out = grouped_median_discrete(
+        rd.from_pandas(df).repartition(4), ["g"], "v", out_col="m"
+    ).sort_values("g").reset_index(drop=True)
+    assert out["m"].tolist() == [2.0, 25.0, 5.0]
+    assert out["n_vals"].tolist() == [3, 4, 1]
+
+
+def test_grouped_median_duplicate_values_cross_batch():
+    # duplicated values per group must combine across batches before the
+    # rank pick (histogram counts, not distinct rows)
+    df = pd.DataFrame({"g": ["x"] * 6, "v": [1.0, 1.0, 1.0, 9.0, 9.0, 2.0]})
+    out = grouped_median_discrete(rd.from_pandas(df).repartition(6), ["g"], "v")
+    # sorted: 1 1 1 2 9 9 -> even n=6 -> (1+2)/2
+    assert out["median"].tolist() == [1.5]
+
+
+def test_grouped_median_empty_input_schema():
+    df = pd.DataFrame({"g": pd.Series(dtype=object), "v": pd.Series(dtype=np.float64)})
+    out = grouped_median_discrete(rd.from_pandas(df), ["g"], "v")
+    assert list(out.columns) == ["g", "median", "n_vals"]
+    assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# per-group top-N window (rank emission + deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+def test_top_orders_tiebreak_and_singleton():
+    df = pd.DataFrame(
+        {
+            "o_custkey": [1, 1, 1, 2],
+            "o_orderkey": [30, 10, 20, 99],
+            "o_totalprice": [50.0, 50.0, 40.0, 7.0],
+        }
+    )
+    out = _top_orders_apply(df).reset_index(drop=True)
+    # equal price -> lower orderkey ranks first; singleton keeps rank 1 only
+    assert out[["o_custkey", "rank", "o_orderkey"]].values.tolist() == [
+        [1, 1, 10], [1, 2, 30], [2, 1, 99]]
+    assert out["o_totalprice"].tolist() == [50.0, 50.0, 7.0]
+
+
+# ---------------------------------------------------------------------------
+# lag interarrival stats
+# ---------------------------------------------------------------------------
+
+def test_interarrival_gaps_and_singleton_null():
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:10",
+         "2024-01-01 00:01:10", "2024-03-01 12:00:00"]
+    )
+    df = pd.DataFrame(
+        {"user_id": [7, 7, 7, 8], "event_id": [1, 2, 3, 4], "ts": ts}
+    )
+    out = _interarrival_apply(df).set_index("user_id")
+    assert out.loc[7, "n_events"] == 3
+    # gaps: 10s and 60s -> avg 35s, max 60s (µs)
+    assert out.loc[7, "avg_gap_us"] == 35_000_000.0
+    assert out.loc[7, "max_gap_us"] == 60_000_000.0
+    # single-event user: SQL aggregate-over-empty -> NULL
+    assert out.loc[8, "n_events"] == 1
+    assert np.isnan(out.loc[8, "avg_gap_us"])
+    assert np.isnan(out.loc[8, "max_gap_us"])
+
+
+def test_interarrival_ties_resolved_by_event_id():
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:00", "2024-01-01 00:00:05"]
+    )
+    df = pd.DataFrame({"user_id": [1, 1, 1], "event_id": [2, 1, 3], "ts": ts})
+    out = _interarrival_apply(df)
+    # order: (ts0,e1),(ts0,e2),(ts5,e3) -> gaps 0 and 5s
+    assert out["max_gap_us"].tolist() == [5_000_000.0]
+    assert out["avg_gap_us"].tolist() == [2_500_000.0]
+
+
+# ---------------------------------------------------------------------------
+# pivot + rollup (registry-level, sf0.001 vs DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation", "region", "lineitem", "events"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.sql(sql).df()
+
+
+def test_order_status_pivot_matches_oracle():
+    from bioontologykg_ray.pipelines.queries import (
+        SQL_ORDER_STATUS_PIVOT,
+        q_order_status_pivot,
+    )
+
+    got = q_order_status_pivot(SF).sort_values("year").reset_index(drop=True)
+    want = _oracle(SQL_ORDER_STATUS_PIVOT).sort_values("year").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+    # pivot is exhaustive: statuses partition the rows
+    assert (
+        got[["n_open", "n_fulfilled", "n_pending"]].to_numpy().sum()
+        == _oracle("SELECT count(*) AS n FROM orders")["n"][0]
+    )
+
+
+def test_customer_rollup_levels_consistent():
+    from bioontologykg_ray.pipelines.queries import q_customer_rollup
+
+    out = q_customer_rollup(SF)
+    fine = out[out["n_name"].notna()]
+    subs = out[out["n_name"].isna() & out["r_name"].notna()]
+    total = out[out["r_name"].isna()]
+    assert len(total) == 1
+    assert int(total["n"].iloc[0]) == int(fine["n"].sum())
+    merged = fine.groupby("r_name")["n"].sum().sort_index()
+    assert merged.tolist() == subs.sort_values("r_name")["n"].tolist()
