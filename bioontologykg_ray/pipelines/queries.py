@@ -3585,8 +3585,223 @@ GROUP BY ROLLUP(r_name, n_name)
 """
 
 
+_QUALITY_FLAGS_EMPTY = pd.DataFrame(
+    {
+        "doc_id": pd.Series(dtype=np.int64),
+        "n_tokens": pd.Series(dtype=np.int64),
+        "mean_token_len": pd.Series(dtype=np.float64),
+        "alpha_ratio": pd.Series(dtype=np.float64),
+        "n_stop": pd.Series(dtype=np.int64),
+        "dup_ratio": pd.Series(dtype=np.float64),
+        "flag_word_count": pd.Series(dtype=bool),
+        "flag_mean_len": pd.Series(dtype=bool),
+        "flag_alpha": pd.Series(dtype=bool),
+        "flag_stopword": pd.Series(dtype=bool),
+        "flag_dup": pd.Series(dtype=bool),
+        "keep": pd.Series(dtype=bool),
+    }
+)
+
+
+def _quality_flags_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style rule flags (Rae et al. 2021 §A1.1 adapted): word-count
+    bounds, mean-word-length band, alphabetic-word ratio, min stopword
+    hits, duplicate-token ratio, composite keep. One explode + one
+    groupby per batch — no per-document Python. Every ratio is an exact
+    int/int IEEE division, so the threshold comparisons are bit-identical
+    to the SQL oracle's (flags computed from the UNROUNDED ratios on both
+    sides)."""
+    if df.empty:
+        return _QUALITY_FLAGS_EMPTY.copy()
+    toks = df["text"].fillna("").str.split()
+    n_tok = toks.str.len().to_numpy(np.int64)
+    ex = toks.explode()
+    words = pd.Series(ex.to_numpy(object)[ex.notna().to_numpy()])
+    g = pd.DataFrame(
+        {
+            "i": np.repeat(np.arange(len(df)), n_tok),
+            "len": words.str.len().to_numpy(np.int64),
+            "alpha": words.str.contains(r"[A-Za-z]", regex=True).to_numpy(),
+            "stop": words.isin(TS.ALL_STOPWORDS).to_numpy(),
+            "w": words.to_numpy(object),
+        }
+    )
+    agg = (
+        g.groupby("i")
+        .agg(sum_len=("len", "sum"), n_alpha=("alpha", "sum"),
+             n_stop=("stop", "sum"), n_distinct=("w", "nunique"))
+        .reindex(range(len(df)), fill_value=0)
+    )
+    safe = np.maximum(n_tok, 1).astype(np.float64)
+    mean_raw = np.where(n_tok > 0, agg["sum_len"].to_numpy(np.float64) / safe, 0.0)
+    alpha_raw = np.where(n_tok > 0, agg["n_alpha"].to_numpy(np.float64) / safe, 0.0)
+    dup_raw = np.where(
+        n_tok > 0, (n_tok - agg["n_distinct"].to_numpy(np.int64)) / safe, 0.0
+    )
+    n_stop = agg["n_stop"].to_numpy(np.int64)
+    f_wc = (n_tok >= 20) & (n_tok <= 80)
+    f_ml = (mean_raw >= 3.0) & (mean_raw <= 10.0)
+    f_al = alpha_raw >= 0.8
+    f_st = n_stop >= 2
+    f_du = dup_raw <= 0.6
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_tokens": n_tok,
+            "mean_token_len": np.round(mean_raw, 6),
+            "alpha_ratio": np.round(alpha_raw, 6),
+            "n_stop": n_stop,
+            "dup_ratio": np.round(dup_raw, 6),
+            "flag_word_count": f_wc,
+            "flag_mean_len": f_ml,
+            "flag_alpha": f_al,
+            "flag_stopword": f_st,
+            "flag_dup": f_du,
+            "keep": f_wc & f_ml & f_al & f_st & f_du,
+        }
+    )
+
+
+def q_doc_quality_flags(sf_dir: str):
+    """Gopher-rule quality filtering as a first-class curation operator:
+    per-document rule flags + composite keep decision (the FILTER step a
+    100-TB pretraining pipeline runs before dedup). Embarrassingly
+    parallel — zero exchanges; the per-batch kernel is one explode and
+    one groupby."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(_quality_flags_batch, batch_format="pandas")
+
+
+SQL_DOC_QUALITY_FLAGS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+s AS (
+  SELECT doc_id, len(t) AS n_tokens,
+    CASE WHEN len(t) > 0 THEN CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE) / len(t) ELSE 0 END AS mean_raw,
+    CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t) ELSE 0 END AS alpha_raw,
+    len(list_filter(t, x -> x IN {_ALL_STOPS_SQL})) AS n_stop,
+    CASE WHEN len(t) > 0 THEN CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t) ELSE 0 END AS dup_raw
+  FROM toks)
+SELECT doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(mean_raw, 6) AS mean_token_len,
+  round(alpha_raw, 6) AS alpha_ratio,
+  CAST(n_stop AS BIGINT) AS n_stop,
+  round(dup_raw, 6) AS dup_ratio,
+  (n_tokens >= 20 AND n_tokens <= 80) AS flag_word_count,
+  (mean_raw >= 3.0 AND mean_raw <= 10.0) AS flag_mean_len,
+  (alpha_raw >= 0.8) AS flag_alpha,
+  (n_stop >= 2) AS flag_stopword,
+  (dup_raw <= 0.6) AS flag_dup,
+  (n_tokens >= 20 AND n_tokens <= 80 AND mean_raw >= 3.0 AND mean_raw <= 10.0
+   AND alpha_raw >= 0.8 AND n_stop >= 2 AND dup_raw <= 0.6) AS keep
+FROM s
+"""
+
+
+def q_embedding_quantize(sf_dir: str):
+    """Symmetric int8 embedding quantization — the 4× memory-reduction
+    step a 100-TB ANN corpus takes before index build: per-vector
+    scale = max|x|/127, q_i = trunc(x_i/scale). trunc (toward zero) is
+    the rounding BOTH engines define identically (numpy round is
+    banker's, SQL round is half-away — trunc sidesteps the mismatch),
+    and float32 inputs promote exactly to float64, so scale and every
+    q_i are bit-identical to the SQL replay. Emits per-vector integer
+    summaries (q_sum, q_l1, n_sat) plus the raw scale — the compare
+    stays exact without shipping the int8 payload itself.
+    Embarrassingly parallel: one Arrow-native matrix reshape + three
+    numpy reductions per batch, zero exchanges."""
+    from bioontologykg_ray.stages.ann import _as_matrix
+
+    ds = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        M = _as_matrix(t["embedding"])
+        if M.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "scale": pa.array([], pa.float64()),
+                    "q_sum": pa.array([], pa.int64()),
+                    "q_l1": pa.array([], pa.int64()),
+                    "n_sat": pa.array([], pa.int64()),
+                }
+            )
+        scale = np.abs(M).max(axis=1) / 127.0
+        safe = np.where(scale > 0, scale, 1.0)
+        Q = np.trunc(M / safe[:, None])
+        Q[scale == 0] = 0.0
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "scale": pa.array(scale, pa.float64()),
+                "q_sum": pa.array(Q.sum(axis=1).astype(np.int64)),
+                "q_l1": pa.array(np.abs(Q).sum(axis=1).astype(np.int64)),
+                "n_sat": pa.array((np.abs(Q) == 127.0).sum(axis=1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) / 127 AS scale
+  FROM embeddings),
+q AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale > 0 THEN list_transform(v, x -> trunc(x / scale))
+              ELSE list_transform(v, x -> 0.0) END AS qv
+  FROM s)
+SELECT vec_id, scale,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+       CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'sum') AS BIGINT) AS q_l1,
+       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+FROM q
+"""
+
+
+def q_hll_type_registers(sf_dir: str):
+    """GROUPED HyperLogLog: per-event-type distinct-user register tables
+    (sketch.hll_registers_by) — approximate COUNT(DISTINCT user_id)
+    GROUP BY event_type with a bounded exchange (≤ #types × 2^p rows per
+    batch). Integer-exact registers → the SQL oracle replays the full
+    grouped kernel bit-for-bit."""
+    from bioontologykg_ray.stages.sketch import hll_registers_by
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "user_id"])
+    return (
+        hll_registers_by(ds, "event_type", "user_id", p=10)
+        .to_pandas()
+        .sort_values(["event_type", "bucket"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_HLL_TYPE_REGISTERS = r"""
+WITH h AS (
+  SELECT event_type,
+         md5_number_lower(CAST(user_id AS VARCHAR)) AS hv FROM events
+),
+parts AS (
+  SELECT event_type,
+         CAST(hv >> 54 AS BIGINT) AS bucket,
+         hv & ((CAST(1 AS UBIGINT) << 54) - 1) AS w
+  FROM h
+)
+SELECT event_type, bucket,
+       max(CASE WHEN w = 0 THEN 55
+                ELSE 55 - length(bin(w)) END) AS rho
+FROM parts GROUP BY event_type, bucket
+"""
+
+
 QUERIES.update(
     {
+        "doc_quality_flags": q_doc_quality_flags,
+        "embedding_quantize": q_embedding_quantize,
+        "hll_type_registers": q_hll_type_registers,
         "top_orders_per_cust": q_top_orders_per_cust,
         "event_interarrival": q_event_interarrival,
         "order_status_pivot": q_order_status_pivot,
@@ -3596,6 +3811,9 @@ QUERIES.update(
 )
 ORACLE.update(
     {
+        "doc_quality_flags": SQL_DOC_QUALITY_FLAGS,
+        "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
+        "hll_type_registers": SQL_HLL_TYPE_REGISTERS,
         "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
         "event_interarrival": SQL_EVENT_INTERARRIVAL,
         "order_status_pivot": SQL_ORDER_STATUS_PIVOT,

@@ -44,8 +44,8 @@ def _bit_length_u64(w: np.ndarray) -> np.ndarray:
     return out
 
 
-def hll_partial(values: pd.Series, p: int = 12) -> pd.DataFrame:
-    """(bucket, rho) maxima for one batch — ≤ 2^p rows."""
+def _bucket_rho(values: pd.Series, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """Shared HLL kernel: md5_low64 hash → (bucket, rho) arrays."""
     h = np.fromiter(
         (md5_low64(str(v)) for v in values), dtype=np.uint64, count=len(values)
     )
@@ -53,6 +53,12 @@ def hll_partial(values: pd.Series, p: int = 12) -> pd.DataFrame:
     bucket = (h >> np.uint64(width)).astype(np.int64)
     w = h & np.uint64((1 << width) - 1)
     rho = (width + 1 - _bit_length_u64(w)).astype(np.int64)  # w=0 → width+1
+    return bucket, rho
+
+
+def hll_partial(values: pd.Series, p: int = 12) -> pd.DataFrame:
+    """(bucket, rho) maxima for one batch — ≤ 2^p rows."""
+    bucket, rho = _bucket_rho(values, p)
     df = pd.DataFrame({"bucket": bucket, "rho": rho})
     return df.groupby("bucket", as_index=False)["rho"].max()
 
@@ -69,6 +75,33 @@ def hll_registers(
     return grouped_agg(
         ds.map_batches(partial, batch_format="pandas"),
         ["bucket"],
+        {"rho": ("rho", "max")},
+    )
+
+
+def hll_registers_by(
+    ds: ray.data.Dataset, group_col: str, col: str, p: int = 12
+) -> ray.data.Dataset:
+    """GROUPED HLL register tables: one (group, bucket, rho) row per
+    non-empty bucket per group — approximate COUNT(DISTINCT col) GROUP BY
+    group_col as a mergeable sketch. Per-batch partials are vectorized
+    across ALL groups at once (one hash pass + one grouped max); the
+    exchange moves ≤ #groups × 2^p rows per batch regardless of data
+    size — the sketch alternative to an exact grouped distinct when the
+    group count is modest but per-group key cardinality is huge.
+    Per-group estimates come from ``hll_estimate`` over each group's
+    slice."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bucket, rho = _bucket_rho(df[col], p)
+        out = pd.DataFrame(
+            {group_col: df[group_col].to_numpy(), "bucket": bucket, "rho": rho}
+        )
+        return out.groupby([group_col, "bucket"], as_index=False)["rho"].max()
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        [group_col, "bucket"],
         {"rho": ("rho", "max")},
     )
 

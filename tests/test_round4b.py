@@ -138,6 +138,116 @@ def test_order_status_pivot_matches_oracle():
     )
 
 
+# ---------------------------------------------------------------------------
+# Gopher-rule quality flags
+# ---------------------------------------------------------------------------
+
+def test_quality_flags_rules():
+    from bioontologykg_ray.pipelines.queries import _quality_flags_batch
+
+    good = ("the and alpha bravo charlie delta echo foxtrot golf hotel "
+            "india juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor")  # 24 distinct toks, 2 stopwords
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                good,                       # passes every rule
+                "short text only",          # < 20 tokens
+                "zzz " * 30,                # 30 toks but all dupes + no stops
+                "",                         # empty
+            ],
+        }
+    )
+    out = _quality_flags_batch(df).set_index("doc_id")
+    assert bool(out.loc[1, "keep"])
+    assert not bool(out.loc[2, "flag_word_count"]) and not bool(out.loc[2, "keep"])
+    assert not bool(out.loc[3, "flag_stopword"])
+    assert not bool(out.loc[3, "flag_dup"])  # dup_ratio 29/30 > 0.6
+    assert out.loc[4, "n_tokens"] == 0 and not bool(out.loc[4, "keep"])
+    # ratios are exact int/int divisions
+    assert out.loc[3, "dup_ratio"] == round(29 / 30, 6)
+
+
+def test_quality_flags_empty_batch_schema():
+    from bioontologykg_ray.pipelines.queries import (
+        _QUALITY_FLAGS_EMPTY,
+        _quality_flags_batch,
+    )
+
+    out = _quality_flags_batch(pd.DataFrame({"doc_id": [], "text": []}))
+    assert list(out.columns) == list(_QUALITY_FLAGS_EMPTY.columns)
+    assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization + grouped HLL
+# ---------------------------------------------------------------------------
+
+def test_embedding_quantize_math(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bioontologykg_ray.pipelines.queries import q_embedding_quantize
+
+    emb = pa.array(
+        [[2.54, -1.27, 0.0, 1.0], [0.0, 0.0, 0.0, 0.0]],
+        type=pa.list_(pa.float32()),
+    )
+    pq.write_table(
+        pa.table({"vec_id": pa.array([1, 2], pa.int64()), "embedding": emb}),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = (
+        q_embedding_quantize(str(tmp_path))
+        .to_pandas().set_index("vec_id").sort_index()
+    )
+    # scale = 2.54/127 = 0.02; q = trunc([127, -63.5, 0, 50]) (float32 ulps
+    # may land one off the real-arithmetic value — recompute exactly)
+    s = np.float64(np.float32(2.54)) / 127.0
+    q = np.trunc(np.array(
+        [np.float64(np.float32(v)) for v in (2.54, -1.27, 0.0, 1.0)]) / s)
+    assert out.loc[1, "scale"] == s
+    assert out.loc[1, "q_sum"] == int(q.sum())
+    assert out.loc[1, "q_l1"] == int(np.abs(q).sum())
+    assert out.loc[1, "n_sat"] == int((np.abs(q) == 127).sum())
+    # zero vector: scale 0, all-zero quantized row
+    assert out.loc[2, "scale"] == 0.0
+    assert out.loc[2, "q_sum"] == 0 and out.loc[2, "q_l1"] == 0
+    assert out.loc[2, "n_sat"] == 0
+
+
+def test_hll_registers_by_matches_per_group_global():
+    from bioontologykg_ray.stages.sketch import (
+        hll_estimate,
+        hll_registers,
+        hll_registers_by,
+    )
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "event_type": np.where(rng.random(4000) < 0.5, "a", "b"),
+            "user_id": rng.integers(0, 800, 4000),
+        }
+    )
+    got = hll_registers_by(
+        rd.from_pandas(df).repartition(5), "event_type", "user_id", p=10
+    ).to_pandas()
+    for g, sub in df.groupby("event_type"):
+        solo = hll_registers(
+            rd.from_pandas(sub.reset_index(drop=True)), "user_id", p=10
+        ).to_pandas().sort_values("bucket").reset_index(drop=True)
+        mine = (
+            got[got["event_type"] == g][["bucket", "rho"]]
+            .sort_values("bucket").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(mine, solo)
+        est = hll_estimate(mine, p=10)
+        exact = sub["user_id"].nunique()
+        assert abs(est - exact) / exact < 0.15  # ~3σ at p=10
+
+
 def test_customer_rollup_levels_consistent():
     from bioontologykg_ray.pipelines.queries import q_customer_rollup
 
