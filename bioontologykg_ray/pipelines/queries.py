@@ -3762,6 +3762,28 @@ FROM q
 """
 
 
+def q_similar_part_names(sf_dir: str):
+    """String-similarity self-join: all distinct part-name pairs at edit
+    distance ≤ 1 via FastSS deletion-neighborhood blocking
+    (neardup.edit1_pairs) — candidates from one keyed exchange over the
+    deletion-key stream, exact O(len) distance-1 verify inside the
+    group task, one more keyed distinct for cross-key dedup. Never
+    all-pairs; the oracle IS the all-pairs levenshtein join (exact at
+    conformance scale)."""
+    from bioontologykg_ray.stages.neardup import edit1_pairs
+
+    ds = _rp(sf_dir, "part", columns=["p_name"])
+    return edit1_pairs(ds, "p_name")
+
+
+SQL_SIMILAR_PART_NAMES = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 1
+"""
+
+
 def q_hll_type_registers(sf_dir: str):
     """GROUPED HyperLogLog: per-event-type distinct-user register tables
     (sketch.hll_registers_by) — approximate COUNT(DISTINCT user_id)
@@ -3802,6 +3824,7 @@ QUERIES.update(
         "doc_quality_flags": q_doc_quality_flags,
         "embedding_quantize": q_embedding_quantize,
         "hll_type_registers": q_hll_type_registers,
+        "similar_part_names": q_similar_part_names,
         "top_orders_per_cust": q_top_orders_per_cust,
         "event_interarrival": q_event_interarrival,
         "order_status_pivot": q_order_status_pivot,
@@ -3814,6 +3837,7 @@ ORACLE.update(
         "doc_quality_flags": SQL_DOC_QUALITY_FLAGS,
         "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
         "hll_type_registers": SQL_HLL_TYPE_REGISTERS,
+        "similar_part_names": SQL_SIMILAR_PART_NAMES,
         "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
         "event_interarrival": SQL_EVENT_INTERARRIVAL,
         "order_status_pivot": SQL_ORDER_STATUS_PIVOT,

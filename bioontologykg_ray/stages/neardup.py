@@ -627,3 +627,115 @@ def embedding_neardup_pairs(
         )
 
     return ds.groupby(block_col).map_groups(per_block, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# edit-distance-1 string similarity self-join (FastSS deletion blocking)
+# --------------------------------------------------------------------------
+
+_EMPTY_NAME_PAIRS = pd.DataFrame(
+    {"name_a": pd.Series(dtype="string"), "name_b": pd.Series(dtype="string")}
+)
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact levenshtein(a, b) <= 1 in O(len) with early exit (no DP
+    table needed at distance 1): equal-length -> at most one
+    substitution; off-by-one length -> at most one skip in the longer."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return True
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = 0
+    skipped = False
+    while i < la:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif skipped:
+            return False
+        else:
+            skipped = True
+            j += 1
+    return True
+
+
+def edit1_pairs(
+    ds: ray.data.Dataset, col: str, max_bucket: int | None = None
+) -> ray.data.Dataset:
+    """All DISTINCT string pairs (a < b) at edit distance <= 1 — the
+    string-similarity self-join (entity-resolution blocking), built as
+    FastSS deletion-neighborhood blocking (Bocek et al. 2007): every
+    string keys itself plus each single-character deletion; any two
+    strings within distance 1 share >= 1 key, so candidate pairs come
+    from ONE keyed exchange over the (key, name) stream (block-local
+    self-merge — the `_pairs_apply` idiom), each candidate is verified
+    with the exact O(len) distance-1 check, and a second keyed distinct
+    removes pairs surfacing from multiple shared keys. Never an
+    all-pairs comparison: cost is sum of bucket^2 over deletion
+    buckets. Key generation is vectorized per position (len(max_name)
+    pandas slice passes per batch, not a per-string Python loop).
+
+    ``max_bucket``: optionally skip deletion buckets larger than this —
+    the hot-bucket skew cap for 100-TB corpora (sequential ids sharing
+    a deleted digit). This makes the result approximate (may MISS
+    pairs); the registry query leaves it None so the oracle match
+    stays exact.
+    """
+    from bioontologykg_ray.stages.agg import grouped_distinct
+
+    names = grouped_distinct(ds.select_columns([col]), [col])
+
+    def keys_batch(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"key": pd.Series(dtype="string"),
+                 "name": pd.Series(dtype="string")}
+            )
+        s = df[col].astype(str)
+        frames = [pd.DataFrame({"key": s, "name": s})]
+        maxlen = int(s.str.len().max())
+        for i in range(maxlen):
+            sub = s[s.str.len() > i]
+            frames.append(
+                pd.DataFrame(
+                    {"key": sub.str.slice(0, i) + sub.str.slice(i + 1),
+                     "name": sub}
+                )
+            )
+        return pd.concat(frames, ignore_index=True).drop_duplicates()
+
+    keyed = names.map_batches(keys_batch, batch_format="pandas")
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY_NAME_PAIRS.copy()
+        d = df.drop_duplicates()
+        if max_bucket is not None:
+            d = d[d.groupby("key")["key"].transform("size") <= max_bucket]
+        m = d.merge(d, on="key", suffixes=("_a", "_b"))
+        m = m[m["name_a"] < m["name_b"]]
+        pairs = m[["name_a", "name_b"]].drop_duplicates()
+        if pairs.empty:
+            return _EMPTY_NAME_PAIRS.copy()
+        keep = np.fromiter(
+            (_lev_le1(x, y) for x, y in zip(pairs["name_a"], pairs["name_b"])),
+            dtype=bool, count=len(pairs),
+        )
+        out = pairs[keep].astype({"name_a": "string", "name_b": "string"})
+        return out
+
+    cand = sorted_group_apply(keyed, "key", emit, _EMPTY_NAME_PAIRS,
+                              hash_sort=True)
+    return grouped_distinct(cand, ["name_a", "name_b"])

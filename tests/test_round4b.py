@@ -248,6 +248,65 @@ def test_hll_registers_by_matches_per_group_global():
         assert abs(est - exact) / exact < 0.15  # ~3σ at p=10
 
 
+# ---------------------------------------------------------------------------
+# edit-distance-1 similarity self-join (FastSS deletion blocking)
+# ---------------------------------------------------------------------------
+
+def _lev_dp(a: str, b: str) -> int:
+    """Independent reference: full DP levenshtein."""
+    prev = list(range(len(b) + 1))
+    for i, x in enumerate(a, 1):
+        cur = [i]
+        for j, y in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (x != y)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit1_pairs_matches_bruteforce():
+    from bioontologykg_ray.stages.neardup import edit1_pairs
+
+    rng = np.random.default_rng(11)
+    alphabet = list("abc")
+    strs = [
+        "".join(rng.choice(alphabet, size=rng.integers(1, 6)))
+        for _ in range(150)
+    ] + ["", "a"]  # include empty and single-char edge cases
+    df = pd.DataFrame({"s": strs})
+    got = edit1_pairs(rd.from_pandas(df).repartition(5), "s").to_pandas()
+    got_set = set(zip(got["name_a"], got["name_b"]))
+    uniq = sorted(set(strs))
+    want = {
+        (a, b)
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1:]
+        if _lev_dp(a, b) <= 1
+    }
+    assert got_set == want
+    assert len(want) > 10  # the fixture actually exercises the operator
+
+
+def test_edit1_pairs_bucket_cap_documented_approximation():
+    from bioontologykg_ray.stages.neardup import edit1_pairs
+
+    df = pd.DataFrame({"s": ["ab", "ac", "ad"]})  # all share deletion key "a"
+    exact = edit1_pairs(rd.from_pandas(df), "s").to_pandas()
+    assert len(exact) == 3
+    capped = edit1_pairs(rd.from_pandas(df), "s", max_bucket=1).to_pandas()
+    assert len(capped) < 3  # cap skips the hot bucket -> approximate
+
+
+def test_lev_le1_agrees_with_dp():
+    from bioontologykg_ray.stages.neardup import _lev_le1
+
+    rng = np.random.default_rng(3)
+    alphabet = list("ab")
+    for _ in range(500):
+        a = "".join(rng.choice(alphabet, size=rng.integers(0, 5)))
+        b = "".join(rng.choice(alphabet, size=rng.integers(0, 5)))
+        assert _lev_le1(a, b) == (_lev_dp(a, b) <= 1), (a, b)
+
+
 def test_customer_rollup_levels_consistent():
     from bioontologykg_ray.pipelines.queries import q_customer_rollup
 
