@@ -3847,6 +3847,285 @@ ORACLE.update(
 )
 
 
+# ---- round-4c: ordered string-agg, frame-bounded window, funnel,
+# ---- weighted sampling -------------------------------------------------
+
+_EVENT_PATHS_EMPTY = pd.DataFrame(
+    {
+        "user_id": pd.Series(dtype=np.int64),
+        "path": pd.Series(dtype=object),
+        "n_events": pd.Series(dtype=np.int64),
+    }
+)
+
+
+def _event_paths_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-user ordered event-type path (string_agg ... ORDER BY ts,
+    event_id). One mergesort across the block, then a groupby join —
+    the join itself is O(total output chars) C work; the per-group
+    lambda dispatch is bounded by the block's group count, never the
+    corpus."""
+    if df.empty:
+        return _EVENT_PATHS_EMPTY.copy()
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    gb = df.groupby("user_id")
+    out = pd.DataFrame(
+        {
+            "path": gb["event_type"].agg(">".join),
+            "n_events": gb["event_type"].size().astype(np.int64),
+        }
+    ).reset_index()
+    return out[["user_id", "path", "n_events"]]
+
+
+def q_user_event_paths(sf_dir: str):
+    """Ordered collect/string_agg window-aggregate: per-user '>'-joined
+    event-type sequence in (ts, event_id) order — the behavioral-path
+    operator (sessionless clickstream summarization). ONE keyed exchange
+    via the complete-group sorted-block apply; deterministic order is
+    pinned by the same (ts, event_id) tie-break the oracle uses."""
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+    return sorted_group_apply(ds, "user_id", _event_paths_apply,
+                              _EVENT_PATHS_EMPTY)
+
+
+SQL_USER_EVENT_PATHS = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+_MOVAVG_EMPTY = pd.DataFrame(
+    {
+        "user_id": pd.Series(dtype=np.int64),
+        "event_id": pd.Series(dtype=np.int64),
+        "mov_avg": pd.Series(dtype=np.float64),
+    }
+)
+
+
+def _moving_avg_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-user ROWS-frame moving average (3 PRECEDING..CURRENT) of
+    ``value``, bit-identical to the SQL window: values are
+    cent-quantized, so the frame sum is EXACT int64 arithmetic and the
+    average is the same two IEEE divisions (sum/count, /100) both
+    engines perform. NULL values are skipped by the frame count (SQL AVG
+    semantics); an all-null frame yields NULL. Vectorized: three
+    shift-adds masked at user boundaries — no per-row or per-group
+    Python."""
+    if df.empty:
+        return _MOVAVG_EMPTY.copy()
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    u = df["user_id"].to_numpy(np.int64)
+    v = df["value"].to_numpy(np.float64)
+    valid = ~np.isnan(v)
+    cents = np.where(valid, np.round(v * 100.0), 0.0).astype(np.int64)
+    csum = cents.copy()
+    cnt = valid.astype(np.int64)
+    for k in (1, 2, 3):
+        same = u[k:] == u[:-k]  # contiguous after the sort
+        csum[k:] += np.where(same, cents[:-k], 0)
+        cnt[k:] += np.where(same, valid[:-k].astype(np.int64), 0)
+    avg = np.where(cnt > 0, (csum / np.maximum(cnt, 1)) / 100.0, np.nan)
+    return pd.DataFrame(
+        {
+            "user_id": u,
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "mov_avg": np.round(avg, 6),
+        }
+    )
+
+
+def q_event_moving_avg(sf_dir: str):
+    """Frame-bounded window function: per-user moving AVG(value) over
+    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW ordered by (ts, event_id)
+    — the bounded-frame sibling of event_running_totals' unbounded
+    frame. Same single-exchange sorted-block plan; exactness comes from
+    cent-integer frame sums (see _moving_avg_apply)."""
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    return sorted_group_apply(ds, "user_id", _moving_avg_apply, _MOVAVG_EMPTY)
+
+
+SQL_EVENT_MOVING_AVG = """
+SELECT user_id, event_id,
+       round(avg(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) / 100, 6) AS mov_avg
+FROM events
+"""
+
+
+_FUNNEL_EMPTY = pd.DataFrame(
+    {
+        "n_signup": pd.Series(dtype=np.int64),
+        "n_click_after": pd.Series(dtype=np.int64),
+        "n_purchase_after": pd.Series(dtype=np.int64),
+    }
+)
+
+
+def _funnel_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-block funnel stage counts over COMPLETE user groups:
+    t1 = first signup; t2 = first click strictly after t1; t3 = first
+    purchase strictly after t2. Three vectorized filter+merge+min
+    passes; emits one partial-count row per block."""
+    if df.empty:
+        return _FUNNEL_EMPTY.copy()
+    t1 = (
+        df[df["event_type"] == "signup"]
+        .groupby("user_id", as_index=False)["ts"].min()
+        .rename(columns={"ts": "t1"})
+    )
+    c = df[df["event_type"] == "click"].merge(t1, on="user_id")
+    t2 = (
+        c[c["ts"] > c["t1"]]
+        .groupby("user_id", as_index=False)["ts"].min()
+        .rename(columns={"ts": "t2"})
+    )
+    p = df[df["event_type"] == "purchase"].merge(t2, on="user_id")
+    t3 = p[p["ts"] > p["t2"]].groupby("user_id", as_index=False)["ts"].min()
+    return pd.DataFrame(
+        {
+            "n_signup": [np.int64(len(t1))],
+            "n_click_after": [np.int64(len(t2))],
+            "n_purchase_after": [np.int64(len(t3))],
+        }
+    )
+
+
+def q_funnel_counts(sf_dir: str):
+    """Sequential conversion funnel (signup → click → purchase): how
+    many users reach each stage, where a stage only counts if it occurs
+    STRICTLY AFTER the user's previous stage timestamp — the ordered
+    multi-event funnel that needs whole-user history, not independent
+    filters. One keyed exchange (complete user groups per block), a
+    vectorized per-block stage pass, then a driver sum over O(#blocks)
+    partial rows."""
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+    parts = sorted_group_apply(ds, "user_id", _funnel_apply, _FUNNEL_EMPTY)
+    out = parts.to_pandas().sum().to_frame().T.astype(np.int64)
+    return out[["n_signup", "n_click_after", "n_purchase_after"]]
+
+
+SQL_FUNNEL_COUNTS = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM t1) AS n_signup,
+       (SELECT count(*) FROM t2) AS n_click_after,
+       (SELECT count(*) FROM t3) AS n_purchase_after
+"""
+
+
+_WSAMPLE_EMPTY = pd.DataFrame(
+    {
+        "o_orderkey": pd.Series(dtype=np.int64),
+        "o_totalprice": pd.Series(dtype=np.float64),
+        "es_key": pd.Series(dtype=np.float64),
+    }
+)
+
+_WSAMPLE_K = 100
+_U64_SPAN = 18446744073709551616.0  # 2^64, exact in float64
+
+
+def _wsample_local_top(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch Efraimidis–Spirakis keys + local top-K. The uniform is
+    a purpose-salted md5 hash (deterministic, SQL-replayable via
+    md5_number_lower); key = -ln(u)/weight, so keeping the K SMALLEST
+    keys is weighted sampling without replacement ∝ o_totalprice
+    (Efraimidis & Spirakis 2006, 'Weighted random sampling with a
+    reservoir'). Every float op (cast, +0.5, /2^64, ln, /w) is the same
+    IEEE sequence DuckDB runs, so selection and values replay exactly."""
+    from bioontologykg_ray.functions.hashing import md5_low64
+
+    if df.empty:
+        return _WSAMPLE_EMPTY.copy()
+    h = np.fromiter(
+        (md5_low64("wsamp:" + str(k)) for k in df["o_orderkey"]),
+        dtype=np.uint64, count=len(df),
+    )
+    u = (h.astype(np.float64) + 0.5) / _U64_SPAN
+    key = -np.log(u) / df["o_totalprice"].to_numpy(np.float64)
+    out = pd.DataFrame(
+        {
+            "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_totalprice": df["o_totalprice"].to_numpy(np.float64),
+            "es_key": key,
+        }
+    )
+    return out.sort_values(["es_key", "o_orderkey"], kind="mergesort").head(
+        _WSAMPLE_K
+    )
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling WITHOUT replacement (k=100,
+    weight = o_totalprice) via Efraimidis–Spirakis reservoir keys — the
+    data-mixing primitive a pretraining pipeline uses to sample corpora
+    ∝ quality/importance weights, made resumable by hashing the row id
+    instead of drawing RNG state. Distributed as local top-K per batch
+    (the E-S key order is global, so per-batch winners are a superset of
+    the global winners) + one driver merge over ≤ K×#blocks rows."""
+    ds = _rp(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    parts = ds.map_batches(_wsample_local_top, batch_format="pandas").to_pandas()
+    out = (
+        parts.sort_values(["es_key", "o_orderkey"], kind="mergesort")
+        .head(_WSAMPLE_K)
+        .reset_index(drop=True)
+    )
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    out["es_key"] = out["es_key"].round(12)
+    return out
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH k AS (
+  SELECT o_orderkey, o_totalprice,
+         -ln((CAST(md5_number_lower('wsamp:' || CAST(o_orderkey AS VARCHAR))
+                   AS DOUBLE) + 0.5) / {_U64_SPAN!r})
+           / o_totalprice AS es_key
+  FROM orders)
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       round(es_key, 12) AS es_key
+FROM k ORDER BY es_key, o_orderkey LIMIT {_WSAMPLE_K}
+"""
+
+
+QUERIES.update(
+    {
+        "user_event_paths": q_user_event_paths,
+        "event_moving_avg": q_event_moving_avg,
+        "funnel_counts": q_funnel_counts,
+        "weighted_sample": q_weighted_sample,
+    }
+)
+ORACLE.update(
+    {
+        "user_event_paths": SQL_USER_EVENT_PATHS,
+        "event_moving_avg": SQL_EVENT_MOVING_AVG,
+        "funnel_counts": SQL_FUNNEL_COUNTS,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    }
+)
+
+
 _ORACLE_FOR_SF_EXTRA = True  # marker: oracle_for_sf below must refresh kg SQL
 
 

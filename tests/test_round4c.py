@@ -1,0 +1,173 @@
+"""Round-4 continuation (c): ordered string_agg paths, frame-bounded
+moving average, sequential funnel, Efraimidis-Spirakis weighted
+sampling."""
+
+import numpy as np
+import pandas as pd
+
+from bioontologykg_ray.pipelines.queries import (
+    _event_paths_apply,
+    _funnel_apply,
+    _moving_avg_apply,
+    _wsample_local_top,
+    _WSAMPLE_K,
+)
+
+
+def _ev(rows):
+    df = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "ts", "event_type", "value"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"])
+    return df
+
+
+# ---------------------------------------------------------------------------
+# ordered event paths (string_agg ORDER BY)
+# ---------------------------------------------------------------------------
+
+def test_event_paths_order_and_tiebreak():
+    df = _ev(
+        [
+            (1, 5, "2024-01-01 00:02", "purchase", 1.0),
+            (1, 2, "2024-01-01 00:01", "click", 1.0),
+            # same ts -> event_id breaks the tie (3 before 4)
+            (1, 4, "2024-01-01 00:00", "view", 1.0),
+            (1, 3, "2024-01-01 00:00", "signup", 1.0),
+            (2, 9, "2024-01-01 00:00", "error", 1.0),
+        ]
+    )
+    out = _event_paths_apply(df).sort_values("user_id").reset_index(drop=True)
+    assert out["path"].tolist() == ["signup>view>click>purchase", "error"]
+    assert out["n_events"].tolist() == [4, 1]
+
+
+def test_event_paths_empty_schema():
+    out = _event_paths_apply(_ev([]))
+    assert list(out.columns) == ["user_id", "path", "n_events"]
+    assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# frame-bounded moving average (ROWS 3 PRECEDING..CURRENT)
+# ---------------------------------------------------------------------------
+
+def test_moving_avg_frame_and_user_boundary():
+    df = _ev(
+        [
+            (1, 1, "2024-01-01 00:00", "view", 1.00),
+            (1, 2, "2024-01-01 00:01", "view", 2.00),
+            (1, 3, "2024-01-01 00:02", "view", 3.00),
+            (1, 4, "2024-01-01 00:03", "view", 4.00),
+            (1, 5, "2024-01-01 00:04", "view", 5.00),  # frame = 2,3,4,5
+            (2, 6, "2024-01-01 00:00", "view", 10.00),  # new user resets
+        ]
+    )
+    out = _moving_avg_apply(df)
+    assert out["mov_avg"].tolist() == [1.0, 1.5, 2.0, 2.5, 3.5, 10.0]
+
+
+def test_moving_avg_null_skipped_not_counted():
+    df = _ev(
+        [
+            (1, 1, "2024-01-01 00:00", "view", np.nan),
+            (1, 2, "2024-01-01 00:01", "view", 3.00),
+            (1, 3, "2024-01-01 00:02", "view", np.nan),
+        ]
+    )
+    out = _moving_avg_apply(df)
+    # row1: all-null frame -> NULL; row2: avg(3)=3; row3: avg(3)=3
+    assert np.isnan(out["mov_avg"].iloc[0])
+    assert out["mov_avg"].tolist()[1:] == [3.0, 3.0]
+
+
+def test_moving_avg_cent_exactness():
+    # 6.55 + 0.01 style sums that are inexact in binary must still match
+    # the integer-cent path: avg(6.55, 0.01) = 656/2/100 = 3.28
+    df = _ev(
+        [
+            (1, 1, "2024-01-01 00:00", "view", 6.55),
+            (1, 2, "2024-01-01 00:01", "view", 0.01),
+        ]
+    )
+    out = _moving_avg_apply(df)
+    assert out["mov_avg"].iloc[1] == 3.28
+
+
+# ---------------------------------------------------------------------------
+# sequential funnel
+# ---------------------------------------------------------------------------
+
+def test_funnel_strictly_after_semantics():
+    df = _ev(
+        [
+            # user 1: full funnel in order
+            (1, 1, "2024-01-01 00:00", "signup", 0.0),
+            (1, 2, "2024-01-01 00:01", "click", 0.0),
+            (1, 3, "2024-01-01 00:02", "purchase", 0.0),
+            # user 2: click BEFORE signup and purchase AT click-less time
+            (2, 4, "2024-01-01 00:01", "click", 0.0),
+            (2, 5, "2024-01-01 00:02", "signup", 0.0),
+            (2, 6, "2024-01-01 00:03", "purchase", 0.0),
+            # user 3: click at SAME ts as signup (not strictly after)
+            (3, 7, "2024-01-01 00:00", "signup", 0.0),
+            (3, 8, "2024-01-01 00:00", "click", 0.0),
+        ]
+    )
+    out = _funnel_apply(df)
+    assert out.iloc[0].tolist() == [3, 1, 1]
+
+
+def test_funnel_empty_schema():
+    out = _funnel_apply(_ev([]))
+    assert list(out.columns) == ["n_signup", "n_click_after", "n_purchase_after"]
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (Efraimidis-Spirakis keys)
+# ---------------------------------------------------------------------------
+
+def test_wsample_local_top_is_superset_property():
+    # global top-K from the full frame == merge of per-half local top-Ks
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(1, 401, dtype=np.int64),
+            "o_totalprice": rng.uniform(100, 10000, 400).round(2),
+        }
+    )
+    full = _wsample_local_top(df)
+    halves = pd.concat(
+        [_wsample_local_top(df.iloc[:200]), _wsample_local_top(df.iloc[200:])]
+    )
+    merged = (
+        halves.sort_values(["es_key", "o_orderkey"], kind="mergesort")
+        .head(_WSAMPLE_K)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(full.reset_index(drop=True), merged)
+
+
+def test_wsample_weight_bias():
+    # a weight 1000x larger must win essentially always: make one row
+    # hugely heavy and check it is sampled first
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(1, 51, dtype=np.int64),
+            "o_totalprice": [1.0] * 49 + [1e9],
+        }
+    )
+    out = _wsample_local_top(df)
+    assert out.iloc[0]["o_orderkey"] == 50
+
+
+def test_wsample_deterministic():
+    df = pd.DataFrame(
+        {"o_orderkey": [7, 8, 9], "o_totalprice": [10.0, 20.0, 30.0]}
+    )
+    a = _wsample_local_top(df)
+    b = _wsample_local_top(df.sample(frac=1.0, random_state=1))
+    pd.testing.assert_frame_equal(
+        a.sort_values("o_orderkey").reset_index(drop=True),
+        b.sort_values("o_orderkey").reset_index(drop=True),
+    )
