@@ -4108,12 +4108,132 @@ FROM k ORDER BY es_key, o_orderkey LIMIT {_WSAMPLE_K}
 """
 
 
+_BM25_TERMS = ("spark", "vector", "window", "merge", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_scan_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """One corpus pass emitting BOTH the per-(doc, query-term) tf rows
+    and a per-batch corpus-stats partial (doc_id = -1 marker: tf carries
+    the batch doc count, dl the batch token total) — the two downstream
+    consumers split the small materialized intermediate instead of
+    re-reading the corpus. Vectorized: one split + one explode + one
+    isin + one groupby per batch."""
+    toks = df["text"].fillna("").str.split()
+    dl = toks.str.len().to_numpy(np.int64)
+    ex = toks.explode()
+    words = ex.to_numpy(object)[ex.notna().to_numpy()]
+    i = np.repeat(np.arange(len(df)), dl)
+    m = pd.Series(words).isin(_BM25_TERMS).to_numpy()
+    tfd = (
+        pd.DataFrame({"i": i[m], "term": words[m]})
+        .groupby(["i", "term"], as_index=False)
+        .size()
+    )
+    doc_ids = df["doc_id"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "term": tfd["term"].to_numpy(object),
+            "doc_id": doc_ids[tfd["i"].to_numpy()],
+            "tf": tfd["size"].to_numpy(np.int64),
+            "dl": dl[tfd["i"].to_numpy()],
+        }
+    )
+    stat = pd.DataFrame(
+        {
+            "term": [""],
+            "doc_id": np.array([-1], np.int64),
+            "tf": np.array([len(df)], np.int64),
+            "dl": np.array([int(dl.sum())], np.int64),
+        }
+    )
+    return pd.concat([out, stat], ignore_index=True)
+
+
+def q_bm25_scores(sf_dir: str):
+    """BM25 retrieval scoring (Robertson/Sparck Jones; k1=1.2, b=0.75)
+    for a fixed query over the documents table — the lexical-ranking
+    complement to ann_topk_hybrid. ONE corpus pass emits tf rows +
+    stats partials; df(term) is a tiny grouped count; idf values are
+    computed once on the driver and broadcast into the scoring batch
+    map; the final per-doc sum is a keyed exchange over only the docs
+    that matched a query term. Every arithmetic step mirrors the SQL
+    oracle's operation order, so round-6 scores replay exactly
+    (idf's ln is the one non-correctly-rounded op — ≤1 ulp, invisible
+    at 6 dp)."""
+    import math
+
+    from bioontologykg_ray.stages.agg import grouped_count
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    scan = ds.map_batches(_bm25_scan_batch, batch_format="pandas").materialize()
+    stats = scan.filter(expr="doc_id == -1").to_pandas()
+    n_docs = int(stats["tf"].sum())
+    avgdl = float(stats["dl"].sum()) / float(n_docs)
+    tf_rows = scan.filter(expr="doc_id >= 0")
+    df_t = grouped_count(tf_rows, ["term"], out_col="df").to_pandas()
+    idf = {
+        t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
+        for t, d in zip(df_t["term"], df_t["df"])
+    }
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["term"].map(idf).to_numpy(np.float64)
+        tf = df["tf"].to_numpy(np.float64)
+        dl = df["dl"].to_numpy(np.float64)
+        c = (
+            w * tf * (_BM25_K1 + 1.0)
+            / (tf + _BM25_K1 * (1.0 - _BM25_B + (_BM25_B * dl) / avgdl))
+        )
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64), "c": c})
+
+    scored = tf_rows.map_batches(score, batch_format="pandas")
+    out = grouped_agg(
+        scored, ["doc_id"], {"bm25": ("c", "sum"), "n_terms": ("c", "count")}
+    ).to_pandas()
+    out["bm25"] = out["bm25"].round(6)
+    return out[["doc_id", "bm25", "n_terms"]]
+
+
+_BM25_TERMS_SQL = ",".join(f"('{t}')" for t in _BM25_TERMS)
+
+SQL_BM25_SCORES = f"""
+WITH dl AS (
+  SELECT doc_id, {_TOKS_SQL} AS t,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS dl
+  FROM documents),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl),
+terms(term) AS (VALUES {_BM25_TERMS_SQL}),
+tf AS (
+  SELECT d.doc_id, tm.term,
+         CAST(len(list_filter(d.t, x -> x = tm.term)) AS BIGINT) AS tf,
+         d.dl
+  FROM dl d CROSS JOIN terms tm
+  WHERE len(list_filter(d.t, x -> x = tm.term)) > 0),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({_BM25_K1} + 1.0)
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + ({_BM25_B} * tf.dl) / s.avgdl))
+           AS c
+  FROM tf JOIN dfreq USING(term) CROSS JOIN stats s)
+SELECT doc_id, round(sum(c), 6) AS bm25, count(*) AS n_terms
+FROM scored GROUP BY doc_id
+"""
+
+
 QUERIES.update(
     {
         "user_event_paths": q_user_event_paths,
         "event_moving_avg": q_event_moving_avg,
         "funnel_counts": q_funnel_counts,
         "weighted_sample": q_weighted_sample,
+        "bm25_scores": q_bm25_scores,
     }
 )
 ORACLE.update(
@@ -4122,6 +4242,7 @@ ORACLE.update(
         "event_moving_avg": SQL_EVENT_MOVING_AVG,
         "funnel_counts": SQL_FUNNEL_COUNTS,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "bm25_scores": SQL_BM25_SCORES,
     }
 )
 

@@ -171,3 +171,37 @@ def test_wsample_deterministic():
         a.sort_values("o_orderkey").reset_index(drop=True),
         b.sort_values("o_orderkey").reset_index(drop=True),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 scan kernel
+# ---------------------------------------------------------------------------
+
+def test_bm25_scan_tf_and_stats_rows():
+    from bioontologykg_ray.pipelines.queries import _bm25_scan_batch
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12],
+            "text": ["spark spark merge", "no match here", ""],
+        }
+    )
+    out = _bm25_scan_batch(df)
+    stat = out[out["doc_id"] == -1]
+    assert stat["tf"].tolist() == [3]          # batch doc count
+    assert stat["dl"].tolist() == [6]          # 3 + 3 + 0 tokens
+    tf = out[out["doc_id"] >= 0].sort_values(["doc_id", "term"])
+    assert list(zip(tf["doc_id"], tf["term"], tf["tf"], tf["dl"])) == [
+        (10, "merge", 1, 3),
+        (10, "spark", 2, 3),
+    ]
+
+
+def test_bm25_scan_empty_docs_alignment():
+    from bioontologykg_ray.pipelines.queries import _bm25_scan_batch
+
+    # empty/None texts must not shift the doc_id alignment of later rows
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["", None, "scan"]})
+    out = _bm25_scan_batch(df)
+    tf = out[out["doc_id"] >= 0]
+    assert tf["doc_id"].tolist() == [3] and tf["term"].tolist() == ["scan"]
