@@ -2940,6 +2940,8 @@ def oracle_for_sf(sf: float) -> dict:
     d["kg_component_labels"] = _sql_kg_labels(sf)
     d["entity_degrees"] = _sql_entity_degrees(sf)
     d["kg_pagerank"] = _sql_kg_pagerank(sf)
+    if "kg_bfs_depths" in d:  # registered later in the module
+        d["kg_bfs_depths"] = _sql_kg_bfs(sf)
     d["tool_usage_stats"] = _sql_tool_usage(sf)
     d["kg_linked_unambiguous"] = _sql_kg_linked_unambiguous(sf)
     d["import_nodes"] = _sql_import_nodes(sf)
@@ -4198,8 +4200,9 @@ def q_bm25_scores(sf_dir: str):
 
 _BM25_TERMS_SQL = ",".join(f"('{t}')" for t in _BM25_TERMS)
 
-SQL_BM25_SCORES = f"""
-WITH dl AS (
+# shared CTE chain ending in bm(doc_id, bm25, n_terms) — reused by the
+# RRF fusion oracle below
+_BM25_CTES = f"""dl AS (
   SELECT doc_id, {_TOKS_SQL} AS t,
          CAST(len({_TOKS_SQL}) AS BIGINT) AS dl
   FROM documents),
@@ -4221,10 +4224,53 @@ scored AS (
            * tf.tf * ({_BM25_K1} + 1.0)
            / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + ({_BM25_B} * tf.dl) / s.avgdl))
            AS c
-  FROM tf JOIN dfreq USING(term) CROSS JOIN stats s)
-SELECT doc_id, round(sum(c), 6) AS bm25, count(*) AS n_terms
-FROM scored GROUP BY doc_id
+  FROM tf JOIN dfreq USING(term) CROSS JOIN stats s),
+bm AS (
+  SELECT doc_id, round(sum(c), 6) AS bm25, count(*) AS n_terms
+  FROM scored GROUP BY doc_id)"""
+
+SQL_BM25_SCORES = f"""
+WITH {_BM25_CTES}
+SELECT doc_id, bm25, n_terms FROM bm
 """
+
+
+def q_kg_bfs_depths(sf_dir: str):
+    """BFS depth labeling from a deterministic seed (the lexicographic-
+    min node) over the flagship's canonical edge table — the bulk form
+    of the reference's neighborhood/path traversal queries
+    (stages/graph.bfs_depths: 4 integer Bellman-Ford rounds, bit-exact;
+    node state size-gated broadcast vs cogroup + keyed-min exchanges).
+    The oracle replays the flagship in SQL and unrolls the identical
+    min-depth recurrence level by level."""
+    from bioontologykg_ray.stages.graph import bfs_depths
+
+    edges = rd.from_pandas(_kg_results(sf_dir)["edges"][["src", "dst"]])
+    out = bfs_depths(edges, hops=4).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _sql_kg_bfs(sf: float) -> str:
+    parts = [
+        """,
+bf_e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+bf_n AS (SELECT DISTINCT node FROM
+         (SELECT src AS node FROM bf_e UNION ALL SELECT dst FROM bf_e)),
+bf_d0 AS (SELECT min(node) AS node, CAST(0 AS BIGINT) AS d FROM bf_n)"""
+    ]
+    for k in (1, 2, 3, 4):
+        parts.append(
+            f""",
+bf_d{k} AS (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM bf_d{k - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.d + 1 AS d
+    FROM bf_e e JOIN bf_d{k - 1} p ON p.node = e.src
+  ) GROUP BY node)"""
+        )
+    parts.append("\nSELECT node, CAST(d AS BIGINT) AS depth FROM bf_d4")
+    return _sql_kg_prefix(sf) + "".join(parts)
 
 
 QUERIES.update(
@@ -4234,6 +4280,7 @@ QUERIES.update(
         "funnel_counts": q_funnel_counts,
         "weighted_sample": q_weighted_sample,
         "bm25_scores": q_bm25_scores,
+        "kg_bfs_depths": q_kg_bfs_depths,
     }
 )
 ORACLE.update(
@@ -4243,6 +4290,7 @@ ORACLE.update(
         "funnel_counts": SQL_FUNNEL_COUNTS,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "bm25_scores": SQL_BM25_SCORES,
+        "kg_bfs_depths": _sql_kg_bfs(0.01),
     }
 )
 

@@ -406,3 +406,134 @@ def pagerank_fixedpoint(
             how="left",
         ).materialize()
     return r_ds
+
+
+def bfs_depths(
+    ds: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    hops: int = 4,
+    broadcast_threshold: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Fixed-hop BFS minimum-depth labels from a deterministic seed (the
+    lexicographically smallest node) over a directed edge list —
+    ``hops`` rounds of the unit-weight Bellman-Ford recurrence:
+
+        d_0(seed) = 0
+        d_k(v)    = min(d_{k-1}(v), 1 + min_{u->v} d_{k-1}(u))
+
+    Depths only tighten, so after ``hops`` rounds every node within
+    ``hops`` directed hops of the seed carries its exact BFS depth.
+    Integer-only state → bit-exact across engines (the SQL oracle
+    unrolls the identical recurrence level by level). Output:
+    (node, depth) for REACHED nodes only.
+
+    Node state follows pagerank_fixedpoint's size gate: below
+    ``broadcast_threshold`` the depth vector ships per round via
+    ``ray.put``; above it every round is cogroup exchanges + a keyed
+    min, with no graph-derived driver structure. Reference precedent:
+    the reference's neighborhood/path queries over canonical edges
+    (cql traversal family) — depth labeling is their bulk form.
+    """
+    S = pa.string()
+    INF = np.int64(1) << np.int64(62)
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t[src_col].combine_chunks().cast(S),
+                "dst": t[dst_col].combine_chunks().cast(S),
+            }
+        )
+
+    e = grouped_count(
+        ds.map_batches(pair_rows, batch_format="pyarrow"), ["src", "dst"]
+    ).select_columns(["src", "dst"])
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                )
+            }
+        )
+
+    node_ds = grouped_count(
+        e.map_batches(endpoints, batch_format="pyarrow"), ["node"]
+    ).select_columns(["node"]).materialize()
+    n_nodes = node_ds.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], S), "depth": pa.array([], _I64)})
+        )
+
+    c_empty = pd.DataFrame(
+        {"node": pd.Series(dtype="string"), "d": pd.Series(dtype=np.int64)}
+    )
+
+    if n_nodes <= broadcast_threshold:
+        nodes_arr = np.sort(node_ds.to_pandas()["node"].to_numpy(dtype=object))
+        d = np.full(n_nodes, INF, dtype=np.int64)
+        d[0] = 0  # sorted → index 0 IS the lexicographic-min seed
+        e = e.materialize()
+        static_ref = ray.put(nodes_arr)
+        for _ in range(hops):
+            ref = ray.put(d)
+
+            def contrib(df: pd.DataFrame) -> pd.DataFrame:
+                nodes_ = ray.get(static_ref)
+                d_ = ray.get(ref)
+                si = np.searchsorted(nodes_, df["src"].to_numpy(dtype=object))
+                du = d_[si]
+                m = du < INF
+                if not m.any():
+                    return c_empty.copy()
+                out = pd.DataFrame(
+                    {"node": df["dst"].to_numpy(dtype=object)[m], "d": du[m] + 1}
+                )
+                return out.groupby("node", as_index=False)["d"].min()
+
+            mins = grouped_agg(
+                e.map_batches(contrib, batch_format="pandas"),
+                ["node"], {"d": ("d", "min")},
+            ).to_pandas()
+            if len(mins):
+                idx = np.searchsorted(
+                    nodes_arr, mins["node"].to_numpy(dtype=object)
+                )
+                np.minimum.at(d, idx, mins["d"].to_numpy(np.int64))
+        reached = d < INF
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": nodes_arr[reached], "depth": d[reached]})
+        )
+
+    # --- distributed route: depth state stays a dataset ----------------
+    e = e.materialize()
+    seed = grouped_agg(node_ds, [], {"s": ("node", "min")}).to_pandas()["s"].iloc[0]
+    d_ds = ray.data.from_pandas(
+        pd.DataFrame({"node": [seed], "d": np.array([0], np.int64)})
+    )
+    for _ in range(hops):
+        contribs = cogroup_attach(
+            e, "src",
+            {"src": S, "dst": S},
+            d_ds.map_batches(
+                lambda df: df.rename(columns={"node": "n"}),
+                batch_format="pandas",
+            ),
+            "n", {"d": _I64},
+            fills={"src": "", "dst": "", "d": -1},
+            post=lambda m: pd.DataFrame(
+                {"node": m["dst"], "d": m["d"].to_numpy(np.int64) + 1}
+            )
+            if not m.empty else c_empty.copy(),
+            empty_out=c_empty,
+            key_type=S,
+        )
+        d_ds = grouped_agg(
+            d_ds.union(contribs), ["node"], {"d": ("d", "min")}
+        ).materialize()
+    return d_ds.map_batches(
+        lambda df: df.rename(columns={"d": "depth"}), batch_format="pandas"
+    )

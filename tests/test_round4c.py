@@ -205,3 +205,79 @@ def test_bm25_scan_empty_docs_alignment():
     out = _bm25_scan_batch(df)
     tf = out[out["doc_id"] >= 0]
     assert tf["doc_id"].tolist() == [3] and tf["term"].tolist() == ["scan"]
+
+
+# ---------------------------------------------------------------------------
+# BFS depth labeling (both routes)
+# ---------------------------------------------------------------------------
+
+def _bfs_ref(edges, hops=4):
+    # driver-side reference: unit Bellman-Ford from the min node
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    INF = float("inf")
+    d = {n: INF for n in nodes}
+    d[nodes[0]] = 0
+    for _ in range(hops):
+        for u, v in edges:
+            if d[u] + 1 < d[v]:
+                d[v] = d[u] + 1
+    return {n: int(x) for n, x in d.items() if x < INF}
+
+
+def _bfs_edges_df(edges):
+    return pd.DataFrame(
+        {"src": [u for u, _ in edges], "dst": [v for _, v in edges]}
+    )
+
+
+_BFS_EDGES = [
+    ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+    ("a", "c"),              # shortcut: c at depth 1, d at 2, e at 3
+    ("x", "y"),              # unreachable from 'a'
+    ("e", "a"),              # cycle back
+    ("b", "b"),              # self-loop must not loop forever
+]
+
+
+def test_bfs_depths_broadcast_route():
+    import ray.data as rd
+    from bioontologykg_ray.stages.graph import bfs_depths
+
+    out = bfs_depths(rd.from_pandas(_bfs_edges_df(_BFS_EDGES))).to_pandas()
+    got = dict(zip(out["node"], out["depth"]))
+    assert got == _bfs_ref(_BFS_EDGES)
+    assert "x" not in got and "y" not in got
+
+
+def test_bfs_depths_distributed_route_identical():
+    import ray.data as rd
+    from bioontologykg_ray.stages.graph import bfs_depths
+
+    a = bfs_depths(rd.from_pandas(_bfs_edges_df(_BFS_EDGES))).to_pandas()
+    b = bfs_depths(
+        rd.from_pandas(_bfs_edges_df(_BFS_EDGES)), broadcast_threshold=0
+    ).to_pandas()
+    a = a.sort_values("node").reset_index(drop=True)
+    b = b.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_bfs_depths_hop_bound():
+    import ray.data as rd
+    from bioontologykg_ray.stages.graph import bfs_depths
+
+    chain = [(chr(97 + i), chr(98 + i)) for i in range(6)]  # a->b->...->g
+    out = bfs_depths(rd.from_pandas(_bfs_edges_df(chain)), hops=3).to_pandas()
+    got = dict(zip(out["node"], out["depth"]))
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}  # e,f,g beyond 3 hops
+
+
+def test_bfs_depths_empty():
+    import ray.data as rd
+    from bioontologykg_ray.stages.graph import bfs_depths
+
+    df = pd.DataFrame({"src": pd.Series(dtype=object), "dst": pd.Series(dtype=object)})
+    out = bfs_depths(rd.from_pandas(df))
+    # Ray to_pandas drops schema on 0-row datasets; check the Dataset
+    assert out.count() == 0
+    assert out.schema().names == ["node", "depth"]
