@@ -4273,6 +4273,87 @@ bf_d{k} AS (
     return _sql_kg_prefix(sf) + "".join(parts)
 
 
+_RRF_K0 = 60
+_RRF_TOP = 50
+_RRF_QID = 0
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of the two retrieval systems (Cormack et
+    al. 2009): the BM25 lexical ranking and the exact-cosine vector
+    ranking for query vec 0, fused as rrf = Σ 1/(k0 + rank) over each
+    system's top-50. Both rankings are distributed (the BM25 pass and
+    the broadcast-query cosine scan); the fusion itself joins two ≤50-row
+    ranked lists on the driver. Ranks use the ROUNDED bm25 (identical on
+    both engines) and the unrounded cosine with the same (score DESC,
+    id ASC) tie-break the ann_topk oracle pins; absent ranks surface as
+    0 so the schema stays pure int64."""
+    bm = q_bm25_scores(sf_dir)
+    rb = (
+        bm.sort_values(["bm25", "doc_id"], ascending=[False, True],
+                       kind="mergesort")
+        .head(_RRF_TOP)
+        .reset_index(drop=True)
+    )
+    rb = pd.DataFrame(
+        {
+            "doc_id": rb["doc_id"].to_numpy(np.int64),
+            "rank_bm25": np.arange(1, len(rb) + 1, dtype=np.int64),
+        }
+    )
+    emb = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cos = ANN.ann_topk_bruteforce(
+        emb, [_RRF_QID], k=_RRF_TOP, qdf=_ann_query_df(sf_dir, [_RRF_QID])
+    ).to_pandas()
+    rc = pd.DataFrame(
+        {
+            "doc_id": cos["vec_id"].to_numpy(np.int64),
+            "rank_cos": cos["rank"].to_numpy(np.int64),
+        }
+    )
+    m = rb.merge(rc, on="doc_id", how="outer")
+    rbv = m["rank_bm25"].fillna(0).to_numpy(np.int64)
+    rcv = m["rank_cos"].fillna(0).to_numpy(np.int64)
+    rrf = np.where(rbv > 0, 1.0 / (_RRF_K0 + rbv), 0.0) + np.where(
+        rcv > 0, 1.0 / (_RRF_K0 + rcv), 0.0
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": m["doc_id"].to_numpy(np.int64),
+            "rrf": np.round(rrf, 9),
+            "rank_bm25": rbv,
+            "rank_cos": rcv,
+        }
+    )
+
+
+SQL_RRF_FUSION = f"""
+WITH {_BM25_CTES},
+rb AS (
+  SELECT doc_id, rnk FROM (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk
+    FROM bm)
+  WHERE rnk <= {_RRF_TOP}),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = {_RRF_QID}),
+rc AS (
+  SELECT doc_id, rnk FROM (
+    SELECT v.vec_id AS doc_id,
+           CAST(row_number() OVER (
+              ORDER BY list_cosine_similarity(
+                CAST(qv.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])
+              ) DESC, v.vec_id) AS BIGINT) AS rnk
+    FROM embeddings v CROSS JOIN qv WHERE v.vec_id != {_RRF_QID})
+  WHERE rnk <= {_RRF_TOP})
+SELECT coalesce(rb.doc_id, rc.doc_id) AS doc_id,
+       round(coalesce(1.0 / ({_RRF_K0} + rb.rnk), 0)
+             + coalesce(1.0 / ({_RRF_K0} + rc.rnk), 0), 9) AS rrf,
+       coalesce(rb.rnk, 0) AS rank_bm25,
+       coalesce(rc.rnk, 0) AS rank_cos
+FROM rb FULL JOIN rc ON rb.doc_id = rc.doc_id
+"""
+
+
 QUERIES.update(
     {
         "user_event_paths": q_user_event_paths,
@@ -4281,6 +4362,7 @@ QUERIES.update(
         "weighted_sample": q_weighted_sample,
         "bm25_scores": q_bm25_scores,
         "kg_bfs_depths": q_kg_bfs_depths,
+        "rrf_fusion": q_rrf_fusion,
     }
 )
 ORACLE.update(
@@ -4291,6 +4373,7 @@ ORACLE.update(
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "bm25_scores": SQL_BM25_SCORES,
         "kg_bfs_depths": _sql_kg_bfs(0.01),
+        "rrf_fusion": SQL_RRF_FUSION,
     }
 )
 

@@ -281,3 +281,28 @@ def test_bfs_depths_empty():
     # Ray to_pandas drops schema on 0-row datasets; check the Dataset
     assert out.count() == 0
     assert out.schema().names == ["node", "depth"]
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+def test_rrf_fusion_values_and_membership():
+    from bioontologykg_ray.pipelines.queries import q_rrf_fusion, _RRF_K0
+
+    out = q_rrf_fusion("/root/testdata/sf0.001")
+    # every row carries at least one system rank; docs in both systems
+    # score the sum of both reciprocal terms
+    assert ((out["rank_bm25"] > 0) | (out["rank_cos"] > 0)).all()
+    both = out[(out["rank_bm25"] > 0) & (out["rank_cos"] > 0)]
+    if len(both):
+        row = both.iloc[0]
+        expect = 1.0 / (_RRF_K0 + row["rank_bm25"]) + 1.0 / (
+            _RRF_K0 + row["rank_cos"]
+        )
+        assert abs(row["rrf"] - expect) < 1e-9
+    # rank sets are exactly 1..top for each system
+    rb = sorted(out.loc[out["rank_bm25"] > 0, "rank_bm25"])
+    assert rb == list(range(1, len(rb) + 1))
+    rc = sorted(out.loc[out["rank_cos"] > 0, "rank_cos"])
+    assert rc == list(range(1, len(rc) + 1))
