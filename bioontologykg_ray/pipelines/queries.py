@@ -4354,6 +4354,127 @@ FROM rb FULL JOIN rc ON rb.doc_id = rc.doc_id
 """
 
 
+_VQ_QS = [0.05, 0.1, 0.5, 0.9, 0.95, 0.99]
+
+
+def q_value_quantiles_cont(sf_dir: str):
+    """Interpolated quantiles (SQL quantile_cont) of events.value —
+    the continuous companion to doc_len_deciles' discrete rank rule
+    (stages/agg.quantiles_cont): one O(#distinct)-row exchange, exact
+    IEEE interpolation replayed by the oracle's quantile_cont."""
+    from bioontologykg_ray.stages.agg import quantiles_cont
+
+    ds = _rp(sf_dir, "events", columns=["value"])
+    out = quantiles_cont(ds, "value", _VQ_QS)
+    # DuckDB's segment-tree interpolation can differ in the last ~2 ulp
+    # on real data — compare at 6 dp like every other float column
+    out["value"] = out["value"].round(6)
+    return out
+
+
+_VQ_LIST_SQL = "[" + ",".join(str(q) for q in _VQ_QS) + "]"
+
+SQL_VALUE_QUANTILES_CONT = f"""
+WITH r AS (SELECT quantile_cont(value, {_VQ_LIST_SQL}) AS v FROM events)
+SELECT unnest({_VQ_LIST_SQL}) AS q, round(unnest(v), 6) AS value FROM r
+"""
+
+
+def _winsorize_partial(lo_c: int, hi_c: int):
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["value"].notna()]
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype=object),
+                    "s": pd.Series(dtype=np.int64),
+                    "n": pd.Series(dtype=np.int64),
+                    "n_lo": pd.Series(dtype=np.int64),
+                    "n_hi": pd.Series(dtype=np.int64),
+                }
+            )
+        cents = np.round(df["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        cc = np.clip(cents, lo_c, hi_c)
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(object),
+                "s": cc,
+                "n": np.ones(len(df), np.int64),
+                "n_lo": (cents < lo_c).astype(np.int64),
+                "n_hi": (cents > hi_c).astype(np.int64),
+            }
+        )
+        return g.groupby("event_type", as_index=False).sum()
+
+    return partial
+
+
+def q_winsorized_value_stats(sf_dir: str):
+    """Winsorized per-group statistics — the outlier-clipping curation
+    step: clamp value to the corpus-global [p05, p95] (discrete rank
+    rule ceil(q*n), same as doc_len_deciles) and report the clipped
+    mean per event type plus clip counts. Two bounded passes: the
+    O(#distinct)-row quantile histogram, then a cent-integer clipped
+    partial aggregate (exact int sums → the mean is the same two IEEE
+    divisions the oracle performs)."""
+    from bioontologykg_ray.stages.agg import exact_quantiles, grouped_agg
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    b = exact_quantiles(ds, "value", [0.05, 0.95])
+    lo, hi = float(b["value"].iloc[0]), float(b["value"].iloc[1])
+    lo_c = int(np.round(lo * 100.0))
+    hi_c = int(np.round(hi * 100.0))
+    partials = ds.map_batches(
+        _winsorize_partial(lo_c, hi_c), batch_format="pandas"
+    )
+    out = grouped_agg(
+        partials,
+        ["event_type"],
+        {
+            "s": ("s", "sum"),
+            "n_vals": ("n", "sum"),
+            "n_clipped_lo": ("n_lo", "sum"),
+            "n_clipped_hi": ("n_hi", "sum"),
+        },
+    ).to_pandas()
+    out["wins_mean"] = np.round(
+        (out["s"].to_numpy(np.int64) / out["n_vals"].to_numpy(np.int64)) / 100.0,
+        6,
+    )
+    out["n_vals"] = out["n_vals"].astype(np.int64)
+    out["n_clipped_lo"] = out["n_clipped_lo"].astype(np.int64)
+    out["n_clipped_hi"] = out["n_clipped_hi"].astype(np.int64)
+    return out[
+        ["event_type", "wins_mean", "n_vals", "n_clipped_lo", "n_clipped_hi"]
+    ].sort_values("event_type").reset_index(drop=True)
+
+
+SQL_WINSORIZED_VALUE_STATS = """
+WITH ranked AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS rn,
+         count(*) OVER () AS n
+  FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT
+    CAST(round((SELECT min(value) FROM ranked
+                WHERE rn >= CAST(ceil(0.05 * n) AS BIGINT)) * 100) AS BIGINT) AS lo_c,
+    CAST(round((SELECT min(value) FROM ranked
+                WHERE rn >= CAST(ceil(0.95 * n) AS BIGINT)) * 100) AS BIGINT) AS hi_c),
+c AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS c0,
+         least(greatest(CAST(round(value * 100) AS BIGINT), b.lo_c), b.hi_c) AS cc,
+         b.lo_c AS lo_c, b.hi_c AS hi_c
+  FROM events CROSS JOIN b WHERE value IS NOT NULL)
+SELECT event_type,
+       round(avg(cc) / 100, 6) AS wins_mean,
+       count(*) AS n_vals,
+       count(*) FILTER (WHERE c0 < lo_c) AS n_clipped_lo,
+       count(*) FILTER (WHERE c0 > hi_c) AS n_clipped_hi
+FROM c GROUP BY event_type
+"""
+
+
 QUERIES.update(
     {
         "user_event_paths": q_user_event_paths,
@@ -4363,6 +4484,8 @@ QUERIES.update(
         "bm25_scores": q_bm25_scores,
         "kg_bfs_depths": q_kg_bfs_depths,
         "rrf_fusion": q_rrf_fusion,
+        "value_quantiles_cont": q_value_quantiles_cont,
+        "winsorized_value_stats": q_winsorized_value_stats,
     }
 )
 ORACLE.update(
@@ -4374,6 +4497,8 @@ ORACLE.update(
         "bm25_scores": SQL_BM25_SCORES,
         "kg_bfs_depths": _sql_kg_bfs(0.01),
         "rrf_fusion": SQL_RRF_FUSION,
+        "value_quantiles_cont": SQL_VALUE_QUANTILES_CONT,
+        "winsorized_value_stats": SQL_WINSORIZED_VALUE_STATS,
     }
 )
 

@@ -336,3 +336,43 @@ def exact_quantiles(
         "q": np.asarray(qs, dtype=np.float64),
         "value": hist[col].iloc[idxs].to_numpy(),
     })
+
+
+def quantiles_cont(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+) -> pd.DataFrame:
+    """EXACT interpolated quantiles (SQL ``quantile_cont`` semantics,
+    which the oracle replays): position p = q*(n-1) over the sorted
+    multiset; result = v[floor(p)] + (p - floor(p)) * (v[ceil(p)] -
+    v[floor(p)]) — the same IEEE op sequence DuckDB runs, so results
+    are bit-identical when both engines see the same doubles.
+
+    Same scale shape as ``exact_quantiles``: one two-phase grouped
+    count moving O(#distinct values) rows, histogram cumsum on the
+    driver. NULLs ignored. ASSUMES bounded value cardinality."""
+    import numpy as np
+
+    hist = grouped_agg(ds, [col], {"n": (col, "count")}).to_pandas()
+    if hist.empty or col not in hist.columns:
+        return pd.DataFrame({"q": pd.Series(dtype="float64"),
+                             "value": pd.Series(dtype="float64")})
+    hist = hist[hist[col].notna()].sort_values(col).reset_index(drop=True)
+    cum = hist["n"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(dtype="float64"),
+                             "value": pd.Series(dtype="float64")})
+    vals = hist[col].to_numpy(np.float64)
+    out = []
+    for q in qs:
+        p = q * (n - 1)
+        lo = int(np.floor(p))
+        hi = int(np.ceil(p))
+        frac = p - lo
+        v_lo = vals[int(np.searchsorted(cum, lo + 1, side="left"))]
+        v_hi = vals[int(np.searchsorted(cum, hi + 1, side="left"))]
+        out.append(v_lo + frac * (v_hi - v_lo))
+    return pd.DataFrame({"q": np.asarray(qs, np.float64),
+                         "value": np.asarray(out, np.float64)})

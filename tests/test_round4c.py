@@ -306,3 +306,48 @@ def test_rrf_fusion_values_and_membership():
     assert rb == list(range(1, len(rb) + 1))
     rc = sorted(out.loc[out["rank_cos"] > 0, "rank_cos"])
     assert rc == list(range(1, len(rc) + 1))
+
+
+# ---------------------------------------------------------------------------
+# interpolated quantiles + winsorized stats
+# ---------------------------------------------------------------------------
+
+def test_quantiles_cont_matches_numpy():
+    import ray.data as rd
+    from bioontologykg_ray.stages.agg import quantiles_cont
+
+    rng = np.random.RandomState(5)
+    v = rng.uniform(0, 100, 500).round(2)
+    df = pd.DataFrame({"v": v})
+    qs = [0.05, 0.33, 0.5, 0.9]
+    out = quantiles_cont(rd.from_pandas(df).repartition(7), "v", qs)
+    expect = np.quantile(v, qs, method="linear")
+    assert np.allclose(out["value"].to_numpy(), expect, atol=1e-9)
+
+
+def test_quantiles_cont_nulls_and_duplicates():
+    import ray.data as rd
+    from bioontologykg_ray.stages.agg import quantiles_cont
+
+    df = pd.DataFrame({"v": [1.0, 1.0, 2.0, None, 2.0]})  # multiset 1,1,2,2
+    out = quantiles_cont(rd.from_pandas(df), "v", [0.5])
+    # p = 0.5*3 = 1.5 -> between ranks 2 (1.0) and 3 (2.0) -> 1.5
+    assert out["value"].tolist() == [1.5]
+
+
+def test_winsorized_stats_clip_semantics():
+    from bioontologykg_ray.pipelines.queries import _winsorize_partial
+
+    df = pd.DataFrame(
+        {
+            "event_type": ["a", "a", "a", "b"],
+            "value": [0.50, 2.00, 9.99, None],
+        }
+    )
+    p = _winsorize_partial(100, 500)  # clip to [1.00, 5.00]
+    out = p(df).set_index("event_type")
+    # a: 0.50->1.00, 2.00, 9.99->5.00 => cents 100+200+500 = 800
+    assert out.loc["a", "s"] == 800
+    assert out.loc["a", "n"] == 3
+    assert out.loc["a", "n_lo"] == 1 and out.loc["a", "n_hi"] == 1
+    assert "b" not in out.index  # all-null group contributes nothing
