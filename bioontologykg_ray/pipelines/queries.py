@@ -4475,6 +4475,202 @@ FROM c GROUP BY event_type
 """
 
 
+def q_peak_concurrent_users(sf_dir: str):
+    """Sweep-line maximum concurrency: the peak number of
+    simultaneously-active users, where a user is active over the
+    CLOSED interval [first event, last event] — the classic interval
+    concurrency operator (room scheduling / connections-in-flight).
+    Plan: per-user interval (one grouped min/max exchange) → ±1 deltas
+    grouped by boundary time (O(#users) rows) → distributed prefix sum
+    (stages/scan.prefix_sum: O(#blocks) driver state, never a driver
+    cumsum over rows) → per-block partial (max, earliest argmax) and a
+    tiny driver combine. Pure int64 arithmetic throughout."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+    from bioontologykg_ray.stages.scan import prefix_sum
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "t": df["ts"].astype("datetime64[ns]").astype("int64")
+                // 1000,
+            }
+        )
+
+    iv = grouped_agg(
+        ds.map_batches(to_us, batch_format="pandas"),
+        ["user_id"],
+        {"s": ("t", "min"), "e": ("t", "max")},
+    )
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "t": np.concatenate(
+                    [df["s"].to_numpy(np.int64), df["e"].to_numpy(np.int64) + 1]
+                ),
+                "d": np.concatenate(
+                    [np.ones(len(df), np.int64), -np.ones(len(df), np.int64)]
+                ),
+            }
+        )
+
+    g = grouped_agg(
+        iv.map_batches(deltas, batch_format="pandas"), ["t"], {"d": ("d", "sum")}
+    )
+    r = prefix_sum(g, "t", "d", out_col="cur")
+
+    def block_peak(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"peak": pd.Series(dtype=np.int64),
+                 "t": pd.Series(dtype=np.int64)}
+            )
+        cur = df["cur"].to_numpy(np.int64)
+        mx = cur.max()
+        return pd.DataFrame(
+            {"peak": [mx], "t": [int(df["t"].to_numpy(np.int64)[cur == mx].min())]}
+        )
+
+    parts = r.map_batches(
+        block_peak, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    peak = int(parts["peak"].max())
+    at = int(parts.loc[parts["peak"] == peak, "t"].min())
+    return pd.DataFrame(
+        {
+            "peak_concurrent": np.array([peak], np.int64),
+            "peak_at_us": np.array([at], np.int64),
+        }
+    )
+
+
+SQL_PEAK_CONCURRENT_USERS = """
+WITH iv AS (
+  SELECT user_id, min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+  FROM events GROUP BY user_id),
+d AS (
+  SELECT s AS t, 1 AS dlt FROM iv
+  UNION ALL
+  SELECT e + 1 AS t, -1 AS dlt FROM iv),
+g AS (SELECT t, sum(dlt) AS dlt FROM d GROUP BY t),
+r AS (SELECT t, sum(dlt) OVER (ORDER BY t) AS cur FROM g)
+SELECT CAST(max(cur) AS BIGINT) AS peak_concurrent,
+       CAST((SELECT min(t) FROM r
+             WHERE cur = (SELECT max(cur) FROM r)) AS BIGINT) AS peak_at_us
+FROM r
+"""
+
+
+_DUPGRAM_N = 8
+
+_DUPGRAM_EMPTY = pd.DataFrame(
+    {"gram": pd.Series(dtype=object), "doc_id": pd.Series(dtype=np.int64)}
+)
+
+
+def _dupgram_pairs_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """DISTINCT (doc_id, positional word 8-gram) pairs per batch,
+    vectorized: one flat token array + 8 shifted object-array concats;
+    a window is valid when position i and i+7 fall in the same doc.
+    The n-gram stays a STRING so the oracle joins on identical keys (at
+    100 TB you would hash it — md5_low64 like curation.py — trading a
+    ~2^-64 collision for 8x less exchange bytes)."""
+    toks = df["text"].fillna("").str.split()
+    nt = toks.str.len().to_numpy(np.int64)
+    ex = toks.explode()
+    W = ex.to_numpy(object)[ex.notna().to_numpy()]
+    if len(W) == 0:
+        return _DUPGRAM_EMPTY.copy()
+    di = np.repeat(df["doc_id"].to_numpy(np.int64), nt)
+    n = _DUPGRAM_N
+    m = len(W) - n + 1
+    if m <= 0:
+        return _DUPGRAM_EMPTY.copy()
+    valid = di[: m] == di[n - 1 :]  # window stays inside one doc
+    if not valid.any():
+        return _DUPGRAM_EMPTY.copy()
+    gram = W[:m].copy()
+    for k in range(1, n):
+        gram = gram + " "
+        gram = gram + W[k : m + k]
+    out = pd.DataFrame({"gram": gram[valid], "doc_id": di[:m][valid]})
+    return out.drop_duplicates()
+
+
+def q_dup_gram_fraction(sf_dir: str):
+    """Cross-document duplicated-span signal (the doc-level proxy for
+    exact substring dedup, Lee et al. 2021 'Deduplicating Training Data
+    Makes Language Models Better'): per doc, the share of its DISTINCT
+    positional word 8-grams that also occur in at least one other
+    document. Plan: batch-local distinct pair emission → one keyed
+    dedup exchange on the gram → per-gram doc counts fused into the
+    same complete-group pass (sorted_group_apply) → per-doc sum. The
+    exchange moves distinct (gram, doc) pairs, never positions."""
+    from bioontologykg_ray.stages.agg import grouped_agg, grouped_count, sorted_group_apply
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = grouped_count(
+        ds.map_batches(_dupgram_pairs_batch, batch_format="pandas"),
+        ["gram", "doc_id"],
+    ).select_columns(["gram", "doc_id"])
+
+    flag_empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype=np.int64),
+            "n_grams": pd.Series(dtype=np.int64),
+            "n_shared": pd.Series(dtype=np.int64),
+        }
+    )
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return flag_empty.copy()
+        nd = df.groupby("gram")["doc_id"].transform("size")
+        g = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_grams": np.ones(len(df), np.int64),
+                "n_shared": (nd.to_numpy(np.int64) >= 2).astype(np.int64),
+            }
+        )
+        return g.groupby("doc_id", as_index=False).sum()
+
+    out = grouped_agg(
+        sorted_group_apply(pairs, "gram", flag, flag_empty, hash_sort=True),
+        ["doc_id"],
+        {"n_grams": ("n_grams", "sum"), "n_shared": ("n_shared", "sum")},
+    ).to_pandas()
+    out["n_grams"] = out["n_grams"].astype(np.int64)
+    out["n_shared"] = out["n_shared"].astype(np.int64)
+    out["dup_fraction"] = np.round(
+        out["n_shared"].to_numpy(np.int64) / out["n_grams"].to_numpy(np.int64), 6
+    )
+    return out[["doc_id", "n_grams", "n_shared", "dup_fraction"]]
+
+
+SQL_DUP_GRAM_FRACTION = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(t) - {_DUPGRAM_N - 1})) AS i, t
+  FROM toks WHERE len(t) >= {_DUPGRAM_N}),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i + {_DUPGRAM_N - 1}], ' ') AS gram
+  FROM pos),
+cnt AS (SELECT gram, count(*) AS nd FROM grams GROUP BY gram)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS n_shared,
+       round(CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_fraction
+FROM grams g JOIN cnt c USING(gram)
+GROUP BY g.doc_id
+"""
+
+
 QUERIES.update(
     {
         "user_event_paths": q_user_event_paths,
@@ -4486,6 +4682,8 @@ QUERIES.update(
         "rrf_fusion": q_rrf_fusion,
         "value_quantiles_cont": q_value_quantiles_cont,
         "winsorized_value_stats": q_winsorized_value_stats,
+        "peak_concurrent_users": q_peak_concurrent_users,
+        "dup_gram_fraction": q_dup_gram_fraction,
     }
 )
 ORACLE.update(
@@ -4499,6 +4697,8 @@ ORACLE.update(
         "rrf_fusion": SQL_RRF_FUSION,
         "value_quantiles_cont": SQL_VALUE_QUANTILES_CONT,
         "winsorized_value_stats": SQL_WINSORIZED_VALUE_STATS,
+        "peak_concurrent_users": SQL_PEAK_CONCURRENT_USERS,
+        "dup_gram_fraction": SQL_DUP_GRAM_FRACTION,
     }
 )
 

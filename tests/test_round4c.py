@@ -351,3 +351,64 @@ def test_winsorized_stats_clip_semantics():
     assert out.loc["a", "n"] == 3
     assert out.loc["a", "n_lo"] == 1 and out.loc["a", "n_hi"] == 1
     assert "b" not in out.index  # all-null group contributes nothing
+
+
+# ---------------------------------------------------------------------------
+# sweep-line concurrency + cross-doc duplicated-gram fraction
+# ---------------------------------------------------------------------------
+
+def test_dupgram_pairs_window_and_doc_boundary():
+    from bioontologykg_ray.pipelines.queries import _dupgram_pairs_batch
+
+    # doc 1 has exactly 9 tokens -> two 8-gram positions; doc 2 has 8
+    # -> one; the window must never span the doc boundary
+    t1 = "a b c d e f g h i"
+    t2 = "a b c d e f g h"
+    out = _dupgram_pairs_batch(pd.DataFrame({"doc_id": [1, 2], "text": [t1, t2]}))
+    got = set(zip(out["doc_id"], out["gram"]))
+    assert got == {
+        (1, "a b c d e f g h"),
+        (1, "b c d e f g h i"),
+        (2, "a b c d e f g h"),
+    }
+
+
+def test_dupgram_pairs_distinct_within_doc():
+    from bioontologykg_ray.pipelines.queries import _dupgram_pairs_batch
+
+    # the same 8-gram occurring twice in one doc emits ONE pair
+    text = "x y z w a b c d " * 2 + "x y z w a b c d"
+    out = _dupgram_pairs_batch(pd.DataFrame({"doc_id": [7], "text": [text]}))
+    assert out["gram"].is_unique
+
+
+def test_dupgram_short_docs_skipped():
+    from bioontologykg_ray.pipelines.queries import _dupgram_pairs_batch
+
+    out = _dupgram_pairs_batch(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["only three words", ""]})
+    )
+    assert len(out) == 0
+
+
+def test_peak_concurrency_reference():
+    import duckdb
+    from bioontologykg_ray.pipelines.queries import q_peak_concurrent_users
+
+    out = q_peak_concurrent_users("/root/testdata/sf0.001")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    # independent reference: count active users at every event boundary
+    ref = con.sql(
+        """
+        WITH iv AS (SELECT user_id, min(epoch_us(ts)) s, max(epoch_us(ts)) e
+                    FROM events GROUP BY user_id)
+        SELECT max(c) FROM (
+          SELECT (SELECT count(*) FROM iv b WHERE b.s <= a.s AND a.s <= b.e) AS c
+          FROM iv a)
+        """
+    ).fetchone()[0]
+    assert out["peak_concurrent"].iloc[0] == ref
