@@ -4671,6 +4671,117 @@ GROUP BY g.doc_id
 """
 
 
+def q_orders_above_cust_avg(sf_dir: str):
+    """Decorrelated correlated subquery: orders strictly above their
+    own customer's average order price. The correlated `price >
+    (SELECT avg ... WHERE custkey = o.custkey)` decorrelates into one
+    per-customer aggregate exchange + a same-key filter pass — and the
+    comparison is INTEGER-EXACT: price_cents * n_orders > sum_cents
+    avoids the avg division entirely, so there is no float boundary to
+    disagree on. One sorted-block pass does both (complete customer
+    groups per block)."""
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    ds = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    empty = pd.DataFrame(
+        {
+            "o_orderkey": pd.Series(dtype=np.int64),
+            "o_custkey": pd.Series(dtype=np.int64),
+            "o_totalprice": pd.Series(dtype=np.float64),
+        }
+    )
+
+    def above_avg(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        cents = np.round(df["o_totalprice"].to_numpy(np.float64) * 100.0).astype(
+            np.int64
+        )
+        g = df.assign(__c=cents).groupby("o_custkey")["__c"]
+        keep = cents * g.transform("size").to_numpy(np.int64) > g.transform(
+            "sum"
+        ).to_numpy(np.int64)
+        out = df.loc[keep, ["o_orderkey", "o_custkey", "o_totalprice"]].copy()
+        out["o_totalprice"] = out["o_totalprice"].round(2)
+        return out
+
+    return sorted_group_apply(ds, "o_custkey", above_avg, empty, hash_sort=True)
+
+
+SQL_ORDERS_ABOVE_CUST_AVG = """
+WITH c AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+a AS (
+  SELECT o_custkey, count(*) AS n, sum(cents) AS s
+  FROM c GROUP BY o_custkey)
+SELECT c.o_orderkey, c.o_custkey, round(c.o_totalprice, 2) AS o_totalprice
+FROM c JOIN a USING(o_custkey)
+WHERE c.cents * a.n > a.s
+"""
+
+
+_TRANSITION_EMPTY = pd.DataFrame(
+    {
+        "from_type": pd.Series(dtype=object),
+        "to_type": pd.Series(dtype=object),
+        "n": pd.Series(dtype=np.int64),
+    }
+)
+
+
+def _transition_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-block (prev_type, next_type) transition partials over
+    complete user groups: one mergesort, one shift masked at user
+    boundaries, one groupby count — the LAG self-pairing, vectorized
+    across every user in the block."""
+    if df.empty:
+        return _TRANSITION_EMPTY.copy()
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    prev = df["event_type"].shift()
+    same = df["user_id"].eq(df["user_id"].shift())
+    pairs = pd.DataFrame(
+        {"from_type": prev[same].to_numpy(object),
+         "to_type": df["event_type"][same].to_numpy(object)}
+    )
+    if pairs.empty:
+        return _TRANSITION_EMPTY.copy()
+    out = pairs.groupby(["from_type", "to_type"], as_index=False).size()
+    return out.rename(columns={"size": "n"}).astype({"n": np.int64})
+
+
+def q_event_transition_matrix(sf_dir: str):
+    """First-order Markov transition counts over per-user event streams
+    (LAG(event_type) -> event_type ordered by ts, event_id) — the
+    behavioral-model summary next to user_event_paths. One keyed
+    exchange for complete user groups, block-local shift pairing, then
+    a tiny grouped combine over <= #types^2 partial rows."""
+    from bioontologykg_ray.stages.agg import grouped_agg, sorted_group_apply
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+    parts = sorted_group_apply(ds, "user_id", _transition_apply,
+                               _TRANSITION_EMPTY)
+    out = grouped_agg(
+        parts, ["from_type", "to_type"], {"n": ("n", "sum")}
+    ).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+SQL_EVENT_TRANSITION_MATRIX = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
 QUERIES.update(
     {
         "user_event_paths": q_user_event_paths,
@@ -4684,6 +4795,8 @@ QUERIES.update(
         "winsorized_value_stats": q_winsorized_value_stats,
         "peak_concurrent_users": q_peak_concurrent_users,
         "dup_gram_fraction": q_dup_gram_fraction,
+        "orders_above_cust_avg": q_orders_above_cust_avg,
+        "event_transition_matrix": q_event_transition_matrix,
     }
 )
 ORACLE.update(
@@ -4699,6 +4812,8 @@ ORACLE.update(
         "winsorized_value_stats": SQL_WINSORIZED_VALUE_STATS,
         "peak_concurrent_users": SQL_PEAK_CONCURRENT_USERS,
         "dup_gram_fraction": SQL_DUP_GRAM_FRACTION,
+        "orders_above_cust_avg": SQL_ORDERS_ABOVE_CUST_AVG,
+        "event_transition_matrix": SQL_EVENT_TRANSITION_MATRIX,
     }
 )
 

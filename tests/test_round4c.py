@@ -412,3 +412,29 @@ def test_peak_concurrency_reference():
         """
     ).fetchone()[0]
     assert out["peak_concurrent"].iloc[0] == ref
+
+
+# ---------------------------------------------------------------------------
+# decorrelated subquery + transition matrix kernels
+# ---------------------------------------------------------------------------
+
+def test_transition_apply_pairs_and_boundaries():
+    from bioontologykg_ray.pipelines.queries import _transition_apply
+
+    df = _ev(
+        [
+            (1, 1, "2024-01-01 00:00", "signup", 0.0),
+            (1, 2, "2024-01-01 00:01", "click", 0.0),
+            (1, 3, "2024-01-01 00:02", "click", 0.0),
+            (2, 4, "2024-01-01 00:00", "purchase", 0.0),  # no pair alone
+        ]
+    )
+    out = _transition_apply(df).set_index(["from_type", "to_type"])["n"]
+    assert out.to_dict() == {("signup", "click"): 1, ("click", "click"): 1}
+
+
+def test_transition_apply_empty():
+    from bioontologykg_ray.pipelines.queries import _transition_apply
+
+    out = _transition_apply(_ev([]))
+    assert list(out.columns) == ["from_type", "to_type", "n"] and len(out) == 0
