@@ -4822,6 +4822,201 @@ _ORACLE_FOR_SF_EXTRA = True  # marker: oracle_for_sf below must refresh kg SQL
 
 
 # =========================================================================
+# round-4d additions
+# =========================================================================
+
+_FREQGRAM_N = 3
+_FREQGRAM_K = 20000  # heavy hitter := global count * K > total grams
+
+_FREQGRAM_EMPTY = pd.DataFrame(
+    {"gram": pd.Series(dtype=object), "cnt": pd.Series(dtype=np.int64)}
+)
+
+
+def _freqgram_windows(df: pd.DataFrame) -> np.ndarray:
+    """All positional word trigrams of a batch as one object array
+    (the every-occurrence sibling of `_dupgram_pairs_batch`'s distinct
+    pairs): flat token array + N shifted concats, windows crossing a
+    doc boundary masked out."""
+    toks = df["text"].fillna("").str.split()
+    nt = toks.str.len().to_numpy(np.int64)
+    ex = toks.explode()
+    W = ex.to_numpy(object)[ex.notna().to_numpy()]
+    if len(W) == 0:
+        return np.empty(0, dtype=object)
+    di = np.repeat(df["doc_id"].to_numpy(np.int64), nt)
+    n = _FREQGRAM_N
+    m = len(W) - n + 1
+    if m <= 0:
+        return np.empty(0, dtype=object)
+    valid = di[:m] == di[n - 1 :]
+    gram = W[:m].copy()
+    for k in range(1, n):
+        gram = gram + " "
+        gram = gram + W[k : m + k]
+    return gram[valid]
+
+
+def _freqgram_candidates(df: pd.DataFrame) -> pd.DataFrame:
+    """Pass-1 kernel: local heavy hitters plus one sentinel row
+    (gram=NULL) carrying the block's window total. An item with global
+    count > n/K must exceed n_b/K in at least one block (averaging
+    argument), so the union of per-block survivors is a guaranteed
+    SUPERSET of the global heavy hitters — and each block emits < K
+    survivors by construction."""
+    grams = _freqgram_windows(df)
+    n_block = len(grams)
+    total = pd.DataFrame({"gram": [None], "cnt": [n_block]})
+    if n_block == 0:
+        return total.astype({"cnt": np.int64})
+    vc = pd.Series(grams).value_counts()
+    keep = vc.to_numpy(np.int64) * _FREQGRAM_K > n_block
+    cand = pd.DataFrame(
+        {"gram": vc.index.to_numpy(object)[keep],
+         "cnt": vc.to_numpy(np.int64)[keep]}
+    )
+    return pd.concat([cand, total], ignore_index=True).astype({"cnt": np.int64})
+
+
+def q_frequent_grams(sf_dir: str):
+    """Exact corpus heavy hitters (count*K > n) over positional word
+    trigrams — the two-pass Misra-Gries-style plan: (1) per-block local
+    survivors (bounded < K rows/block by the counting bound) union a
+    per-block total, collected driver-side (≤ K × #blocks rows of short
+    strings — the SMALL side by construction); (2) the candidate set is
+    broadcast once via ray.put and the stream is recounted exactly for
+    candidates only, so the wide exchange carries candidate partials
+    instead of the full dictionary. Exact because pass-1 survivors are
+    a superset of the true heavy hitters and pass-2 counts are exact."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = ds.map_batches(_freqgram_candidates, batch_format="pandas").to_pandas()
+    is_total = cand["gram"].isna()
+    total_n = int(cand.loc[is_total, "cnt"].sum())
+    cand_set = frozenset(cand.loc[~is_total, "gram"])
+
+    out_empty = pd.DataFrame(
+        {"gram": pd.Series(dtype=object), "n": pd.Series(dtype=np.int64)}
+    )
+    if total_n == 0 or not cand_set:
+        return out_empty
+
+    cand_ref = ray.put(cand_set)
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        grams = _freqgram_windows(df)
+        if len(grams) == 0:
+            return out_empty.copy()
+        s = pd.Series(grams)
+        s = s[s.isin(ray.get(cand_ref))]
+        if s.empty:
+            return out_empty.copy()
+        vc = s.value_counts()
+        return pd.DataFrame(
+            {"gram": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)}
+        )
+
+    partials = ds.map_batches(recount, batch_format="pandas")
+    counts = grouped_agg(partials, ["gram"], {"n": ("n", "sum")}).to_pandas()
+    counts["n"] = counts["n"].astype(np.int64)
+    out = counts[counts["n"].to_numpy(np.int64) * _FREQGRAM_K > total_n]
+    return out.sort_values("gram").reset_index(drop=True)
+
+
+SQL_FREQUENT_GRAMS = f"""
+WITH toks AS (SELECT {_TOKS_SQL} AS t FROM documents),
+pos AS (
+  SELECT unnest(generate_series(1, len(t) - {_FREQGRAM_N - 1})) AS i, t
+  FROM toks WHERE len(t) >= {_FREQGRAM_N}),
+g AS (SELECT array_to_string(t[i:i + {_FREQGRAM_N - 1}], ' ') AS gram FROM pos),
+n AS (SELECT count(*) AS n FROM g)
+SELECT gram, count(*) AS n
+FROM g GROUP BY gram
+HAVING count(*) * {_FREQGRAM_K} > (SELECT n FROM n)
+"""
+
+
+_COHORT_EMPTY = pd.DataFrame(
+    {
+        "cohort_day": pd.Series(dtype=object),
+        "day_offset": pd.Series(dtype=np.int64),
+        "n_users": pd.Series(dtype=np.int64),
+    }
+)
+
+
+def _cohort_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-block retention partials over complete user groups: each
+    user's cohort day = day of first event; one distinct (user, offset)
+    row per active day; counted per (cohort_day, day_offset)."""
+    if df.empty:
+        return _COHORT_EMPTY.copy()
+    day = df["ts"].to_numpy("datetime64[us]").astype("datetime64[D]")
+    day_i = day.astype(np.int64)
+    first = (
+        pd.Series(day_i).groupby(df["user_id"].to_numpy()).transform("min")
+        .to_numpy(np.int64)
+    )
+    rows = pd.DataFrame(
+        {
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "cohort_day": first.astype("datetime64[D]").astype(str),
+            "day_offset": day_i - first,
+        }
+    ).drop_duplicates(["user_id", "day_offset"])
+    out = rows.groupby(["cohort_day", "day_offset"], as_index=False).size()
+    return out.rename(columns={"size": "n_users"}).astype(
+        {"day_offset": np.int64, "n_users": np.int64}
+    )
+
+
+def q_cohort_retention(sf_dir: str):
+    """Classic cohort retention matrix: users bucketed by the DAY of
+    their first event; n_users = distinct users from that cohort active
+    day_offset days later. One keyed exchange for complete user groups
+    (the distinct-per-user step needs each user whole), then a tiny
+    grouped combine over ≤ days² partial rows."""
+    from bioontologykg_ray.stages.agg import grouped_agg, sorted_group_apply
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+    parts = sorted_group_apply(ds, "user_id", _cohort_apply, _COHORT_EMPTY)
+    out = grouped_agg(
+        parts, ["cohort_day", "day_offset"], {"n_users": ("n_users", "sum")}
+    ).to_pandas()
+    out["n_users"] = out["n_users"].astype(np.int64)
+    out["day_offset"] = out["day_offset"].astype(np.int64)
+    return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+
+
+SQL_COHORT_RETENTION = """
+WITH f AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort FROM events GROUP BY user_id),
+a AS (
+  SELECT DISTINCT e.user_id,
+         strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+         datediff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN f USING(user_id))
+SELECT cohort_day, day_offset, count(*) AS n_users
+FROM a GROUP BY cohort_day, day_offset
+"""
+
+
+QUERIES.update(
+    {
+        "frequent_grams": q_frequent_grams,
+        "cohort_retention": q_cohort_retention,
+    }
+)
+ORACLE.update(
+    {
+        "frequent_grams": SQL_FREQUENT_GRAMS,
+        "cohort_retention": SQL_COHORT_RETENTION,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

@@ -438,3 +438,64 @@ def test_transition_apply_empty():
 
     out = _transition_apply(_ev([]))
     assert list(out.columns) == ["from_type", "to_type", "n"] and len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# two-pass heavy hitters + cohort retention kernels
+# ---------------------------------------------------------------------------
+
+def test_freqgram_candidates_superset_and_total():
+    from bioontologykg_ray.pipelines.queries import (
+        _FREQGRAM_K,
+        _freqgram_candidates,
+        _freqgram_windows,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b c d a b c", "a b c x", "z z"],  # 'a b c' x3
+        }
+    )
+    grams = _freqgram_windows(df)
+    # windows never cross doc boundaries: doc3 has no trigram
+    assert len(grams) == 5 + 2 and "c a b" not in set(grams[:4])
+    out = _freqgram_candidates(df)
+    total = out[out["gram"].isna()]
+    assert total["cnt"].iloc[0] == 7
+    cand = set(out["gram"].dropna())
+    # every global heavy hitter must be a pass-1 survivor
+    vc = pd.Series(grams).value_counts()
+    heavy = set(vc[vc * _FREQGRAM_K > len(grams)].index)
+    assert heavy <= cand
+
+
+def test_freqgram_windows_empty_and_short():
+    from bioontologykg_ray.pipelines.queries import _freqgram_windows
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["", "one two"]})
+    assert len(_freqgram_windows(df)) == 0
+
+
+def test_cohort_apply_offsets():
+    from bioontologykg_ray.pipelines.queries import _cohort_apply
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-03 08:00",
+                    "2024-01-03 23:00",  # same day -> one distinct row
+                    "2024-01-05 01:00",
+                    "2024-01-04 00:00",
+                ]
+            ),
+        }
+    )
+    out = _cohort_apply(df).set_index(["cohort_day", "day_offset"])["n_users"]
+    assert out.to_dict() == {
+        ("2024-01-03", 0): 1,
+        ("2024-01-03", 2): 1,
+        ("2024-01-04", 0): 1,
+    }
