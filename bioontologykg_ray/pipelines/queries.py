@@ -5017,6 +5017,141 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4d: time-series spine + privacy-curation operators
+# =========================================================================
+
+
+def _event_days(df: pd.DataFrame, keep_user: bool) -> pd.DataFrame:
+    """Vectorized ts → integer day (days since epoch); int64 days make
+    the downstream min/count/scan exchanges 8-byte fixed-width instead
+    of shipping timestamps or strings."""
+    out = {
+        "day_i": df["ts"].to_numpy("datetime64[us]")
+        .astype("datetime64[D]").astype(np.int64)
+    }
+    if keep_user:
+        out["user_id"] = df["user_id"].to_numpy(np.int64)
+    return pd.DataFrame(out)
+
+
+def _day_str(day_i: np.ndarray) -> np.ndarray:
+    return day_i.astype(np.int64).astype("datetime64[D]").astype(str)
+
+
+def q_daily_active_cumulative(sf_dir: str):
+    """Cumulative distinct-user growth curve: ``new_users`` = users whose
+    FIRST event falls on the day, ``cum_users`` = running total — the
+    COUNT(DISTINCT) OVER growth metric computed WITHOUT per-day distinct
+    state (each user collapses to one first-day row first). Two keyed
+    exchanges (per-user min day, per-day count) plus the O(#blocks)
+    driver scan from stages/scan.py — nothing corpus-sized reaches the
+    driver. Reference analogue: the running import metrics in
+    `src/BioOntologyKG/importers/pubmed/neo4j_citation_relationship_builder.py:226-246`."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+    from bioontologykg_ray.stages.scan import prefix_sum
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+    days = ds.map_batches(lambda df: _event_days(df, True), batch_format="pandas")
+    per_user = grouped_agg(days, ["user_id"], {"first_day": ("day_i", "min")})
+    per_day = grouped_agg(per_user, ["first_day"], {"new_users": ("user_id", "count")})
+    cum = prefix_sum(per_day, "first_day", "new_users", "cum_users").to_pandas()
+    return pd.DataFrame(
+        {
+            "day": _day_str(cum["first_day"].to_numpy()),
+            "new_users": cum["new_users"].astype(np.int64),
+            "cum_users": cum["cum_users"].astype(np.int64),
+        }
+    ).sort_values("day").reset_index(drop=True)
+
+
+SQL_DAILY_ACTIVE_CUMULATIVE = """
+WITH f AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS d FROM events GROUP BY user_id),
+n AS (SELECT d, count(*) AS new_users FROM f GROUP BY d)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
+FROM n
+"""
+
+
+def q_daily_events_gapfilled(sf_dir: str):
+    """Gap-filled daily event counts: one grouped exchange produces the
+    per-day counts (≤ #days rows — dimension-sized), then the continuous
+    date spine is materialized DRIVER-side and left-merged with zero
+    fill. The driver work is output-sized (#days), never corpus-sized:
+    at 100 TB the count table is still a few thousand rows."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "events", columns=["ts"])
+    days = ds.map_batches(lambda df: _event_days(df, False), batch_format="pandas")
+    per_day = grouped_agg(
+        days, ["day_i"], {"n_events": ("day_i", "count")}
+    ).to_pandas()
+    lo, hi = int(per_day["day_i"].min()), int(per_day["day_i"].max())
+    spine = pd.DataFrame({"day_i": np.arange(lo, hi + 1, dtype=np.int64)})
+    out = spine.merge(per_day, on="day_i", how="left")
+    return pd.DataFrame(
+        {
+            "day": _day_str(out["day_i"].to_numpy()),
+            "n_events": out["n_events"].fillna(0).astype(np.int64),
+        }
+    )
+
+
+SQL_DAILY_EVENTS_GAPFILLED = """
+WITH c AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1),
+b AS (SELECT min(d) AS lo, max(d) AS hi FROM c),
+s AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM b)
+SELECT strftime(s.d, '%Y-%m-%d') AS day,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM s LEFT JOIN c ON s.d = c.d
+"""
+
+
+def q_quasi_id_k_anonymity(sf_dir: str):
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier: every combination's cohort size plus a k>=5 flag —
+    the privacy-curation companion to ``pii_redaction`` (a released
+    corpus keeps only cohorts too large to identify an individual).
+    One grouped exchange; output is dimension-sized."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"])
+    g = grouped_agg(
+        ds, ["c_nationkey", "c_mktsegment"], {"n_rows": ("c_nationkey", "count")}
+    ).to_pandas()
+    g["n_rows"] = g["n_rows"].astype(np.int64)
+    g["k_anonymous"] = g["n_rows"] >= 5
+    return g.sort_values(["c_nationkey", "c_mktsegment"]).reset_index(drop=True)
+
+
+SQL_QUASI_ID_K_ANONYMITY = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       count(*) >= 5 AS k_anonymous
+FROM customer GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+QUERIES.update(
+    {
+        "daily_active_cumulative": q_daily_active_cumulative,
+        "daily_events_gapfilled": q_daily_events_gapfilled,
+        "quasi_id_k_anonymity": q_quasi_id_k_anonymity,
+    }
+)
+ORACLE.update(
+    {
+        "daily_active_cumulative": SQL_DAILY_ACTIVE_CUMULATIVE,
+        "daily_events_gapfilled": SQL_DAILY_EVENTS_GAPFILLED,
+        "quasi_id_k_anonymity": SQL_QUASI_ID_K_ANONYMITY,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of
