@@ -5152,6 +5152,145 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4e: RANGE-frame windows + information-theoretic aggregates
+# =========================================================================
+
+
+_TRAIL7_EMPTY = pd.DataFrame(
+    {
+        "event_id": pd.Series(dtype=np.int64),
+        "n_trailing_7d": pd.Series(dtype=np.int64),
+    }
+)
+
+_SEVEN_DAYS_US = 7 * 24 * 3600 * 1_000_000
+
+
+def _trailing_7d_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """RANGE-frame trailing count over complete user groups.  Rows are
+    sorted (user, ts, event_id); each user's segment is contiguous and
+    time-sorted, so the frame boundaries are two ``searchsorted`` calls
+    per segment — O(n log n) vectorized, no per-row Python."""
+    if df.empty:
+        return _TRAIL7_EMPTY.copy()
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    uid = df["user_id"].to_numpy(np.int64)
+    starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+    bounds = np.r_[starts, len(uid)]
+    lo_val = ts - _SEVEN_DAYS_US
+    lo = np.empty(len(ts), np.int64)
+    hi = np.empty(len(ts), np.int64)
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        seg = ts[s:e]
+        lo[s:e] = np.searchsorted(seg, lo_val[s:e], side="left")
+        hi[s:e] = np.searchsorted(seg, seg, side="right")
+    return pd.DataFrame(
+        {
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "n_trailing_7d": hi - lo,
+        }
+    )
+
+
+def q_events_trailing_7d(sf_dir: str):
+    """RANGE-frame window (the frame Ray Data lacks natively): for every
+    event, the number of events by the SAME user with ``ts`` in the
+    trailing 7-day interval — ``COUNT(*) OVER (PARTITION BY user_id
+    ORDER BY ts RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT
+    ROW)``.  RANGE (value-based) frames differ from the ROWS frame of
+    ``event_moving_avg``: all ts-peers share one count.  One keyed
+    exchange for complete user groups, then two vectorized binary
+    searches per user segment.  Reference analogue: the windowed
+    citation-recency scans in
+    `src/BioOntologyKG/importers/pubmed/pubmed_importer.py`."""
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = sorted_group_apply(
+        ds, "user_id", _trailing_7d_apply, _TRAIL7_EMPTY
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype(np.int64)
+    out["n_trailing_7d"] = out["n_trailing_7d"].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENTS_TRAILING_7D = """
+SELECT event_id,
+       CAST(count(*) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_trailing_7d
+FROM events
+"""
+
+
+def _entropy_partials(df: pd.DataFrame) -> pd.DataFrame:
+    c = df["c"].to_numpy(np.float64)
+    return pd.DataFrame(
+        {
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "c": df["c"].to_numpy(np.int64),
+            "clog": c * np.log2(c),
+        }
+    )
+
+
+def q_event_type_entropy(sf_dir: str):
+    """Shannon entropy (bits) of each user's event-type distribution —
+    the behavioral-diversity score a curation pipeline uses to flag
+    bot-like (near-zero-entropy) accounts.  Fully distributed via the
+    decomposition H = log2(n) - (SUM c*log2 c)/n: exchange 1 counts
+    (user, type) pairs, exchange 2 sums the dimension-sized partials —
+    no per-group apply, nothing corpus-sized on the driver."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+    ct = grouped_agg(ds, ["user_id", "event_type"], {"c": ("event_type", "count")})
+    parts = ct.map_batches(_entropy_partials, batch_format="pandas")
+    g = grouped_agg(
+        parts, ["user_id"], {"n": ("c", "sum"), "s": ("clog", "sum")}
+    ).to_pandas()
+    n = g["n"].to_numpy(np.float64)
+    ent = np.log2(n) - g["s"].to_numpy(np.float64) / n
+    out = pd.DataFrame(
+        {
+            "user_id": g["user_id"].astype(np.int64),
+            "entropy_bits": pd.Series(ent).round(6),
+        }
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_EVENT_TYPE_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+g AS (
+  SELECT user_id, sum(c) AS n,
+         sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS s
+  FROM c GROUP BY 1)
+SELECT user_id,
+       round(log2(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 6)
+         AS entropy_bits
+FROM g
+"""
+
+
+QUERIES.update(
+    {
+        "events_trailing_7d": q_events_trailing_7d,
+        "event_type_entropy": q_event_type_entropy,
+    }
+)
+ORACLE.update(
+    {
+        "events_trailing_7d": SQL_EVENTS_TRAILING_7D,
+        "event_type_entropy": SQL_EVENT_TYPE_ENTROPY,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

@@ -1,0 +1,91 @@
+"""Round-4 continuation (e): RANGE-frame trailing window and the
+distributed Shannon-entropy decomposition."""
+
+import numpy as np
+import pandas as pd
+
+from bioontologykg_ray.pipelines.queries import (
+    _TRAIL7_EMPTY,
+    _entropy_partials,
+    _trailing_7d_apply,
+)
+
+
+def _ev(event_ids, users, ts):
+    return pd.DataFrame(
+        {
+            "event_id": np.asarray(event_ids, np.int64),
+            "user_id": np.asarray(users, np.int64),
+            "ts": pd.to_datetime(ts),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame trailing 7-day count
+# ---------------------------------------------------------------------------
+
+def test_trailing_7d_counts_within_window():
+    df = _ev(
+        [1, 2, 3, 4],
+        [7, 7, 7, 7],
+        ["2024-01-01", "2024-01-05", "2024-01-08", "2024-01-20"],
+    )
+    out = _trailing_7d_apply(df).set_index("event_id")["n_trailing_7d"]
+    # Jan 1: itself.  Jan 5: Jan 1 + itself.  Jan 8: Jan 1 is exactly
+    # 7 days back (inclusive) -> all three.  Jan 20: window empty but self.
+    assert out.loc[1] == 1
+    assert out.loc[2] == 2
+    assert out.loc[3] == 3
+    assert out.loc[4] == 1
+
+
+def test_trailing_7d_is_range_not_rows():
+    # ts peers (equal timestamps) must all share the SAME count — the
+    # defining difference between a RANGE and a ROWS frame.
+    df = _ev([1, 2, 3], [5, 5, 5], ["2024-03-01 12:00"] * 3)
+    out = _trailing_7d_apply(df)
+    assert out["n_trailing_7d"].tolist() == [3, 3, 3]
+
+
+def test_trailing_7d_partitions_by_user():
+    df = _ev([1, 2], [1, 2], ["2024-01-01", "2024-01-02"])
+    out = _trailing_7d_apply(df)
+    assert out["n_trailing_7d"].tolist() == [1, 1]
+
+
+def test_trailing_7d_empty_keeps_schema():
+    out = _trailing_7d_apply(_TRAIL7_EMPTY.assign(user_id=[], ts=[]).iloc[:0])
+    assert list(out.columns) == ["event_id", "n_trailing_7d"]
+    assert len(out) == 0
+
+
+def test_trailing_7d_exclusive_beyond_seven_days():
+    # 7 days + 1 microsecond is outside the frame.
+    df = _ev(
+        [1, 2],
+        [9, 9],
+        ["2024-01-01 00:00:00.000001", "2024-01-08 00:00:00.000002"],
+    )
+    out = _trailing_7d_apply(df).set_index("event_id")["n_trailing_7d"]
+    assert out.loc[2] == 1
+
+
+# ---------------------------------------------------------------------------
+# entropy decomposition H = log2(n) - sum(c*log2 c)/n
+# ---------------------------------------------------------------------------
+
+def test_entropy_partials_clog():
+    df = pd.DataFrame({"user_id": [1, 1], "c": [1, 4]})
+    out = _entropy_partials(df)
+    assert out["clog"].tolist() == [0.0, 8.0]  # 1*log2(1)=0, 4*log2(4)=8
+
+
+def test_entropy_decomposition_matches_direct():
+    # uniform over 4 types -> exactly 2 bits; single type -> 0 bits
+    counts = np.array([3, 3, 3, 3], np.float64)
+    n, s = counts.sum(), (counts * np.log2(counts)).sum()
+    assert np.isclose(np.log2(n) - s / n, 2.0)
+    counts = np.array([17], np.float64)
+    n, s = counts.sum(), (counts * np.log2(counts)).sum()
+    assert np.isclose(np.log2(n) - s / n, 0.0)
