@@ -5291,6 +5291,148 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4e (cont.): Pareto skyline + banded range join
+# =========================================================================
+
+
+def _pareto_skyline(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized 2-D Pareto frontier (minimize price AND size): a part
+    survives iff no other part is <= on both axes and < on at least
+    one.  Sort by (price, size); within one price tier only the minimal
+    size survives (exact ties all survive); across tiers a running
+    strict-prefix min of size decides dominance.  O(n log n), no row
+    loop."""
+    if df.empty:
+        return df
+    df = df.sort_values(["p_retailprice", "p_size", "p_partkey"])
+    price = df["p_retailprice"].to_numpy(np.float64)
+    size = df["p_size"].to_numpy(np.int64)
+    uniq, first = np.unique(price, return_index=True)
+    grp_min = size[first]  # sorted by (price, size): first row holds the min
+    strict = np.r_[
+        np.int64(np.iinfo(np.int64).max),
+        np.minimum.accumulate(grp_min)[:-1],
+    ]
+    pos = np.searchsorted(uniq, price)
+    gmin = grp_min[pos]
+    keep = (size == gmin) & (size < strict[pos])
+    return df.loc[keep]
+
+
+def q_part_skyline(sf_dir: str):
+    """Skyline (Pareto-frontier) operator: the parts not dominated on
+    (p_retailprice, p_size), both minimized.  Distributed via the
+    frontier-closure property — the global skyline is a subset of the
+    union of per-block skylines — so each block reduces locally
+    (map_batches) and only the tiny candidate union reaches the driver
+    for the final merge, which reuses the identical kernel.  Assumes
+    the frontier itself is small relative to the corpus (true for any
+    data with correlated axes; an adversarial anti-correlated corpus
+    degrades to a second distributed pass, not to wrong answers)."""
+    ds = _rp(sf_dir, "part", columns=["p_partkey", "p_retailprice", "p_size"])
+    cand = ds.map_batches(_pareto_skyline, batch_format="pandas").to_pandas()
+    out = _pareto_skyline(cand)
+    return pd.DataFrame(
+        {
+            "p_partkey": out["p_partkey"].astype(np.int64),
+            "p_retailprice": out["p_retailprice"].astype(np.float64),
+            "p_size": out["p_size"].astype(np.int64),
+        }
+    ).sort_values("p_partkey").reset_index(drop=True)
+
+
+SQL_PART_SKYLINE = """
+SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+FROM part p1
+WHERE NOT EXISTS (
+    SELECT 1 FROM part p2
+    WHERE p2.p_retailprice <= p1.p_retailprice
+      AND p2.p_size <= p1.p_size
+      AND (p2.p_retailprice < p1.p_retailprice OR p2.p_size < p1.p_size))
+"""
+
+
+# Band edges in whole dollars; the last band is open-ended.  Kept as a
+# module constant so worker closures reference the package global
+# instead of shipping it by value per batch.
+_PRICE_BAND_EDGES = np.array([0, 50_000, 100_000, 200_000, 350_000], np.int64)
+_PRICE_BAND_LABELS = [f"band_{i + 1}" for i in range(len(_PRICE_BAND_EDGES))]
+
+
+def _band_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-block banded-range-join probe + partial aggregate: a
+    vectorized binary search against the broadcast band table replaces
+    the non-equi shuffle join, and combining inside the block means the
+    exchange ships #bands rows per block, not #orders."""
+    cents = np.round(df["o_totalprice"].to_numpy(np.float64) * 100).astype(np.int64)
+    idx = np.searchsorted(_PRICE_BAND_EDGES * 100, cents, side="right") - 1
+    part = pd.DataFrame({"band_idx": idx, "cents": cents})
+    g = part.groupby("band_idx", as_index=False).agg(
+        n_orders=("cents", "size"), sum_cents=("cents", "sum")
+    )
+    return g
+
+
+def q_orders_price_bands(sf_dir: str):
+    """Banded range join: orders matched to price bands on the non-equi
+    predicate lo <= o_totalprice < hi.  The band table is broadcast
+    (module constant — tiny side never shuffles) and probed with
+    ``searchsorted``; per-block partial aggregates make the one keyed
+    exchange dimension-sized.  Exact money arithmetic via cent-int
+    sums.  Reference analogue: the banded CASE lookups in
+    `src/BioOntologyKG/transforms/event_enrichment` semantics (M10),
+    generalized to interval predicates."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "orders", columns=["o_totalprice"])
+    parts = ds.map_batches(_band_partials, batch_format="pandas")
+    g = grouped_agg(
+        parts,
+        ["band_idx"],
+        {"n_orders": ("n_orders", "sum"), "sum_cents": ("sum_cents", "sum")},
+    ).to_pandas()
+    g = g.sort_values("band_idx").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "band": [_PRICE_BAND_LABELS[i] for i in g["band_idx"]],
+            "lo": _PRICE_BAND_EDGES[g["band_idx"].to_numpy()].astype(np.int64),
+            "n_orders": g["n_orders"].astype(np.int64),
+            "sum_price": g["sum_cents"].to_numpy(np.int64) / 100.0,
+        }
+    )
+
+
+SQL_ORDERS_PRICE_BANDS = """
+WITH bands(band, lo, hi) AS (VALUES
+    ('band_1', 0, 50000),
+    ('band_2', 50000, 100000),
+    ('band_3', 100000, 200000),
+    ('band_4', 200000, 350000),
+    ('band_5', 350000, 1000000000))
+SELECT band, CAST(lo AS BIGINT) AS lo,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band, lo
+"""
+
+
+QUERIES.update(
+    {
+        "part_skyline": q_part_skyline,
+        "orders_price_bands": q_orders_price_bands,
+    }
+)
+ORACLE.update(
+    {
+        "part_skyline": SQL_PART_SKYLINE,
+        "orders_price_bands": SQL_ORDERS_PRICE_BANDS,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

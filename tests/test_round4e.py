@@ -89,3 +89,79 @@ def test_entropy_decomposition_matches_direct():
     counts = np.array([17], np.float64)
     n, s = counts.sum(), (counts * np.log2(counts)).sum()
     assert np.isclose(np.log2(n) - s / n, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline kernel (used per-block AND for the driver merge)
+# ---------------------------------------------------------------------------
+
+def _parts(keys, prices, sizes):
+    return pd.DataFrame(
+        {
+            "p_partkey": np.asarray(keys, np.int64),
+            "p_retailprice": np.asarray(prices, np.float64),
+            "p_size": np.asarray(sizes, np.int64),
+        }
+    )
+
+
+def test_skyline_drops_dominated():
+    from bioontologykg_ray.pipelines.queries import _pareto_skyline
+
+    # (10, 5) dominates (11, 6); (9, 9) and (10, 5) are incomparable
+    df = _parts([1, 2, 3], [10.0, 11.0, 9.0], [5, 6, 9])
+    out = _pareto_skyline(df)
+    assert sorted(out["p_partkey"]) == [1, 3]
+
+
+def test_skyline_keeps_exact_duplicates():
+    from bioontologykg_ray.pipelines.queries import _pareto_skyline
+
+    # identical points do not dominate each other (no strict axis)
+    df = _parts([1, 2], [10.0, 10.0], [5, 5])
+    assert sorted(_pareto_skyline(df)["p_partkey"]) == [1, 2]
+
+
+def test_skyline_equal_price_strict_size():
+    from bioontologykg_ray.pipelines.queries import _pareto_skyline
+
+    # same price, smaller size dominates
+    df = _parts([1, 2], [10.0, 10.0], [5, 6])
+    assert _pareto_skyline(df)["p_partkey"].tolist() == [1]
+
+
+def test_skyline_closure_under_union():
+    from bioontologykg_ray.pipelines.queries import _pareto_skyline
+
+    # global skyline == skyline(union of block skylines) for any split
+    rng = np.random.RandomState(7)
+    df = _parts(
+        np.arange(200), rng.randint(1, 40, 200).astype(float), rng.randint(1, 40, 200)
+    )
+    direct = _pareto_skyline(df)["p_partkey"].tolist()
+    blocks = [df.iloc[i::3] for i in range(3)]
+    cand = pd.concat([_pareto_skyline(b) for b in blocks])
+    merged = _pareto_skyline(cand)["p_partkey"].tolist()
+    assert sorted(direct) == sorted(merged)
+
+
+# ---------------------------------------------------------------------------
+# banded range-join probe
+# ---------------------------------------------------------------------------
+
+def test_band_partials_edges_inclusive_lo_exclusive_hi():
+    from bioontologykg_ray.pipelines.queries import _band_partials
+
+    df = pd.DataFrame({"o_totalprice": [0.0, 49999.99, 50000.0, 350000.0, 999999.0]})
+    out = _band_partials(df).set_index("band_idx")
+    assert out.loc[0, "n_orders"] == 2      # [0, 50k)
+    assert out.loc[1, "n_orders"] == 1      # 50000.0 lands in band_2
+    assert out.loc[4, "n_orders"] == 2      # open-ended top band
+
+
+def test_band_partials_exact_cent_sums():
+    from bioontologykg_ray.pipelines.queries import _band_partials
+
+    df = pd.DataFrame({"o_totalprice": [10.01, 20.02]})
+    out = _band_partials(df)
+    assert out["sum_cents"].tolist() == [3003]
