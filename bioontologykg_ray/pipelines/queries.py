@@ -5433,6 +5433,119 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4e (cont.): gaps-and-islands streaks + arg_max per group
+# =========================================================================
+
+
+_STREAK_EMPTY = pd.DataFrame(
+    {
+        "user_id": pd.Series(dtype=np.int64),
+        "longest_streak": pd.Series(dtype=np.int64),
+    }
+)
+
+
+def _streak_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """Gaps-and-islands over complete user groups: distinct active days
+    per user, island id = day - rank (constant within a consecutive
+    run), longest island per user.  All pandas-groupby vectorized."""
+    if df.empty:
+        return _STREAK_EMPTY.copy()
+    d = (
+        _event_days(df, keep_user=True)
+        .drop_duplicates(["user_id", "day_i"])
+        .sort_values(["user_id", "day_i"])
+    )
+    rank = d.groupby("user_id").cumcount().to_numpy(np.int64)
+    d = d.assign(island=d["day_i"].to_numpy(np.int64) - rank)
+    runs = d.groupby(["user_id", "island"], as_index=False).size()
+    out = runs.groupby("user_id", as_index=False)["size"].max()
+    return out.rename(columns={"size": "longest_streak"}).astype(np.int64)
+
+
+def q_user_longest_streak(sf_dir: str):
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands pattern (day minus dense rank is constant within
+    a run).  One keyed exchange for complete user groups; per-user
+    output is dimension-sized."""
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+    out = sorted_group_apply(ds, "user_id", _streak_apply, _STREAK_EMPTY).to_pandas()
+    out = out.astype({"user_id": np.int64, "longest_streak": np.int64})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_LONGEST_STREAK = """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+r AS (SELECT user_id, d,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM d),
+i AS (SELECT user_id, count(*) AS len
+      FROM r GROUP BY user_id, d - CAST(rn AS INTEGER))
+SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
+FROM i GROUP BY user_id
+"""
+
+
+_LATEST_EMPTY = pd.DataFrame(
+    {
+        "user_id": pd.Series(dtype=np.int64),
+        "event_id": pd.Series(dtype=np.int64),
+        "event_type": pd.Series(dtype=object),
+        "value": pd.Series(dtype=np.float64),
+    }
+)
+
+
+def _latest_apply(df: pd.DataFrame) -> pd.DataFrame:
+    if df.empty:
+        return _LATEST_EMPTY.copy()
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    out = df.groupby("user_id", as_index=False).tail(1)
+    return out[["user_id", "event_id", "event_type", "value"]]
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """arg_max per group: each user's most recent event row (max ts,
+    event_id as the deterministic tie-break) — the MAX_BY / arg_max
+    aggregate Ray Data lacks natively, expressed as one keyed exchange
+    plus a vectorized groupby-tail.  Companion to
+    ``first_event_per_user`` (arg_min)."""
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    ds = _rp(
+        sf_dir, "events",
+        columns=["user_id", "event_id", "ts", "event_type", "value"],
+    )
+    out = sorted_group_apply(ds, "user_id", _latest_apply, _LATEST_EMPTY).to_pandas()
+    out = out.astype({"user_id": np.int64, "event_id": np.int64})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_LATEST_EVENT_PER_USER = """
+SELECT user_id, event_id, event_type, value
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+QUERIES.update(
+    {
+        "user_longest_streak": q_user_longest_streak,
+        "latest_event_per_user": q_latest_event_per_user,
+    }
+)
+ORACLE.update(
+    {
+        "user_longest_streak": SQL_USER_LONGEST_STREAK,
+        "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

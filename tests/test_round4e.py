@@ -165,3 +165,70 @@ def test_band_partials_exact_cent_sums():
     df = pd.DataFrame({"o_totalprice": [10.01, 20.02]})
     out = _band_partials(df)
     assert out["sum_cents"].tolist() == [3003]
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands longest streak
+# ---------------------------------------------------------------------------
+
+def test_streak_counts_consecutive_days():
+    from bioontologykg_ray.pipelines.queries import _streak_apply
+
+    df = _ev(
+        [1, 2, 3, 4, 5],
+        [7, 7, 7, 7, 7],
+        ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-10", "2024-01-11"],
+    )
+    out = _streak_apply(df)
+    assert out.set_index("user_id").loc[7, "longest_streak"] == 3
+
+
+def test_streak_same_day_events_collapse():
+    from bioontologykg_ray.pipelines.queries import _streak_apply
+
+    df = _ev(
+        [1, 2, 3],
+        [9, 9, 9],
+        ["2024-01-01 08:00", "2024-01-01 20:00", "2024-01-02 00:00"],
+    )
+    out = _streak_apply(df)
+    assert out.set_index("user_id").loc[9, "longest_streak"] == 2
+
+
+def test_streak_multiple_users_independent():
+    from bioontologykg_ray.pipelines.queries import _streak_apply
+
+    df = _ev(
+        [1, 2, 3],
+        [1, 2, 2],
+        ["2024-01-01", "2024-01-05", "2024-01-06"],
+    )
+    out = _streak_apply(df).set_index("user_id")["longest_streak"]
+    assert out.loc[1] == 1 and out.loc[2] == 2
+
+
+# ---------------------------------------------------------------------------
+# arg_max latest event per user
+# ---------------------------------------------------------------------------
+
+def test_latest_event_tie_breaks_on_event_id():
+    from bioontologykg_ray.pipelines.queries import _latest_apply
+
+    df = _ev([3, 5, 4], [1, 1, 1], ["2024-01-02"] * 3)
+    df["event_type"] = ["a", "b", "c"]
+    df["value"] = [1.0, 2.0, 3.0]
+    out = _latest_apply(df)
+    # equal ts -> max event_id wins
+    assert out["event_id"].tolist() == [5]
+    assert out["event_type"].tolist() == ["b"]
+
+
+def test_latest_event_picks_max_ts_per_user():
+    from bioontologykg_ray.pipelines.queries import _latest_apply
+
+    df = _ev([1, 2, 3], [1, 1, 2], ["2024-01-01", "2024-02-01", "2024-01-15"])
+    df["event_type"] = ["x", "y", "z"]
+    df["value"] = [0.0, 0.0, 0.0]
+    out = _latest_apply(df).set_index("user_id")
+    assert out.loc[1, "event_id"] == 2
+    assert out.loc[2, "event_id"] == 3
