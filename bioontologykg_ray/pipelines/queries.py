@@ -5546,6 +5546,137 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4e (cont.): statistical aggregates + set intersection
+# =========================================================================
+
+
+def _corr_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-block moment sums for corr/regr_slope — the six sufficient
+    statistics combine additively, so the exchange ships #flags rows per
+    block.  Both engines use double sums of the SAME raw products; the
+    final round(6) absorbs the <=1e-11 summation-order divergence."""
+    x = df["l_quantity"].to_numpy(np.float64)
+    y = df["l_extendedprice"].to_numpy(np.float64)
+    part = pd.DataFrame(
+        {
+            "l_returnflag": df["l_returnflag"].to_numpy(),
+            "n": np.ones(len(df)),
+            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x, "syy": y * y,
+        }
+    )
+    return part.groupby("l_returnflag", as_index=False).sum()
+
+
+def q_flag_qty_price_corr(sf_dir: str):
+    """Pearson correlation and least-squares slope of extendedprice on
+    quantity per return flag — the CORR / REGR_SLOPE aggregates built
+    from six additively-combinable moment sums (classic sufficient-
+    statistics decomposition: per-block partials, one dimension-sized
+    exchange, closed-form finish on #flags rows)."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    parts = ds.map_batches(_corr_partials, batch_format="pandas")
+    g = grouped_agg(
+        parts,
+        ["l_returnflag"],
+        {c: (c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")},
+    ).to_pandas()
+    n, sx, sy = g["n"].to_numpy(), g["sx"].to_numpy(), g["sy"].to_numpy()
+    sxy, sxx, syy = g["sxy"].to_numpy(), g["sxx"].to_numpy(), g["syy"].to_numpy()
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    out = pd.DataFrame(
+        {
+            "l_returnflag": g["l_returnflag"],
+            "corr_qty_price": pd.Series(cov / np.sqrt(varx * vary)).round(6),
+            "regr_slope": pd.Series(cov / varx).round(6),
+            "n_rows": n.astype(np.int64),
+        }
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_FLAG_QTY_PRICE_CORR = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+         sum(l_quantity * l_extendedprice) AS sxy,
+         sum(l_quantity * l_quantity) AS sxx,
+         sum(l_extendedprice * l_extendedprice) AS syy
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag,
+       round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+         AS corr_qty_price,
+       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS regr_slope,
+       CAST(n AS BIGINT) AS n_rows
+FROM s
+"""
+
+
+def _intersect_flags(df: pd.DataFrame) -> pd.DataFrame:
+    t = df["event_type"].to_numpy()
+    return pd.DataFrame(
+        {
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "has_signup": (t == "signup").astype(np.int64),
+            "has_error": (t == "error").astype(np.int64),
+        }
+    )
+
+
+def q_signup_and_error_users(sf_dir: str):
+    """Set INTERSECTION (the companion to ``signup_or_error_users``'s
+    UNION): users with BOTH a signup and an error event.  Pushdown
+    filter at the read, per-row boolean flags, one grouped max exchange,
+    then a dimension-sized filter — no distinct-set shuffle per side."""
+    import pyarrow.dataset as pads
+
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(
+        sf_dir, "events", columns=["user_id", "event_type"],
+        filter=pads.field("event_type").isin(["signup", "error"]),
+    )
+    flags = ds.map_batches(_intersect_flags, batch_format="pandas")
+    g = grouped_agg(
+        flags, ["user_id"],
+        {"has_signup": ("has_signup", "max"), "has_error": ("has_error", "max")},
+    ).to_pandas()
+    both = g[(g["has_signup"] > 0) & (g["has_error"] > 0)]
+    return (
+        pd.DataFrame({"user_id": both["user_id"].astype(np.int64)})
+        .sort_values("user_id").reset_index(drop=True)
+    )
+
+
+SQL_SIGNUP_AND_ERROR_USERS = """
+SELECT user_id FROM events WHERE event_type = 'signup'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+QUERIES.update(
+    {
+        "flag_qty_price_corr": q_flag_qty_price_corr,
+        "signup_and_error_users": q_signup_and_error_users,
+    }
+)
+ORACLE.update(
+    {
+        "flag_qty_price_corr": SQL_FLAG_QTY_PRICE_CORR,
+        "signup_and_error_users": SQL_SIGNUP_AND_ERROR_USERS,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

@@ -232,3 +232,56 @@ def test_latest_event_picks_max_ts_per_user():
     out = _latest_apply(df).set_index("user_id")
     assert out.loc[1, "event_id"] == 2
     assert out.loc[2, "event_id"] == 3
+
+
+# ---------------------------------------------------------------------------
+# corr/regr_slope sufficient statistics
+# ---------------------------------------------------------------------------
+
+def test_corr_partials_additive():
+    from bioontologykg_ray.pipelines.queries import _corr_partials
+
+    df = pd.DataFrame(
+        {
+            "l_returnflag": ["A", "A", "B"],
+            "l_quantity": [1.0, 2.0, 3.0],
+            "l_extendedprice": [10.0, 20.0, 30.0],
+        }
+    )
+    whole = _corr_partials(df).set_index("l_returnflag")
+    halves = pd.concat([_corr_partials(df.iloc[:1]), _corr_partials(df.iloc[1:])])
+    merged = halves.groupby("l_returnflag").sum()
+    pd.testing.assert_frame_equal(whole.sort_index(), merged.sort_index())
+
+
+def test_corr_perfect_linear_relation():
+    from bioontologykg_ray.pipelines.queries import _corr_partials
+    import numpy as np
+
+    df = pd.DataFrame(
+        {
+            "l_returnflag": ["A"] * 4,
+            "l_quantity": [1.0, 2.0, 3.0, 4.0],
+            "l_extendedprice": [5.0, 10.0, 15.0, 20.0],  # y = 5x
+        }
+    )
+    g = _corr_partials(df).iloc[0]
+    n, sx, sy, sxy, sxx, syy = g["n"], g["sx"], g["sy"], g["sxy"], g["sxx"], g["syy"]
+    cov, varx, vary = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    assert np.isclose(cov / np.sqrt(varx * vary), 1.0)
+    assert np.isclose(cov / varx, 5.0)
+
+
+# ---------------------------------------------------------------------------
+# set-intersection flags
+# ---------------------------------------------------------------------------
+
+def test_intersect_flags_one_hot():
+    from bioontologykg_ray.pipelines.queries import _intersect_flags
+
+    df = pd.DataFrame(
+        {"user_id": [1, 1, 2], "event_type": ["signup", "error", "signup"]}
+    )
+    out = _intersect_flags(df)
+    assert out["has_signup"].tolist() == [1, 0, 1]
+    assert out["has_error"].tolist() == [0, 1, 0]
