@@ -5677,6 +5677,150 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4e (cont.): rank-family windows (NTILE / PERCENT_RANK / CUME_DIST)
+# + per-group mode
+# =========================================================================
+
+
+_POS_EMPTY = pd.DataFrame(
+    {
+        "o_orderkey": pd.Series(dtype=np.int64),
+        "ntile4": pd.Series(dtype=np.int64),
+        "prank": pd.Series(dtype=np.float64),
+        "cdist": pd.Series(dtype=np.float64),
+    }
+)
+
+
+def _order_positions_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """NTILE(4), PERCENT_RANK and CUME_DIST over complete customer
+    groups.  NTILE uses the fully deterministic (price, orderkey) order
+    (first n%k tiles one row larger); the two ratio ranks use SQL tie
+    semantics — min-rank for PERCENT_RANK, max-rank for CUME_DIST —
+    over the price alone.  Cent-int prices make tie detection exact."""
+    if df.empty:
+        return _POS_EMPTY.copy()
+    cents = np.round(df["o_totalprice"].to_numpy(np.float64) * 100).astype(np.int64)
+    d = pd.DataFrame(
+        {
+            "cust": df["o_custkey"].to_numpy(np.int64),
+            "okey": df["o_orderkey"].to_numpy(np.int64),
+            "cents": cents,
+        }
+    ).sort_values(["cust", "cents", "okey"])
+    g = d.groupby("cust")
+    n = g["cents"].transform("size").to_numpy(np.int64)
+    pos = g.cumcount().to_numpy(np.int64)
+    k = 4
+    m, q = n % k, n // k
+    big = m * (q + 1)
+    tile = np.where(
+        pos < big, pos // (q + 1), m + (pos - big) // np.maximum(q, 1)
+    )
+    rmin = g["cents"].rank(method="min").to_numpy(np.float64)
+    rmax = g["cents"].rank(method="max").to_numpy(np.float64)
+    prank = np.where(n > 1, (rmin - 1.0) / np.maximum(n - 1.0, 1.0), 0.0)
+    return pd.DataFrame(
+        {
+            "o_orderkey": d["okey"].to_numpy(),
+            "ntile4": tile + 1,
+            "prank": pd.Series(prank).round(6),
+            "cdist": pd.Series(rmax / n).round(6),
+        }
+    )
+
+
+def q_cust_order_positions(sf_dir: str):
+    """The rank-family window operators Ray Data lacks natively —
+    NTILE(4), PERCENT_RANK, CUME_DIST of each order within its
+    customer's price history — in ONE keyed exchange (complete customer
+    groups) and one vectorized pandas pass.  Per-customer groups keep
+    the partition count corpus-scaled (no 5-value skew key)."""
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    ds = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = sorted_group_apply(
+        ds, "o_custkey", _order_positions_apply, _POS_EMPTY
+    ).to_pandas()
+    out = out.astype({"o_orderkey": np.int64, "ntile4": np.int64})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_CUST_ORDER_POSITIONS = """
+SELECT o_orderkey,
+       CAST(ntile(4) OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+       ) AS BIGINT) AS ntile4,
+       round(percent_rank() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice), 6) AS prank,
+       round(cume_dist() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice), 6) AS cdist
+FROM orders
+"""
+
+
+_MODE_EMPTY = pd.DataFrame(
+    {
+        "user_id": pd.Series(dtype=np.int64),
+        "modal_type": pd.Series(dtype=object),
+        "n": pd.Series(dtype=np.int64),
+    }
+)
+
+
+def _modal_apply(df: pd.DataFrame) -> pd.DataFrame:
+    if df.empty:
+        return _MODE_EMPTY.copy()
+    d = df.sort_values(["user_id", "c", "event_type"], ascending=[True, False, True])
+    out = d.groupby("user_id", as_index=False).head(1)
+    return pd.DataFrame(
+        {
+            "user_id": out["user_id"].to_numpy(np.int64),
+            "modal_type": out["event_type"].to_numpy(),
+            "n": out["c"].to_numpy(np.int64),
+        }
+    )
+
+
+def q_user_modal_event_type(sf_dir: str):
+    """MODE per group with a deterministic tie-break (highest count,
+    then lexicographically smallest type): exchange 1 counts
+    (user, type) pairs; the arg-max runs over the DIMENSION-sized count
+    table, never the raw events."""
+    from bioontologykg_ray.stages.agg import grouped_agg, sorted_group_apply
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+    ct = grouped_agg(ds, ["user_id", "event_type"], {"c": ("event_type", "count")})
+    out = sorted_group_apply(ct, "user_id", _modal_apply, _MODE_EMPTY).to_pandas()
+    out = out.astype({"user_id": np.int64, "n": np.int64})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_MODAL_EVENT_TYPE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2)
+SELECT user_id, event_type AS modal_type, CAST(c AS BIGINT) AS n
+FROM c
+QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY c DESC, event_type) = 1
+"""
+
+
+QUERIES.update(
+    {
+        "cust_order_positions": q_cust_order_positions,
+        "user_modal_event_type": q_user_modal_event_type,
+    }
+)
+ORACLE.update(
+    {
+        "cust_order_positions": SQL_CUST_ORDER_POSITIONS,
+        "user_modal_event_type": SQL_USER_MODAL_EVENT_TYPE,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

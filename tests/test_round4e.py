@@ -285,3 +285,79 @@ def test_intersect_flags_one_hot():
     out = _intersect_flags(df)
     assert out["has_signup"].tolist() == [1, 0, 1]
     assert out["has_error"].tolist() == [0, 1, 0]
+
+
+# ---------------------------------------------------------------------------
+# rank-family windows (NTILE / PERCENT_RANK / CUME_DIST)
+# ---------------------------------------------------------------------------
+
+def _orders(custs, keys, prices):
+    return pd.DataFrame(
+        {
+            "o_custkey": np.asarray(custs, np.int64),
+            "o_orderkey": np.asarray(keys, np.int64),
+            "o_totalprice": np.asarray(prices, np.float64),
+        }
+    )
+
+
+def test_ntile_uneven_groups_front_loaded():
+    from bioontologykg_ray.pipelines.queries import _order_positions_apply
+
+    # 6 rows, 4 tiles -> sizes 2,2,1,1
+    df = _orders([1] * 6, range(1, 7), [10, 20, 30, 40, 50, 60])
+    out = _order_positions_apply(df).sort_values("o_orderkey")
+    assert out["ntile4"].tolist() == [1, 1, 2, 2, 3, 4]
+
+
+def test_ntile_fewer_rows_than_tiles():
+    from bioontologykg_ray.pipelines.queries import _order_positions_apply
+
+    df = _orders([1, 1], [1, 2], [10.0, 20.0])
+    out = _order_positions_apply(df).sort_values("o_orderkey")
+    assert out["ntile4"].tolist() == [1, 2]
+
+
+def test_percent_rank_and_cume_dist_tie_semantics():
+    from bioontologykg_ray.pipelines.queries import _order_positions_apply
+
+    # prices 10,10,20: PERCENT_RANK uses min-rank -> 0,0,1;
+    # CUME_DIST uses max-rank -> 2/3, 2/3, 1
+    df = _orders([1, 1, 1], [1, 2, 3], [10.0, 10.0, 20.0])
+    out = _order_positions_apply(df).sort_values("o_orderkey")
+    assert out["prank"].tolist() == [0.0, 0.0, 1.0]
+    assert out["cdist"].round(6).tolist() == [0.666667, 0.666667, 1.0]
+
+
+def test_single_row_group_percent_rank_zero():
+    from bioontologykg_ray.pipelines.queries import _order_positions_apply
+
+    out = _order_positions_apply(_orders([1], [1], [10.0]))
+    assert out["prank"].tolist() == [0.0]
+    assert out["cdist"].tolist() == [1.0]
+
+
+# ---------------------------------------------------------------------------
+# per-group mode
+# ---------------------------------------------------------------------------
+
+def test_modal_tie_breaks_lexicographically():
+    from bioontologykg_ray.pipelines.queries import _modal_apply
+
+    df = pd.DataFrame(
+        {"user_id": [1, 1], "event_type": ["view", "click"], "c": [3, 3]}
+    )
+    out = _modal_apply(df)
+    assert out["modal_type"].tolist() == ["click"]
+    assert out["n"].tolist() == [3]
+
+
+def test_modal_picks_highest_count():
+    from bioontologykg_ray.pipelines.queries import _modal_apply
+
+    df = pd.DataFrame(
+        {"user_id": [1, 1, 2], "event_type": ["a", "b", "z"], "c": [2, 5, 1]}
+    )
+    out = _modal_apply(df).set_index("user_id")
+    assert out.loc[1, "modal_type"] == "b"
+    assert out.loc[2, "modal_type"] == "z"
