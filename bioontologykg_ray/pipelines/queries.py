@@ -5821,6 +5821,180 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4e (cont.): market-basket co-occurrence + CUBE grouping sets
+# =========================================================================
+
+
+_PAIR_EMPTY = pd.DataFrame(
+    {
+        "user_id": pd.Series(dtype=np.int64),
+        "type_a": pd.Series(dtype=object),
+        "type_b": pd.Series(dtype=object),
+    }
+)
+
+
+def _type_pairs_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """Unordered within-user type pairs (a < b) from the distinct
+    (user, type) table — the market-basket pair expansion, bounded by
+    t(t-1)/2 per user where t <= #event-types (a small constant)."""
+    if df.empty:
+        return _PAIR_EMPTY.copy()
+    d = df[["user_id", "event_type"]]
+    m = d.merge(d, on="user_id")
+    m = m[m["event_type_x"] < m["event_type_y"]]
+    return pd.DataFrame(
+        {
+            "user_id": m["user_id"].to_numpy(np.int64),
+            "type_a": m["event_type_x"].to_numpy(),
+            "type_b": m["event_type_y"].to_numpy(),
+        }
+    )
+
+
+def q_event_type_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence with lift: for every unordered pair
+    of event types, the number of users exhibiting BOTH, plus
+    lift = P(a,b)/(P(a)P(b)).  Exchange 1 collapses events to the
+    distinct (user, type) table; the pair expansion and the final pair
+    counts run over that dimension-sized table (pairs per user are
+    bounded by the squared type-cardinality, a constant); supports are
+    a #types-row broadcast.  The association-mining primitive a
+    curation pipeline uses for behavioral segmentation."""
+    from bioontologykg_ray.stages.agg import grouped_agg, sorted_group_apply
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+    distinct = grouped_agg(
+        ds, ["user_id", "event_type"], {"c": ("event_type", "count")}
+    )
+    pairs = sorted_group_apply(distinct, "user_id", _type_pairs_apply, _PAIR_EMPTY)
+    both = grouped_agg(
+        pairs, ["type_a", "type_b"], {"both_users": ("user_id", "count")}
+    ).to_pandas()
+    supp = grouped_agg(
+        distinct, ["event_type"], {"c": ("event_type", "count")}
+    ).to_pandas()
+    s = dict(zip(supp["event_type"], supp["c"].astype(np.int64)))
+    n_users = grouped_agg(
+        distinct, ["user_id"], {"c": ("c", "count")}
+    ).count()
+    bu = both["both_users"].to_numpy(np.int64)
+    sa = both["type_a"].map(s).to_numpy(np.int64)
+    sb = both["type_b"].map(s).to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "type_a": both["type_a"],
+            "type_b": both["type_b"],
+            "both_users": bu,
+            "lift": pd.Series(bu.astype(np.float64) * n_users / (sa * sb)).round(6),
+        }
+    )
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+SQL_EVENT_TYPE_COOCCURRENCE = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+s AS (SELECT event_type, count(*) AS c FROM d GROUP BY 1),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS both_users
+      FROM d a JOIN d b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT type_a, type_b, CAST(both_users AS BIGINT) AS both_users,
+       round(CAST(both_users AS DOUBLE) * n.nu / (sa.c * sb.c), 6) AS lift
+FROM p
+CROSS JOIN n
+JOIN s sa ON sa.event_type = p.type_a
+JOIN s sb ON sb.event_type = p.type_b
+"""
+
+
+def q_order_cube(sf_dir: str):
+    """GROUP BY CUBE(status, priority): all four grouping sets from ONE
+    distributed exchange — the finest (status, priority) level is the
+    only corpus-touching aggregation; the three margins fold the
+    dimension-sized base table on the driver.  Exact cent-int money
+    sums; subtotal levels carry SQL NULLs exactly as CUBE emits them."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def _cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderstatus": df["o_orderstatus"].to_numpy(),
+                "o_orderpriority": df["o_orderpriority"].to_numpy(),
+                "cents": np.round(
+                    df["o_totalprice"].to_numpy(np.float64) * 100
+                ).astype(np.int64),
+            }
+        )
+
+    base = grouped_agg(
+        ds.map_batches(_cents, batch_format="pandas"),
+        ["o_orderstatus", "o_orderpriority"],
+        {"n": ("cents", "count"), "sum_cents": ("cents", "sum")},
+    ).to_pandas()
+
+    def _margin(by: list[str]) -> pd.DataFrame:
+        if by:
+            m = base.groupby(by, as_index=False)[["n", "sum_cents"]].sum()
+        else:
+            m = pd.DataFrame(
+                {"n": [base["n"].sum()], "sum_cents": [base["sum_cents"].sum()]}
+            )
+        for col in ("o_orderstatus", "o_orderpriority"):
+            if col not in m.columns:
+                m[col] = None
+        return m[["o_orderstatus", "o_orderpriority", "n", "sum_cents"]]
+
+    out = pd.concat(
+        [
+            base[["o_orderstatus", "o_orderpriority", "n", "sum_cents"]],
+            _margin(["o_orderstatus"]),
+            _margin(["o_orderpriority"]),
+            _margin([]),
+        ],
+        ignore_index=True,
+    )
+    return pd.DataFrame(
+        {
+            "o_orderstatus": out["o_orderstatus"],
+            "o_orderpriority": out["o_orderpriority"],
+            "n": out["n"].astype(np.int64),
+            "sum_price": out["sum_cents"].to_numpy(np.int64) / 100.0,
+        }
+    ).sort_values(
+        ["o_orderstatus", "o_orderpriority"], na_position="last"
+    ).reset_index(drop=True)
+
+
+SQL_ORDER_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+QUERIES.update(
+    {
+        "event_type_cooccurrence": q_event_type_cooccurrence,
+        "order_cube": q_order_cube,
+    }
+)
+ORACLE.update(
+    {
+        "event_type_cooccurrence": SQL_EVENT_TYPE_COOCCURRENCE,
+        "order_cube": SQL_ORDER_CUBE,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

@@ -361,3 +361,59 @@ def test_modal_picks_highest_count():
     out = _modal_apply(df).set_index("user_id")
     assert out.loc[1, "modal_type"] == "b"
     assert out.loc[2, "modal_type"] == "z"
+
+
+# ---------------------------------------------------------------------------
+# market-basket pair expansion
+# ---------------------------------------------------------------------------
+
+def test_type_pairs_unordered_and_within_user():
+    from bioontologykg_ray.pipelines.queries import _type_pairs_apply
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "event_type": ["view", "click", "buy", "view"],
+            "c": [3, 1, 1, 2],
+        }
+    )
+    out = _type_pairs_apply(df)
+    pairs = set(zip(out["type_a"], out["type_b"]))
+    # 3 types for user 1 -> 3 pairs, each lexicographically ordered;
+    # user 2 has one type -> no pairs
+    assert pairs == {("buy", "click"), ("buy", "view"), ("click", "view")}
+    assert (out["user_id"] == 1).all()
+
+
+def test_type_pairs_empty_schema():
+    from bioontologykg_ray.pipelines.queries import _PAIR_EMPTY, _type_pairs_apply
+
+    out = _type_pairs_apply(_PAIR_EMPTY.assign(event_type=[], c=[]).iloc[:0])
+    assert list(out.columns) == ["user_id", "type_a", "type_b"]
+
+
+# ---------------------------------------------------------------------------
+# CUBE margins (driver fold over the dimension-sized base)
+# ---------------------------------------------------------------------------
+
+def test_order_cube_margins_consistent(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from bioontologykg_ray.pipelines.queries import q_order_cube
+
+    df = pd.DataFrame(
+        {
+            "o_orderstatus": ["O", "O", "F"],
+            "o_orderpriority": ["1-URGENT", "2-HIGH", "1-URGENT"],
+            "o_totalprice": [10.00, 20.00, 30.00],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "orders.parquet")
+    out = q_order_cube(str(tmp_path))
+    # 3 fine rows + 2 status margins + 2 priority margins + grand total
+    assert len(out) == 8
+    grand = out[out["o_orderstatus"].isna() & out["o_orderpriority"].isna()]
+    assert grand["n"].tolist() == [3]
+    assert grand["sum_price"].tolist() == [60.0]
+    st = out[(out["o_orderstatus"] == "O") & out["o_orderpriority"].isna()]
+    assert st["sum_price"].tolist() == [30.0]
