@@ -5995,6 +5995,122 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4e (cont.): robust statistics (MAD) + FIRST_VALUE frame delta
+# =========================================================================
+
+
+def q_value_mad_per_type(sf_dir: str):
+    """Median absolute deviation per event type — the robust dispersion
+    statistic (outlier-insensitive, unlike stddev).  Two passes of the
+    bounded-histogram grouped median: pass 1 yields the #types-row
+    center table (broadcast into the deviation map), pass 2 runs the
+    identical exchange over |value - median|.  Each exchange moves
+    O(#types x #distinct cents), never O(#rows)."""
+    from bioontologykg_ray.stages.agg import grouped_median_discrete
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "value"])
+    med = grouped_median_discrete(ds, ["event_type"], "value", out_col="med")
+    centers = dict(zip(med["event_type"], med["med"].astype(np.float64)))
+
+    def _absdev(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        c = df["event_type"].map(centers).to_numpy(np.float64)
+        return pd.DataFrame(
+            {"event_type": df["event_type"].to_numpy(), "dev": np.abs(v - c)}
+        )
+
+    devs = ds.map_batches(_absdev, batch_format="pandas")
+    out = grouped_median_discrete(devs, ["event_type"], "dev", out_col="mad")
+    out["mad"] = out["mad"].round(6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_VALUE_MAD_PER_TYPE = """
+WITH m AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1)
+SELECT e.event_type,
+       round(median(abs(e.value - m.med)), 6) AS mad,
+       count(e.value) AS n_vals
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+_DAYOPEN_EMPTY = pd.DataFrame(
+    {
+        "event_id": pd.Series(dtype=np.int64),
+        "day_open_delta": pd.Series(dtype=np.float64),
+    }
+)
+
+
+def _day_open_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """FIRST_VALUE frame over complete user groups: delta of each
+    event's value against the first value of that user's calendar day
+    (ts then event_id order).  Cent-int arithmetic keeps the deltas
+    bit-replayable."""
+    if df.empty:
+        return _DAYOPEN_EMPTY.copy()
+    day = (
+        df["ts"].to_numpy("datetime64[us]").astype("datetime64[D]").astype(np.int64)
+    )
+    d = pd.DataFrame(
+        {
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "day": day,
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "ts": df["ts"].to_numpy("datetime64[us]"),
+            "cents": np.round(df["value"].to_numpy(np.float64) * 100).astype(np.int64),
+        }
+    ).sort_values(["user_id", "day", "ts", "event_id"])
+    first = d.groupby(["user_id", "day"])["cents"].transform("first").to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "event_id": d["event_id"].to_numpy(),
+            "day_open_delta": (d["cents"].to_numpy(np.int64) - first) / 100.0,
+        }
+    )
+
+
+def q_value_vs_day_open(sf_dir: str):
+    """FIRST_VALUE window (the remaining frame-navigation operator):
+    each event's value delta against its user-day's opening value.
+    One keyed exchange for complete user groups; the day partition and
+    first-value pick are a vectorized groupby-transform."""
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    ds = _rp(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = sorted_group_apply(
+        ds, "user_id", _day_open_apply, _DAYOPEN_EMPTY
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_VALUE_VS_DAY_OPEN = """
+SELECT event_id,
+       (CAST(round(value * 100) AS BIGINT)
+        - first_value(CAST(round(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id, CAST(ts AS DATE)
+            ORDER BY ts, event_id)) / 100.0 AS day_open_delta
+FROM events
+"""
+
+
+QUERIES.update(
+    {
+        "value_mad_per_type": q_value_mad_per_type,
+        "value_vs_day_open": q_value_vs_day_open,
+    }
+)
+ORACLE.update(
+    {
+        "value_mad_per_type": SQL_VALUE_MAD_PER_TYPE,
+        "value_vs_day_open": SQL_VALUE_VS_DAY_OPEN,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

@@ -417,3 +417,39 @@ def test_order_cube_margins_consistent(tmp_path):
     assert grand["sum_price"].tolist() == [60.0]
     st = out[(out["o_orderstatus"] == "O") & out["o_orderpriority"].isna()]
     assert st["sum_price"].tolist() == [30.0]
+
+
+# ---------------------------------------------------------------------------
+# FIRST_VALUE day-open delta
+# ---------------------------------------------------------------------------
+
+def test_day_open_delta_per_user_day():
+    from bioontologykg_ray.pipelines.queries import _day_open_apply
+
+    df = _ev(
+        [1, 2, 3, 4],
+        [7, 7, 7, 7],
+        [
+            "2024-01-01 08:00",
+            "2024-01-01 12:00",
+            "2024-01-02 09:00",
+            "2024-01-02 10:00",
+        ],
+    )
+    df["value"] = [10.00, 12.50, 5.00, 4.25]
+    out = _day_open_apply(df).set_index("event_id")["day_open_delta"]
+    assert out.loc[1] == 0.0            # day open
+    assert out.loc[2] == 2.5
+    assert out.loc[3] == 0.0            # new day resets the frame
+    assert out.loc[4] == -0.75
+
+
+def test_day_open_first_tie_breaks_on_event_id():
+    from bioontologykg_ray.pipelines.queries import _day_open_apply
+
+    df = _ev([5, 2], [1, 1], ["2024-01-01 08:00", "2024-01-01 08:00"])
+    df["value"] = [3.0, 1.0]
+    out = _day_open_apply(df).set_index("event_id")["day_open_delta"]
+    # equal ts: event_id 2 is the opener
+    assert out.loc[2] == 0.0
+    assert out.loc[5] == 2.0
