@@ -6111,6 +6111,173 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4e (cont.): per-doc character entropy + grouped z-score outliers
+# =========================================================================
+
+
+_CHAR_ENT_EMPTY = pd.DataFrame(
+    {
+        "doc_id": pd.Series(dtype=np.int64),
+        "char_entropy": pd.Series(dtype=np.float64),
+        "n_chars": pd.Series(dtype=np.int64),
+    }
+)
+
+# codepoint keys pack (doc_idx << 21 | codepoint); 21 bits covers all of
+# Unicode, leaving 42 bits for the per-batch doc index.
+_CP_BITS = 21
+
+
+def _char_entropy_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc character-level Shannon entropy, fully vectorized: one
+    utf-32 decode turns the whole batch into a codepoint array, a
+    packed (doc, codepoint) unique produces the histograms, and a
+    single scatter-add folds c*log2(c) per doc — no per-row loop."""
+    if df.empty:
+        return _CHAR_ENT_EMPTY.copy()
+    texts = df["text"].fillna("")
+    lens = texts.str.len().to_numpy(np.int64)
+    codes = np.frombuffer(
+        "".join(texts.tolist()).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+    uk, cnt = np.unique((doc_idx << _CP_BITS) | codes, return_counts=True)
+    cntf = cnt.astype(np.float64)
+    s = np.zeros(len(df), np.float64)
+    np.add.at(s, uk >> _CP_BITS, cntf * np.log2(cntf))
+    keep = lens > 0
+    n = lens[keep].astype(np.float64)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+            "char_entropy": pd.Series(np.log2(n) - s[keep] / n).round(6),
+            "n_chars": lens[keep],
+        }
+    )
+
+
+def q_doc_char_entropy(sf_dir: str):
+    """Character-level entropy per document — the low-entropy
+    (repetitive/degenerate) text filter of a corpus-quality pipeline,
+    companion to ``doc_repetition`` and ``doc_quality_flags``.
+    Embarrassingly parallel: no exchange at all, one vectorized
+    map_batches pass."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(_char_entropy_batch, batch_format="pandas").to_pandas()
+    out = out.astype({"doc_id": np.int64, "n_chars": np.int64})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(str_split_regex(text, '')) AS ch
+  FROM documents WHERE length(text) > 0),
+c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+g AS (SELECT doc_id, sum(c) AS n,
+             sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS s
+      FROM c GROUP BY 1)
+SELECT doc_id,
+       round(log2(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 6)
+         AS char_entropy,
+       CAST(n AS BIGINT) AS n_chars
+FROM g
+"""
+
+
+def _balance_partials(df: pd.DataFrame) -> pd.DataFrame:
+    x = df["s_acctbal"].to_numpy(np.float64)
+    part = pd.DataFrame(
+        {
+            "s_nationkey": df["s_nationkey"].to_numpy(np.int64),
+            "n": np.ones(len(df)),
+            "sx": x,
+            "sxx": x * x,
+        }
+    )
+    return part.groupby("s_nationkey", as_index=False).sum()
+
+
+def q_supplier_balance_outliers(sf_dir: str):
+    """Grouped z-score outlier detection: suppliers whose account
+    balance sits >= 2 sample standard deviations from their nation's
+    mean.  Sufficient statistics (n, sum, sum-of-squares) combine
+    additively per block, the #nations-row table broadcasts back, and
+    the z computation + threshold run vectorized per batch — two
+    linear passes, one dimension-sized exchange.  The filter compares
+    the ROUNDED z so both engines make the identical boundary call."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    parts = ds.map_batches(_balance_partials, batch_format="pandas")
+    g = grouped_agg(
+        parts, ["s_nationkey"],
+        {"n": ("n", "sum"), "sx": ("sx", "sum"), "sxx": ("sxx", "sum")},
+    ).to_pandas()
+    g = g[g["n"] > 1]
+    n, sx, sxx = g["n"].to_numpy(), g["sx"].to_numpy(), g["sxx"].to_numpy()
+    mean = dict(zip(g["s_nationkey"], sx / n))
+    std = dict(
+        zip(g["s_nationkey"], np.sqrt((sxx - sx * sx / n) / (n - 1.0)))
+    )
+
+    def _z(df: pd.DataFrame) -> pd.DataFrame:
+        nk = df["s_nationkey"]
+        m = nk.map(mean).to_numpy(np.float64)
+        s = nk.map(std).to_numpy(np.float64)
+        z = pd.Series(
+            (df["s_acctbal"].to_numpy(np.float64) - m) / s
+        ).round(6)
+        out = pd.DataFrame(
+            {
+                "s_suppkey": df["s_suppkey"].to_numpy(np.int64),
+                "s_nationkey": nk.to_numpy(np.int64),
+                "zscore": z,
+            }
+        )
+        return out[z.abs().to_numpy() >= 2.0]
+
+    out = ds.map_batches(_z, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "s_suppkey": pd.Series(dtype=np.int64),
+                "s_nationkey": pd.Series(dtype=np.int64),
+                "zscore": pd.Series(dtype=np.float64),
+            }
+        )
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+SQL_SUPPLIER_BALANCE_OUTLIERS = """
+WITH s AS (
+  SELECT s_nationkey, CAST(count(*) AS DOUBLE) AS n,
+         sum(s_acctbal) AS sx, sum(s_acctbal * s_acctbal) AS sxx
+  FROM supplier GROUP BY 1)
+SELECT s_suppkey, CAST(sp.s_nationkey AS BIGINT) AS s_nationkey,
+       round((s_acctbal - sx / n)
+             / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS zscore
+FROM supplier sp JOIN s USING (s_nationkey)
+WHERE n > 1
+  AND abs(round((s_acctbal - sx / n)
+                / sqrt((sxx - sx * sx / n) / (n - 1)), 6)) >= 2
+"""
+
+
+QUERIES.update(
+    {
+        "doc_char_entropy": q_doc_char_entropy,
+        "supplier_balance_outliers": q_supplier_balance_outliers,
+    }
+)
+ORACLE.update(
+    {
+        "doc_char_entropy": SQL_DOC_CHAR_ENTROPY,
+        "supplier_balance_outliers": SQL_SUPPLIER_BALANCE_OUTLIERS,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

@@ -453,3 +453,53 @@ def test_day_open_first_tie_breaks_on_event_id():
     # equal ts: event_id 2 is the opener
     assert out.loc[2] == 0.0
     assert out.loc[5] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# per-doc character entropy
+# ---------------------------------------------------------------------------
+
+def test_char_entropy_uniform_and_degenerate():
+    from bioontologykg_ray.pipelines.queries import _char_entropy_batch
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["abcd", "aaaa"]})
+    out = _char_entropy_batch(df).set_index("doc_id")
+    assert out.loc[1, "char_entropy"] == 2.0   # 4 distinct chars, uniform
+    assert out.loc[2, "char_entropy"] == 0.0   # single repeated char
+    assert out["n_chars"].tolist() == [4, 4]
+
+
+def test_char_entropy_skips_empty_docs():
+    from bioontologykg_ray.pipelines.queries import _char_entropy_batch
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["", "ab"]})
+    out = _char_entropy_batch(df)
+    assert out["doc_id"].tolist() == [2]
+    assert out["char_entropy"].tolist() == [1.0]
+
+
+def test_char_entropy_isolated_per_doc():
+    from bioontologykg_ray.pipelines.queries import _char_entropy_batch
+
+    # same total char mix, split differently -> different entropies
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["ab", "ab"]})
+    out = _char_entropy_batch(df)
+    assert out["char_entropy"].tolist() == [1.0, 1.0]
+
+
+# ---------------------------------------------------------------------------
+# grouped z-score sufficient statistics
+# ---------------------------------------------------------------------------
+
+def test_balance_partials_additive():
+    from bioontologykg_ray.pipelines.queries import _balance_partials
+
+    df = pd.DataFrame(
+        {"s_nationkey": [1, 1, 2], "s_acctbal": [10.0, 30.0, 5.0]}
+    )
+    whole = _balance_partials(df).set_index("s_nationkey")
+    halves = pd.concat(
+        [_balance_partials(df.iloc[:1]), _balance_partials(df.iloc[1:])]
+    ).groupby("s_nationkey").sum()
+    pd.testing.assert_frame_equal(whole.sort_index(), halves.sort_index())
+    assert whole.loc[1, "sx"] == 40.0 and whole.loc[1, "sxx"] == 1000.0
