@@ -6278,6 +6278,122 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4e (cont.): ratio-to-report + global dense rank
+# =========================================================================
+
+
+def q_order_share_of_customer(sf_dir: str):
+    """RATIO_TO_REPORT window: each order's share of its customer's
+    lifetime spend.  One grouped cent-int exchange produces the
+    per-customer totals; the ratio pass is a dimension-sized broadcast
+    map — the corpus never re-shuffles.  Exact int/int -> double
+    division replays bit-identically in both engines."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "o_custkey": df["o_custkey"].to_numpy(np.int64),
+                "cents": np.round(
+                    df["o_totalprice"].to_numpy(np.float64) * 100
+                ).astype(np.int64),
+            }
+        )
+
+    cents = ds.map_batches(_cents, batch_format="pandas")
+    totals = grouped_agg(
+        cents, ["o_custkey"], {"tot": ("cents", "sum")}
+    ).to_pandas()
+    tot = dict(zip(totals["o_custkey"], totals["tot"].astype(np.int64)))
+
+    def _share(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["o_custkey"].map(tot).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "spend_share": df["cents"].to_numpy(np.int64) / t,
+            }
+        )
+
+    out = cents.map_batches(_share, batch_format="pandas").to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_ORDER_SHARE_OF_CUSTOMER = """
+SELECT o_orderkey,
+       CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+       / sum(CAST(round(o_totalprice * 100) AS BIGINT))
+           OVER (PARTITION BY o_custkey) AS spend_share
+FROM orders
+"""
+
+
+def q_orders_price_dense_rank(sf_dir: str):
+    """GLOBAL dense rank over a corpus-sized column WITHOUT a global
+    sort: cent-quantized prices have bounded cardinality, so one
+    grouped count yields the distinct-value histogram, the driver ranks
+    those (dimension-sized), and a broadcast map assigns every order
+    its rank — the same bounded-histogram trick as the exact grouped
+    median.  Rank 1 = most expensive order."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "cents": np.round(
+                    df["o_totalprice"].to_numpy(np.float64) * 100
+                ).astype(np.int64),
+            }
+        )
+
+    cents = ds.map_batches(_cents, batch_format="pandas")
+    hist = grouped_agg(cents, ["cents"], {"n": ("cents", "count")}).to_pandas()
+    vals = np.sort(hist["cents"].to_numpy(np.int64))[::-1]
+    rank = dict(zip(vals, np.arange(1, len(vals) + 1, dtype=np.int64)))
+
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "price_rank": df["cents"].map(rank).to_numpy(np.int64),
+            }
+        )
+
+    out = cents.map_batches(_rank, batch_format="pandas").to_pandas()
+    out = out.astype({"o_orderkey": np.int64, "price_rank": np.int64})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_ORDERS_PRICE_DENSE_RANK = """
+SELECT o_orderkey,
+       CAST(dense_rank() OVER (ORDER BY o_totalprice DESC) AS BIGINT)
+         AS price_rank
+FROM orders
+"""
+
+
+QUERIES.update(
+    {
+        "order_share_of_customer": q_order_share_of_customer,
+        "orders_price_dense_rank": q_orders_price_dense_rank,
+    }
+)
+ORACLE.update(
+    {
+        "order_share_of_customer": SQL_ORDER_SHARE_OF_CUSTOMER,
+        "orders_price_dense_rank": SQL_ORDERS_PRICE_DENSE_RANK,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

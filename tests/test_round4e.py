@@ -503,3 +503,35 @@ def test_balance_partials_additive():
     ).groupby("s_nationkey").sum()
     pd.testing.assert_frame_equal(whole.sort_index(), halves.sort_index())
     assert whole.loc[1, "sx"] == 40.0 and whole.loc[1, "sxx"] == 1000.0
+
+
+# ---------------------------------------------------------------------------
+# ratio-to-report + global dense rank (end-to-end on tiny fixtures)
+# ---------------------------------------------------------------------------
+
+def test_share_and_dense_rank_tiny(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from bioontologykg_ray.pipelines.queries import (
+        q_order_share_of_customer,
+        q_orders_price_dense_rank,
+    )
+
+    df = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_custkey": [10, 10, 20, 20],
+            "o_totalprice": [25.00, 75.00, 40.00, 40.00],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "orders.parquet")
+    share = q_order_share_of_customer(str(tmp_path)).set_index("o_orderkey")
+    assert share.loc[1, "spend_share"] == 0.25
+    assert share.loc[2, "spend_share"] == 0.75
+    assert share.loc[3, "spend_share"] == 0.5
+    rank = q_orders_price_dense_rank(str(tmp_path)).set_index("o_orderkey")
+    # dense: 75 -> 1, 40 -> 2 (both), 25 -> 3
+    assert rank.loc[2, "price_rank"] == 1
+    assert rank.loc[3, "price_rank"] == 2
+    assert rank.loc[4, "price_rank"] == 2
+    assert rank.loc[1, "price_rank"] == 3
