@@ -2942,6 +2942,8 @@ def oracle_for_sf(sf: float) -> dict:
     d["kg_pagerank"] = _sql_kg_pagerank(sf)
     if "kg_bfs_depths" in d:  # registered later in the module
         d["kg_bfs_depths"] = _sql_kg_bfs(sf)
+    if "kg_neighbor_jaccard" in d:  # registered later in the module
+        d["kg_neighbor_jaccard"] = _sql_kg_neighbor_jaccard(sf)
     d["tool_usage_stats"] = _sql_tool_usage(sf)
     d["kg_linked_unambiguous"] = _sql_kg_linked_unambiguous(sf)
     d["import_nodes"] = _sql_import_nodes(sf)
@@ -6391,6 +6393,101 @@ ORACLE.update(
         "orders_price_dense_rank": SQL_ORDERS_PRICE_DENSE_RANK,
     }
 )
+
+
+# =========================================================================
+# round-4e (cont.): KG link-prediction — neighbor-set Jaccard per edge
+# =========================================================================
+
+
+_WEDGE_EMPTY = pd.DataFrame(
+    {"x": pd.Series(dtype=object), "y": pd.Series(dtype=object)}
+)
+
+
+def _wedge_pairs_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """Unordered neighbor pairs around each complete center group —
+    the wedge emission of triangle counting, reused for common-neighbor
+    counts.  Bounded by d(d-1)/2 per center (hub caveat as
+    supplier_triangles documents)."""
+    if df.empty:
+        return _WEDGE_EMPTY.copy()
+    d = df[["v", "u"]]
+    m = d.merge(d, on="v")
+    m = m[m["u_x"] < m["u_y"]]
+    return pd.DataFrame({"x": m["u_x"].to_numpy(), "y": m["u_y"].to_numpy()})
+
+
+def q_kg_neighbor_jaccard(sf_dir: str):
+    """Link-prediction scoring over the flagship graph: neighbor-set
+    Jaccard |N(a) ∩ N(b)| / |N(a) ∪ N(b)| for every canonical edge —
+    the classic structural-similarity feature (Liben-Nowell & Kleinberg
+    2007).  Common neighbors come from a distributed wedge emission
+    around each center plus one grouped count (the triangle-counting
+    exchange shape); degrees are one grouped count; the final stitch
+    runs over the dimension-sized edge list.  Oracle replays the
+    flagship in SQL and computes the identical closed form."""
+    from bioontologykg_ray.stages.agg import grouped_agg, sorted_group_apply
+
+    edges = _kg_results(sf_dir)["edges"][["src", "dst"]]
+    e = edges[edges["src"] != edges["dst"]]
+    lo = np.where(e["src"] < e["dst"], e["src"], e["dst"])
+    hi = np.where(e["src"] < e["dst"], e["dst"], e["src"])
+    pairs = pd.DataFrame({"x": lo, "y": hi}).drop_duplicates()
+    und_df = pd.DataFrame(
+        {
+            "u": np.concatenate([pairs["x"].to_numpy(), pairs["y"].to_numpy()]),
+            "v": np.concatenate([pairs["y"].to_numpy(), pairs["x"].to_numpy()]),
+        }
+    )
+    und = rd.from_pandas(und_df)
+    deg = grouped_agg(und, ["u"], {"d": ("v", "count")}).to_pandas()
+    wedges = sorted_group_apply(und, "v", _wedge_pairs_apply, _WEDGE_EMPTY)
+    common = grouped_agg(wedges, ["x", "y"], {"c": ("x", "count")}).to_pandas()
+    dmap = dict(zip(deg["u"], deg["d"].astype(np.int64)))
+    out = pairs.merge(common, on=["x", "y"], how="left")
+    c = out["c"].fillna(0).to_numpy(np.int64)
+    da = out["x"].map(dmap).to_numpy(np.int64)
+    db = out["y"].map(dmap).to_numpy(np.int64)
+    # exact integer parts-per-million: c/(da+db-c) denominators include
+    # powers of two whose doubles land EXACTLY on the 6dp half boundary,
+    # where numpy (banker's) and DuckDB (half-away) round apart — floor
+    # integer ppm is engine-independent
+    res = pd.DataFrame(
+        {
+            "node_a": out["x"],
+            "node_b": out["y"],
+            "n_common": c,
+            "jaccard_ppm": (c * 1_000_000) // (da + db - c),
+        }
+    )
+    return res.sort_values(["node_a", "node_b"]).reset_index(drop=True)
+
+
+def _sql_kg_neighbor_jaccard(sf: float) -> str:
+    return _sql_kg_prefix(sf) + """,
+nj_e AS MATERIALIZED (
+  SELECT least(src, dst) AS x, greatest(src, dst) AS y
+  FROM edges WHERE src <> dst GROUP BY 1, 2),
+nj_u AS MATERIALIZED (
+  SELECT x AS u, y AS v FROM nj_e UNION ALL SELECT y, x FROM nj_e),
+nj_d AS (SELECT u, count(*) AS d FROM nj_u GROUP BY u),
+nj_c AS (SELECT a.u AS x, b.u AS y, count(*) AS c
+         FROM nj_u a JOIN nj_u b ON a.v = b.v AND a.u < b.u
+         GROUP BY 1, 2)
+SELECT e.x AS node_a, e.y AS node_b,
+       CAST(COALESCE(c.c, 0) AS BIGINT) AS n_common,
+       CAST((COALESCE(c.c, 0) * 1000000)
+            // (da.d + db.d - COALESCE(c.c, 0)) AS BIGINT) AS jaccard_ppm
+FROM nj_e e
+LEFT JOIN nj_c c ON c.x = e.x AND c.y = e.y
+JOIN nj_d da ON da.u = e.x
+JOIN nj_d db ON db.u = e.y
+"""
+
+
+QUERIES.update({"kg_neighbor_jaccard": q_kg_neighbor_jaccard})
+ORACLE.update({"kg_neighbor_jaccard": _sql_kg_neighbor_jaccard(0.01)})
 
 
 # =========================================================================

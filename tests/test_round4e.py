@@ -535,3 +535,25 @@ def test_share_and_dense_rank_tiny(tmp_path):
     assert rank.loc[3, "price_rank"] == 2
     assert rank.loc[4, "price_rank"] == 2
     assert rank.loc[1, "price_rank"] == 3
+
+
+# ---------------------------------------------------------------------------
+# wedge emission for common-neighbor counts
+# ---------------------------------------------------------------------------
+
+def test_wedge_pairs_around_center():
+    from bioontologykg_ray.pipelines.queries import _wedge_pairs_apply
+
+    # center c adjacent to a, b, d -> 3 unordered pairs
+    df = pd.DataFrame({"v": ["c"] * 3, "u": ["a", "b", "d"]})
+    out = _wedge_pairs_apply(df)
+    assert set(zip(out["x"], out["y"])) == {("a", "b"), ("a", "d"), ("b", "d")}
+
+
+def test_wedge_pairs_respect_center_boundaries():
+    from bioontologykg_ray.pipelines.queries import _wedge_pairs_apply
+
+    # two centers: pairs never cross centers
+    df = pd.DataFrame({"v": ["c1", "c1", "c2", "c2"], "u": ["a", "b", "a", "z"]})
+    out = _wedge_pairs_apply(df)
+    assert set(zip(out["x"], out["y"])) == {("a", "b"), ("a", "z")}
