@@ -6491,6 +6491,205 @@ ORACLE.update({"kg_neighbor_jaccard": _sql_kg_neighbor_jaccard(0.01)})
 
 
 # =========================================================================
+# round-4e (cont.): bigram PMI collocations + sessionized bounce rate
+# =========================================================================
+
+
+def _bigram_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-block adjacent-token-pair partial counts (whitespace
+    tokenization, the corpus convention doc_token_freq pins).  A doc
+    sits wholly in one row, so bigram extraction is block-local; the
+    exchange ships per-block distinct pairs."""
+    toks = df["text"].fillna("").str.split(" ")
+    lens = toks.str.len().to_numpy(np.int64)
+    flat = toks.explode().to_numpy(dtype=object)
+    if flat.size == 0:
+        return pd.DataFrame(
+            {
+                "a": pd.Series(dtype=object),
+                "b": pd.Series(dtype=object),
+                "c": pd.Series(dtype=np.int64),
+            }
+        )
+    mask = np.ones(flat.size, bool)
+    mask[np.cumsum(lens)[lens > 0] - 1] = False  # drop last token per doc
+    part = pd.DataFrame({"a": flat[:-1][mask[:-1]], "b": flat[1:][mask[:-1]]})
+    out = part.groupby(["a", "b"], as_index=False).size()
+    return out.rename(columns={"size": "c"})
+
+
+def _unigram_partials(df: pd.DataFrame) -> pd.DataFrame:
+    toks = df["text"].fillna("").str.split(" ").explode()
+    out = toks.to_frame("w").groupby("w", as_index=False).size()
+    return out.rename(columns={"size": "c"})
+
+
+def q_bigram_pmi_top20(sf_dir: str):
+    """Collocation mining: the 20 most frequent adjacent-token bigrams
+    scored by pointwise mutual information log2(P(ab)/(P(a)P(b))) —
+    the phrase-detection primitive of corpus preprocessing (Mikolov et
+    al. 2013 phrase vocab).  Two two-phase grouped exchanges (bigram
+    and unigram counts, both pre-aggregated per block); the top-20
+    selection and PMI closed form run over the aggregated dictionary.
+    Both engines evaluate the identical double expression before the
+    6dp round."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    bi = grouped_agg(
+        ds.map_batches(_bigram_partials, batch_format="pandas"),
+        ["a", "b"], {"c": ("c", "sum")},
+    ).to_pandas()
+    uni = grouped_agg(
+        ds.map_batches(_unigram_partials, batch_format="pandas"),
+        ["w"], {"c": ("c", "sum")},
+    ).to_pandas()
+    t = float(uni["c"].sum())
+    b_tot = float(bi["c"].sum())
+    top = bi.sort_values(
+        ["c", "a", "b"], ascending=[False, True, True], kind="mergesort"
+    ).head(20)
+    uc = dict(zip(uni["w"], uni["c"].astype(np.int64)))
+    ca = top["a"].map(uc).to_numpy(np.float64)
+    cb = top["b"].map(uc).to_numpy(np.float64)
+    cab = top["c"].to_numpy(np.float64)
+    pmi = np.log2((cab * t * t) / (b_tot * ca * cb))
+    return pd.DataFrame(
+        {
+            "a": top["a"].to_numpy(),
+            "b": top["b"].to_numpy(),
+            "n_pair": top["c"].to_numpy(np.int64),
+            "pmi": pd.Series(pmi).round(6),
+        }
+    ).reset_index(drop=True)
+
+
+SQL_BIGRAM_PMI_TOP20 = """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents),
+uni AS MATERIALIZED (
+  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
+bi AS MATERIALIZED (
+  SELECT a, b, count(*) AS c FROM (
+    SELECT t[i] AS a, t[i + 1] AS b
+    FROM toks CROSS JOIN UNNEST(generate_series(1, len(t) - 1)) AS u(i))
+  GROUP BY a, b),
+btot AS (SELECT CAST(sum(c) AS DOUBLE) AS bt FROM bi),
+top AS (
+  SELECT a, b, c FROM bi ORDER BY c DESC, a, b LIMIT 20)
+SELECT top.a, top.b, CAST(top.c AS BIGINT) AS n_pair,
+       round(log2((CAST(top.c AS DOUBLE) * t * t)
+                  / (bt * ua.c * ub.c)), 6) AS pmi
+FROM top
+CROSS JOIN tot CROSS JOIN btot
+JOIN uni ua ON ua.w = top.a
+JOIN uni ub ON ub.w = top.b
+"""
+
+
+_BOUNCE_EMPTY = pd.DataFrame(
+    {
+        "day_i": pd.Series(dtype=np.int64),
+        "n_sessions": pd.Series(dtype=np.int64),
+        "n_bounces": pd.Series(dtype=np.int64),
+    }
+)
+
+_SESSION_GAP_US = 1800 * 1_000_000  # the 30-min rule user_sessions pins
+
+
+def _bounce_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-(user-complete block) session partials: gap-1800s islands,
+    one (start-day, is-bounce) row per session, combined to per-day
+    counts before the exchange."""
+    if df.empty:
+        return _BOUNCE_EMPTY.copy()
+    d = df.sort_values(["user_id", "ts", "event_id"])
+    uid = d["user_id"].to_numpy(np.int64)
+    ts = d["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    new_user = np.r_[True, uid[1:] != uid[:-1]]
+    gap = np.r_[True, (ts[1:] - ts[:-1]) > _SESSION_GAP_US]
+    sid = np.cumsum(new_user | gap)
+    s = pd.DataFrame({"sid": sid, "ts": ts})
+    per = s.groupby("sid").agg(start=("ts", "first"), n=("ts", "size"))
+    day = (
+        per["start"].to_numpy(np.int64).astype("datetime64[us]")
+        .astype("datetime64[D]").astype(np.int64)
+    )
+    out = pd.DataFrame(
+        {"day_i": day, "one": np.ones(len(per), np.int64),
+         "bounce": (per["n"].to_numpy(np.int64) == 1).astype(np.int64)}
+    ).groupby("day_i", as_index=False).sum()
+    return out.rename(columns={"one": "n_sessions", "bounce": "n_bounces"})
+
+
+def q_daily_bounce_rate(sf_dir: str):
+    """Sessionized bounce rate per day: share of gap-1800s sessions
+    containing exactly one event, keyed by the session's START day.
+    One keyed exchange for complete user groups (sessions never span
+    users), per-block day partials, then a dimension-sized grouped sum;
+    the rate ships as exact integer ppm."""
+    from bioontologykg_ray.stages.agg import grouped_agg, sorted_group_apply
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    parts = sorted_group_apply(ds, "user_id", _bounce_partials, _BOUNCE_EMPTY)
+    g = grouped_agg(
+        parts, ["day_i"],
+        {"n_sessions": ("n_sessions", "sum"), "n_bounces": ("n_bounces", "sum")},
+    ).to_pandas()
+    ns = g["n_sessions"].to_numpy(np.int64)
+    nb = g["n_bounces"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "day": _day_str(g["day_i"].to_numpy()),
+            "n_sessions": ns,
+            "n_bounces": nb,
+            "bounce_ppm": (nb * 1_000_000) // ns,
+        }
+    )
+    return out.sort_values("day").reset_index(drop=True)
+
+
+SQL_DAILY_BOUNCE_RATE = """
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > 1800 * 1000000 THEN 1 ELSE 0 END AS g
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(g) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d),
+per AS (
+  SELECT user_id, sid, CAST(min(ts) AS DATE) AS day, count(*) AS n
+  FROM s GROUP BY 1, 2)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS bounce_ppm
+FROM per GROUP BY day
+"""
+
+
+QUERIES.update(
+    {
+        "bigram_pmi_top20": q_bigram_pmi_top20,
+        "daily_bounce_rate": q_daily_bounce_rate,
+    }
+)
+ORACLE.update(
+    {
+        "bigram_pmi_top20": SQL_BIGRAM_PMI_TOP20,
+        "daily_bounce_rate": SQL_DAILY_BOUNCE_RATE,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

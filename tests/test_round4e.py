@@ -557,3 +557,61 @@ def test_wedge_pairs_respect_center_boundaries():
     df = pd.DataFrame({"v": ["c1", "c1", "c2", "c2"], "u": ["a", "b", "a", "z"]})
     out = _wedge_pairs_apply(df)
     assert set(zip(out["x"], out["y"])) == {("a", "b"), ("a", "z")}
+
+
+# ---------------------------------------------------------------------------
+# bigram extraction + sessionized bounce partials
+# ---------------------------------------------------------------------------
+
+def test_bigram_partials_adjacent_within_doc():
+    from bioontologykg_ray.pipelines.queries import _bigram_partials
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "c a"]})
+    out = _bigram_partials(df).set_index(["a", "b"])["c"]
+    # doc boundaries break adjacency: no ("c","c") pair
+    assert out.loc[("a", "b")] == 1
+    assert out.loc[("b", "c")] == 1
+    assert out.loc[("c", "a")] == 1
+    assert len(out) == 3
+
+
+def test_bigram_partials_counts_repeats():
+    from bioontologykg_ray.pipelines.queries import _bigram_partials
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["x y x y"]})
+    out = _bigram_partials(df).set_index(["a", "b"])["c"]
+    assert out.loc[("x", "y")] == 2
+    assert out.loc[("y", "x")] == 1
+
+
+def test_bounce_partials_sessions_and_days():
+    from bioontologykg_ray.pipelines.queries import _bounce_partials
+
+    df = _ev(
+        [1, 2, 3, 4],
+        [7, 7, 7, 9],
+        [
+            "2024-01-01 08:00",  # session 1 (2 events, 10 min apart)
+            "2024-01-01 08:10",
+            "2024-01-01 12:00",  # session 2 (bounce: > 30 min gap)
+            "2024-01-02 09:00",  # user 9, own session (bounce)
+        ],
+    )
+    out = _bounce_partials(df).set_index("day_i")
+    days = sorted(out.index)
+    assert out.loc[days[0], "n_sessions"] == 2
+    assert out.loc[days[0], "n_bounces"] == 1
+    assert out.loc[days[1], "n_sessions"] == 1
+    assert out.loc[days[1], "n_bounces"] == 1
+
+
+def test_bounce_session_keyed_by_start_day():
+    from bioontologykg_ray.pipelines.queries import _bounce_partials
+
+    # session starts 23:50 Jan 1, second event 00:05 Jan 2 (15 min gap):
+    # ONE session, keyed to Jan 1
+    df = _ev([1, 2], [5, 5], ["2024-01-01 23:50", "2024-01-02 00:05"])
+    out = _bounce_partials(df)
+    assert len(out) == 1
+    assert out["n_sessions"].tolist() == [1]
+    assert out["n_bounces"].tolist() == [0]
