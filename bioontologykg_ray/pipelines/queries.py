@@ -6690,6 +6690,167 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4e (cont.): conversion latency + embedding-centroid geometry
+# =========================================================================
+
+
+_CONV_EMPTY = pd.DataFrame(
+    {
+        "user_id": pd.Series(dtype=np.int64),
+        "days_to_purchase": pd.Series(dtype=np.int64),
+    }
+)
+
+
+def _conversion_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-user time-to-conversion over complete user groups: first
+    signup, then the first purchase STRICTLY after it; users without
+    both drop out (inner-join semantics)."""
+    if df.empty:
+        return _CONV_EMPTY.copy()
+    sign = (
+        df[df["event_type"] == "signup"]
+        .groupby("user_id", as_index=False)["ts"].min()
+        .rename(columns={"ts": "st"})
+    )
+    if sign.empty:
+        return _CONV_EMPTY.copy()
+    pur = df[df["event_type"] == "purchase"][["user_id", "ts"]].merge(
+        sign, on="user_id"
+    )
+    pur = pur[pur["ts"] > pur["st"]]
+    if pur.empty:
+        return _CONV_EMPTY.copy()
+    first = pur.groupby("user_id", as_index=False).agg(
+        st=("st", "first"), pt=("ts", "min")
+    )
+    to_day = lambda s: (
+        s.to_numpy("datetime64[us]").astype("datetime64[D]").astype(np.int64)
+    )
+    return pd.DataFrame(
+        {
+            "user_id": first["user_id"].to_numpy(np.int64),
+            "days_to_purchase": to_day(first["pt"]) - to_day(first["st"]),
+        }
+    )
+
+
+def q_signup_to_purchase_days(sf_dir: str):
+    """Conversion-latency funnel metric: calendar days from each user's
+    FIRST signup to their first purchase strictly after it.  One keyed
+    exchange for complete user groups; the strictly-after predicate and
+    both argmins are vectorized groupby reductions."""
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    out = sorted_group_apply(ds, "user_id", _conversion_apply, _CONV_EMPTY).to_pandas()
+    out = out.astype({"user_id": np.int64, "days_to_purchase": np.int64})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_SIGNUP_TO_PURCHASE_DAYS = """
+WITH s AS (
+  SELECT user_id, min(ts) AS st FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(e.ts) AS pt
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s.st
+  GROUP BY 1)
+SELECT s.user_id,
+       CAST(datediff('day', CAST(s.st AS DATE), CAST(p.pt AS DATE))
+            AS BIGINT) AS days_to_purchase
+FROM s JOIN p USING (user_id)
+"""
+
+
+def _centroid_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-block per-label embedding sums in long (label, dim) form —
+    the exchange ships #labels x #dims rows per block, never vectors.
+    float32 components upcast exactly to float64 before summing."""
+    labs = df["label"].to_numpy(np.int64)
+    dim = len(df["embedding"].iloc[0])
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    part = pd.DataFrame(mat)
+    part["label"] = labs
+    g = part.groupby("label")
+    sums = g.sum()
+    ns = g.size()
+    long = sums.stack().reset_index()
+    long.columns = ["label", "dim", "s"]
+    long["n"] = long["label"].map(ns).to_numpy(np.int64)
+    long["dim"] = long["dim"].astype(np.int64) + 1  # 1-based like SQL subscripts
+    return long[["label", "dim", "s", "n"]]
+
+
+def q_label_centroid_cosine(sf_dir: str):
+    """Embedding-space geometry: pairwise cosine similarity between
+    per-label centroid vectors — the cluster-separation diagnostic of
+    an embedding pipeline.  Per-block partial sums in (label, dim) long
+    form keep vectors out of the exchange (gotcha: list columns cannot
+    traverse the pandas sort exchange); the #labels x #dims aggregate
+    and the 45-pair cosine matrix finish on the driver."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "embeddings", columns=["label", "embedding"])
+    parts = ds.map_batches(_centroid_partials, batch_format="pandas")
+    g = grouped_agg(
+        parts, ["label", "dim"], {"s": ("s", "sum"), "n": ("n", "sum")}
+    ).to_pandas()
+    # n arrives summed over blocks per (label, dim); recover the count
+    # of vectors per label from any single dim's share
+    g = g.sort_values(["label", "dim"]).reset_index(drop=True)
+    labels = np.sort(g["label"].unique())
+    dims = int(g["dim"].max())
+    m = g["s"].to_numpy(np.float64).reshape(len(labels), dims)
+    nvec = g["n"].to_numpy(np.int64).reshape(len(labels), dims)[:, 0]
+    cent = m / nvec.astype(np.float64)[:, None]
+    nrm = np.sqrt((cent * cent).sum(axis=1))
+    rows = []
+    for i in range(len(labels)):
+        for j in range(i + 1, len(labels)):
+            dot = float((cent[i] * cent[j]).sum())
+            rows.append(
+                (int(labels[i]), int(labels[j]),
+                 round(dot / (nrm[i] * nrm[j]), 6))
+            )
+    out = pd.DataFrame(rows, columns=["label_a", "label_b", "cosine"])
+    return out.astype({"label_a": np.int64, "label_b": np.int64})
+
+
+SQL_LABEL_CENTROID_COSINE = """
+WITH e AS (
+  SELECT label, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding) AS v
+  FROM embeddings),
+c AS MATERIALIZED (
+  SELECT label, i, sum(CAST(v AS DOUBLE)) / count(*) AS m
+  FROM e GROUP BY 1, 2),
+n AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM c GROUP BY 1),
+d AS (SELECT a.label AS la, b.label AS lb, sum(a.m * b.m) AS dot
+      FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+      GROUP BY 1, 2)
+SELECT CAST(la AS BIGINT) AS label_a, CAST(lb AS BIGINT) AS label_b,
+       round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM d JOIN n na ON na.label = d.la JOIN n nb ON nb.label = d.lb
+"""
+
+
+QUERIES.update(
+    {
+        "signup_to_purchase_days": q_signup_to_purchase_days,
+        "label_centroid_cosine": q_label_centroid_cosine,
+    }
+)
+ORACLE.update(
+    {
+        "signup_to_purchase_days": SQL_SIGNUP_TO_PURCHASE_DAYS,
+        "label_centroid_cosine": SQL_LABEL_CENTROID_COSINE,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

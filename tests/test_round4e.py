@@ -615,3 +615,53 @@ def test_bounce_session_keyed_by_start_day():
     assert len(out) == 1
     assert out["n_sessions"].tolist() == [1]
     assert out["n_bounces"].tolist() == [0]
+
+
+# ---------------------------------------------------------------------------
+# conversion latency + centroid partials
+# ---------------------------------------------------------------------------
+
+def test_conversion_strictly_after_signup():
+    from bioontologykg_ray.pipelines.queries import _conversion_apply
+
+    df = _ev(
+        [1, 2, 3, 4],
+        [7, 7, 8, 8],
+        ["2024-01-05 10:00", "2024-01-08 10:00", "2024-01-05 10:00", "2024-01-04 10:00"],
+    )
+    df["event_type"] = ["signup", "purchase", "signup", "purchase"]
+    out = _conversion_apply(df)
+    # user 7 converts in 3 days; user 8's purchase PRECEDES signup -> dropped
+    assert out["user_id"].tolist() == [7]
+    assert out["days_to_purchase"].tolist() == [3]
+
+
+def test_conversion_picks_first_of_each():
+    from bioontologykg_ray.pipelines.queries import _conversion_apply
+
+    df = _ev(
+        [1, 2, 3, 4],
+        [9, 9, 9, 9],
+        ["2024-01-01 08:00", "2024-01-02 08:00", "2024-01-03 08:00", "2024-01-10 08:00"],
+    )
+    df["event_type"] = ["signup", "signup", "purchase", "purchase"]
+    out = _conversion_apply(df)
+    assert out["days_to_purchase"].tolist() == [2]  # first signup -> first purchase
+
+
+def test_centroid_partials_long_form_additive():
+    from bioontologykg_ray.pipelines.queries import _centroid_partials
+
+    df = pd.DataFrame(
+        {
+            "label": pd.Series([1, 1, 2], dtype="int64"),
+            "embedding": [
+                np.array([1.0, 0.0], np.float32),
+                np.array([3.0, 2.0], np.float32),
+                np.array([0.0, 5.0], np.float32),
+            ],
+        }
+    )
+    out = _centroid_partials(df).set_index(["label", "dim"])
+    assert out.loc[(1, 1), "s"] == 4.0 and out.loc[(1, 2), "s"] == 2.0
+    assert out.loc[(1, 1), "n"] == 2 and out.loc[(2, 1), "n"] == 1
