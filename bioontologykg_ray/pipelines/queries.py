@@ -2944,6 +2944,8 @@ def oracle_for_sf(sf: float) -> dict:
         d["kg_bfs_depths"] = _sql_kg_bfs(sf)
     if "kg_neighbor_jaccard" in d:  # registered later in the module
         d["kg_neighbor_jaccard"] = _sql_kg_neighbor_jaccard(sf)
+    if "kg_adamic_adar" in d:  # registered later in the module
+        d["kg_adamic_adar"] = _sql_kg_adamic_adar(sf)
     d["tool_usage_stats"] = _sql_tool_usage(sf)
     d["kg_linked_unambiguous"] = _sql_kg_linked_unambiguous(sf)
     d["import_nodes"] = _sql_import_nodes(sf)
@@ -6846,6 +6848,150 @@ ORACLE.update(
     {
         "signup_to_purchase_days": SQL_SIGNUP_TO_PURCHASE_DAYS,
         "label_centroid_cosine": SQL_LABEL_CENTROID_COSINE,
+    }
+)
+
+
+# =========================================================================
+# round-4e (cont.): Adamic-Adar link prediction + weekday/hour heatmap
+# =========================================================================
+
+
+_AA_EMPTY = pd.DataFrame(
+    {
+        "x": pd.Series(dtype=object),
+        "y": pd.Series(dtype=object),
+        "w": pd.Series(dtype=np.float64),
+    }
+)
+
+
+def _aa_wedge_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """Adamic-Adar wedge emission: each unordered neighbor pair around
+    a center w carries weight 1/ln(deg(w)).  The center's degree IS its
+    complete group size, so no degree join is needed.  Centers with one
+    neighbor emit nothing (and ln(1)=0 can never divide)."""
+    if df.empty:
+        return _AA_EMPTY.copy()
+    d = df[["v", "u"]]
+    deg = d.groupby("v")["u"].transform("size")
+    d = d.assign(w=1.0 / np.log(deg.to_numpy(np.float64)))
+    m = d.merge(d[["v", "u"]], on="v")
+    m = m[m["u_x"] < m["u_y"]]
+    return pd.DataFrame(
+        {
+            "x": m["u_x"].to_numpy(),
+            "y": m["u_y"].to_numpy(),
+            "w": m["w"].to_numpy(np.float64),
+        }
+    )
+
+
+def q_kg_adamic_adar(sf_dir: str):
+    """Adamic-Adar link-prediction score per canonical edge:
+    sum over common neighbors w of 1/ln(deg(w)) — the degree-weighted
+    companion to kg_neighbor_jaccard (rare shared neighbors count
+    more).  Same wedge exchange, with the weight computed from the
+    complete center group's own size; one grouped float sum; round-6
+    absorbs summation-order ulps."""
+    from bioontologykg_ray.stages.agg import grouped_agg, sorted_group_apply
+
+    edges = _kg_results(sf_dir)["edges"][["src", "dst"]]
+    e = edges[edges["src"] != edges["dst"]]
+    lo = np.where(e["src"] < e["dst"], e["src"], e["dst"])
+    hi = np.where(e["src"] < e["dst"], e["dst"], e["src"])
+    pairs = pd.DataFrame({"x": lo, "y": hi}).drop_duplicates()
+    und = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "u": np.concatenate([pairs["x"].to_numpy(), pairs["y"].to_numpy()]),
+                "v": np.concatenate([pairs["y"].to_numpy(), pairs["x"].to_numpy()]),
+            }
+        )
+    )
+    wedges = sorted_group_apply(und, "v", _aa_wedge_apply, _AA_EMPTY)
+    scores = grouped_agg(wedges, ["x", "y"], {"aa": ("w", "sum")}).to_pandas()
+    out = pairs.merge(scores, on=["x", "y"], how="left")
+    res = pd.DataFrame(
+        {
+            "node_a": out["x"],
+            "node_b": out["y"],
+            "aa_score": pd.Series(out["aa"].fillna(0.0)).round(6),
+        }
+    )
+    return res.sort_values(["node_a", "node_b"]).reset_index(drop=True)
+
+
+def _sql_kg_adamic_adar(sf: float) -> str:
+    return _sql_kg_prefix(sf) + """,
+aa_e AS MATERIALIZED (
+  SELECT least(src, dst) AS x, greatest(src, dst) AS y
+  FROM edges WHERE src <> dst GROUP BY 1, 2),
+aa_u AS MATERIALIZED (
+  SELECT x AS u, y AS v FROM aa_e UNION ALL SELECT y, x FROM aa_e),
+aa_d AS (SELECT u, count(*) AS d FROM aa_u GROUP BY u),
+aa_c AS (SELECT a.u AS x, b.u AS y, sum(1.0 / ln(dd.d)) AS aa
+         FROM aa_u a JOIN aa_u b ON a.v = b.v AND a.u < b.u
+         JOIN aa_d dd ON dd.u = a.v
+         GROUP BY 1, 2)
+SELECT e.x AS node_a, e.y AS node_b,
+       round(COALESCE(c.aa, 0.0), 6) AS aa_score
+FROM aa_e e
+LEFT JOIN aa_c c ON c.x = e.x AND c.y = e.y
+"""
+
+
+def q_events_weekday_hour(sf_dir: str):
+    """Temporal usage heatmap: event counts by (ISO weekday, hour) —
+    the seasonality profile of a traffic pipeline.  Per-block partials
+    over the two derived keys make the exchange at most 168 rows per
+    block; epoch arithmetic replays DuckDB's isodow/hour exactly."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "events", columns=["ts"])
+
+    def _keys(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        day_i = us // (86_400 * 1_000_000)
+        part = pd.DataFrame(
+            {
+                # epoch day 0 = Thursday = isodow 4
+                "isodow": ((day_i + 3) % 7) + 1,
+                "hour": (us // 3_600_000_000) % 24,
+            }
+        )
+        return part.groupby(["isodow", "hour"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    g = grouped_agg(
+        ds.map_batches(_keys, batch_format="pandas"),
+        ["isodow", "hour"], {"n_events": ("n", "sum")},
+    ).to_pandas()
+    out = g.astype(
+        {"isodow": np.int64, "hour": np.int64, "n_events": np.int64}
+    )
+    return out.sort_values(["isodow", "hour"]).reset_index(drop=True)
+
+
+SQL_EVENTS_WEEKDAY_HOUR = """
+SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES.update(
+    {
+        "kg_adamic_adar": q_kg_adamic_adar,
+        "events_weekday_hour": q_events_weekday_hour,
+    }
+)
+ORACLE.update(
+    {
+        "kg_adamic_adar": _sql_kg_adamic_adar(0.01),
+        "events_weekday_hour": SQL_EVENTS_WEEKDAY_HOUR,
     }
 )
 

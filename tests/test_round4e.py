@@ -665,3 +665,41 @@ def test_centroid_partials_long_form_additive():
     out = _centroid_partials(df).set_index(["label", "dim"])
     assert out.loc[(1, 1), "s"] == 4.0 and out.loc[(1, 2), "s"] == 2.0
     assert out.loc[(1, 1), "n"] == 2 and out.loc[(2, 1), "n"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar wedge weights + weekday/hour keys
+# ---------------------------------------------------------------------------
+
+def test_aa_wedge_weight_is_inverse_log_degree():
+    from bioontologykg_ray.pipelines.queries import _aa_wedge_apply
+
+    # center c has 3 neighbors -> weight 1/ln(3) on each pair
+    df = pd.DataFrame({"v": ["c"] * 3, "u": ["a", "b", "d"]})
+    out = _aa_wedge_apply(df)
+    assert len(out) == 3
+    assert np.allclose(out["w"], 1.0 / np.log(3.0))
+
+
+def test_aa_degree_is_per_center():
+    from bioontologykg_ray.pipelines.queries import _aa_wedge_apply
+
+    df = pd.DataFrame(
+        {"v": ["c1", "c1", "c2", "c2", "c2"], "u": ["a", "b", "a", "b", "d"]}
+    )
+    out = _aa_wedge_apply(df)
+    w = dict(zip(zip(out["x"], out["y"]), out["w"]))
+    # pair (a,b) appears under both centers with different degrees
+    assert len(out) == 4  # 1 pair from c1 + 3 from c2
+    assert np.isclose(out[out["w"] == 1.0 / np.log(2.0)]["w"].iloc[0], 1.0 / np.log(2.0))
+
+
+def test_weekday_epoch_anchor():
+    # 1970-01-01 was a Thursday: isodow 4
+    us = np.array(["1970-01-01T12:00:00"], dtype="datetime64[us]").astype(np.int64)
+    day_i = us // (86_400 * 1_000_000)
+    assert (((day_i + 3) % 7) + 1).tolist() == [4]
+    # 2024-01-01 was a Monday: isodow 1
+    us = np.array(["2024-01-01T00:30:00"], dtype="datetime64[us]").astype(np.int64)
+    day_i = us // (86_400 * 1_000_000)
+    assert (((day_i + 3) % 7) + 1).tolist() == [1]
