@@ -6997,6 +6997,143 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4e (cont.): sliding-window COUNT DISTINCT + singleton groups
+# =========================================================================
+
+
+_COVER_EMPTY = pd.DataFrame(
+    {
+        "day_i": pd.Series(dtype=np.int64),
+        "delta": pd.Series(dtype=np.int64),
+    }
+)
+
+_ROLL_WIN_DAYS = 7
+
+
+def _coverage_deltas_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-user coverage intervals for the trailing-7d distinct count:
+    a user active on day d is 'present' in the windows of days
+    d..d+6, so each active day contributes the interval [d, d+6];
+    overlapping/adjacent intervals merge (one user never counts twice),
+    and each merged interval becomes a +1 at start and a -1 past its
+    end.  Complete user groups; the merge is a vectorized run-break
+    scan over the user's sorted distinct days."""
+    if df.empty:
+        return _COVER_EMPTY.copy()
+    d = df[["user_id", "day_i"]].drop_duplicates().sort_values(
+        ["user_id", "day_i"]
+    )
+    uid = d["user_id"].to_numpy(np.int64)
+    day = d["day_i"].to_numpy(np.int64)
+    # a new merged interval starts where the user changes OR the gap
+    # since the previous active day exceeds the window length
+    brk = np.r_[
+        True, (uid[1:] != uid[:-1]) | (day[1:] - day[:-1] > _ROLL_WIN_DAYS - 1)
+    ]
+    starts = day[brk]
+    # interval end = last active day of the run + window - 1
+    idx = np.flatnonzero(brk)
+    last = np.r_[idx[1:], len(day)] - 1
+    ends = day[last] + (_ROLL_WIN_DAYS - 1)
+    return pd.DataFrame(
+        {
+            "day_i": np.concatenate([starts, ends + 1]),
+            "delta": np.concatenate(
+                [np.ones(len(starts), np.int64), -np.ones(len(ends), np.int64)]
+            ),
+        }
+    )
+
+
+def q_rolling_7d_active_users(sf_dir: str):
+    """Sliding-window COUNT DISTINCT — trailing-7-day distinct active
+    users per calendar day — WITHOUT per-window distinct state: each
+    user's active days collapse to merged coverage intervals (one keyed
+    exchange over complete user groups), intervals become +/-1 boundary
+    deltas, one grouped sum reduces them per day, and a cumulative scan
+    over the dimension-sized delta table yields every window's count.
+    The corpus is read once; nothing user-x-window-sized ever
+    materializes.  Output spans the full day spine of the data."""
+    from bioontologykg_ray.stages.agg import grouped_agg, sorted_group_apply
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
+    days = ds.map_batches(lambda df: _event_days(df, True), batch_format="pandas")
+    deltas = sorted_group_apply(
+        days, "user_id", _coverage_deltas_apply, _COVER_EMPTY
+    )
+    g = grouped_agg(deltas, ["day_i"], {"delta": ("delta", "sum")}).to_pandas()
+    g = g.sort_values("day_i").reset_index(drop=True)
+    dcum = np.cumsum(g["delta"].to_numpy(np.int64))
+    # evaluate the step function on the observed-data day spine
+    lo = int(g["day_i"].min())
+    hi = int(g["day_i"].max()) - _ROLL_WIN_DAYS  # last day with events
+    spine = np.arange(lo, hi + 1, dtype=np.int64)
+    pos = np.searchsorted(g["day_i"].to_numpy(np.int64), spine, side="right") - 1
+    return pd.DataFrame(
+        {
+            "day": _day_str(spine),
+            "active_7d": dcum[pos],
+        }
+    )
+
+
+SQL_ROLLING_7D_ACTIVE_USERS = """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+b AS (SELECT min(d) AS lo, max(d) AS hi FROM d),
+s AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        AS day FROM b)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT d.user_id) AS BIGINT) AS active_7d
+FROM s LEFT JOIN d
+  ON d.d BETWEEN s.day - INTERVAL 6 DAY AND s.day
+GROUP BY s.day
+"""
+
+
+def q_single_order_customers(sf_dir: str):
+    """Singleton-group detection: customers with EXACTLY one order,
+    paired with that order.  One grouped exchange carrying (count,
+    min-key, max-key) per customer — the min==max trick recovers the
+    lone member without a second join."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    g = grouped_agg(
+        ds, ["o_custkey"],
+        {"n": ("o_orderkey", "count"), "k": ("o_orderkey", "min")},
+    ).to_pandas()
+    one = g[g["n"] == 1]
+    out = pd.DataFrame(
+        {
+            "o_custkey": one["o_custkey"].astype(np.int64),
+            "o_orderkey": one["k"].astype(np.int64),
+        }
+    )
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+SQL_SINGLE_ORDER_CUSTOMERS = """
+SELECT o_custkey, min(o_orderkey) AS o_orderkey
+FROM orders GROUP BY o_custkey HAVING count(*) = 1
+"""
+
+
+QUERIES.update(
+    {
+        "rolling_7d_active_users": q_rolling_7d_active_users,
+        "single_order_customers": q_single_order_customers,
+    }
+)
+ORACLE.update(
+    {
+        "rolling_7d_active_users": SQL_ROLLING_7D_ACTIVE_USERS,
+        "single_order_customers": SQL_SINGLE_ORDER_CUSTOMERS,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

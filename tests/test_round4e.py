@@ -703,3 +703,52 @@ def test_weekday_epoch_anchor():
     us = np.array(["2024-01-01T00:30:00"], dtype="datetime64[us]").astype(np.int64)
     day_i = us // (86_400 * 1_000_000)
     assert (((day_i + 3) % 7) + 1).tolist() == [1]
+
+
+# ---------------------------------------------------------------------------
+# sliding-window COUNT DISTINCT coverage deltas
+# ---------------------------------------------------------------------------
+
+def _days_df(users, day_is):
+    return pd.DataFrame(
+        {
+            "user_id": np.asarray(users, np.int64),
+            "day_i": np.asarray(day_is, np.int64),
+        }
+    )
+
+
+def test_coverage_merges_overlapping_intervals():
+    from bioontologykg_ray.pipelines.queries import _coverage_deltas_apply
+
+    # active days 10 and 13 (gap 3 <= 6): ONE merged interval [10, 19]
+    out = _coverage_deltas_apply(_days_df([1, 1], [10, 13]))
+    d = dict(zip(out["day_i"], out["delta"]))
+    assert d == {10: 1, 20: -1}
+
+
+def test_coverage_splits_distant_intervals():
+    from bioontologykg_ray.pipelines.queries import _coverage_deltas_apply
+
+    # gap 7 > 6: two intervals [10,16] -> (10,+1),(17,-1) and
+    # [17,23] -> (17,+1),(24,-1); the day-17 rows cancel in the grouped sum
+    out = _coverage_deltas_apply(_days_df([1, 1], [10, 17]))
+    assert sorted(zip(out["day_i"], out["delta"])) == [
+        (10, 1), (17, -1), (17, 1), (24, -1),
+    ]
+
+
+def test_coverage_per_user_independent():
+    from bioontologykg_ray.pipelines.queries import _coverage_deltas_apply
+
+    out = _coverage_deltas_apply(_days_df([1, 2], [10, 10]))
+    # two users, same day: two +1 deltas at 10 (distinct count 2)
+    assert (out[out["delta"] == 1]["day_i"] == 10).all()
+    assert len(out[out["delta"] == 1]) == 2
+
+
+def test_coverage_dedups_same_day_events():
+    from bioontologykg_ray.pipelines.queries import _coverage_deltas_apply
+
+    out = _coverage_deltas_apply(_days_df([1, 1, 1], [10, 10, 10]))
+    assert sorted(zip(out["day_i"], out["delta"])) == [(10, 1), (17, -1)]
