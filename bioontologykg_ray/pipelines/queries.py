@@ -7134,6 +7134,177 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4e (cont.): MoM deltas, relational division, weighted mean
+# =========================================================================
+
+
+def q_monthly_revenue_mom(sf_dir: str):
+    """Month-over-month revenue: calendar-month totals (one grouped
+    cent-int exchange, per-block partials) with the LAG-derived delta
+    computed over the dimension-sized month table; the percent change
+    ships as exact integer ppm of the previous month."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _parts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].to_numpy("datetime64[us]").astype("datetime64[M]")
+        part = pd.DataFrame(
+            {
+                "month_i": d.astype(np.int64),
+                "cents": np.round(
+                    df["o_totalprice"].to_numpy(np.float64) * 100
+                ).astype(np.int64),
+            }
+        )
+        return part.groupby("month_i", as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")
+        )
+
+    g = grouped_agg(
+        ds.map_batches(_parts, batch_format="pandas"),
+        ["month_i"],
+        {"n_orders": ("n", "sum"), "sum_cents": ("sum_cents", "sum")},
+    ).to_pandas()
+    g = g.sort_values("month_i").reset_index(drop=True)
+    cents = g["sum_cents"].to_numpy(np.int64)
+    prev = np.r_[0, cents[:-1]]
+    # DuckDB // truncates toward zero; numpy // floors — sign-split so
+    # negative month-over-month deltas divide identically
+    num = (cents - prev) * 1_000_000
+    trunc = np.sign(num) * (np.abs(num) // np.maximum(prev, 1))
+    mom = np.where(prev > 0, trunc, 0)
+    month = g["month_i"].to_numpy(np.int64).astype("datetime64[M]")
+    return pd.DataFrame(
+        {
+            "month": month.astype("datetime64[D]").astype(str),
+            "n_orders": g["n_orders"].astype(np.int64),
+            "revenue": cents / 100.0,
+            "mom_ppm": mom.astype(np.int64),
+        }
+    )
+
+
+SQL_MONTHLY_REVENUE_MOM = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mo,
+         count(*) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1)
+SELECT strftime(mo, '%Y-%m-%d') AS month,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(CASE WHEN lag(cents) OVER (ORDER BY mo) IS NULL THEN 0
+                 ELSE (cents - lag(cents) OVER (ORDER BY mo)) * 1000000
+                      // lag(cents) OVER (ORDER BY mo) END AS BIGINT)
+         AS mom_ppm
+FROM m
+"""
+
+
+def q_customers_all_orders_final(sf_dir: str):
+    """Relational division (universal quantification): customers ALL of
+    whose orders have status 'F' — the FOR-ALL predicate expressed as
+    one grouped exchange carrying (total, matching) conditional counts
+    and an equality filter over the dimension-sized result."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+
+    def _flags(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].to_numpy(np.int64),
+                "one": np.ones(len(df), np.int64),
+                "fin": (df["o_orderstatus"].to_numpy() == "F").astype(np.int64),
+            }
+        )
+        return part.groupby("o_custkey", as_index=False).sum()
+
+    g = grouped_agg(
+        ds.map_batches(_flags, batch_format="pandas"),
+        ["o_custkey"], {"n": ("one", "sum"), "f": ("fin", "sum")},
+    ).to_pandas()
+    sel = g[g["n"] == g["f"]]
+    out = pd.DataFrame(
+        {
+            "o_custkey": sel["o_custkey"].astype(np.int64),
+            "n_orders": sel["n"].astype(np.int64),
+        }
+    )
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+SQL_CUSTOMERS_ALL_ORDERS_FINAL = """
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_custkey
+HAVING count(*) = sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+"""
+
+
+def q_weighted_avg_qty_per_flag(sf_dir: str):
+    """Price-weighted mean quantity per return flag: SUM(w*x)/SUM(w)
+    with both sums exact cent-integers (w = extendedprice cents,
+    x = integer quantity), combined additively per block — the weighted
+    companion to the plain AVG aggregates."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def _parts(df: pd.DataFrame) -> pd.DataFrame:
+        w = np.round(df["l_extendedprice"].to_numpy(np.float64) * 100).astype(
+            np.int64
+        )
+        x = np.round(df["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        part = pd.DataFrame(
+            {"l_returnflag": df["l_returnflag"].to_numpy(), "wx": w * x, "w": w}
+        )
+        return part.groupby("l_returnflag", as_index=False).sum()
+
+    g = grouped_agg(
+        ds.map_batches(_parts, batch_format="pandas"),
+        ["l_returnflag"], {"wx": ("wx", "sum"), "w": ("w", "sum")},
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "l_returnflag": g["l_returnflag"],
+            "weighted_avg_qty": g["wx"].to_numpy(np.int64)
+            / g["w"].to_numpy(np.int64),
+        }
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_WEIGHTED_AVG_QTY_PER_FLAG = """
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+       / sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+         AS weighted_avg_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+QUERIES.update(
+    {
+        "monthly_revenue_mom": q_monthly_revenue_mom,
+        "customers_all_orders_final": q_customers_all_orders_final,
+        "weighted_avg_qty_per_flag": q_weighted_avg_qty_per_flag,
+    }
+)
+ORACLE.update(
+    {
+        "monthly_revenue_mom": SQL_MONTHLY_REVENUE_MOM,
+        "customers_all_orders_final": SQL_CUSTOMERS_ALL_ORDERS_FINAL,
+        "weighted_avg_qty_per_flag": SQL_WEIGHTED_AVG_QTY_PER_FLAG,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

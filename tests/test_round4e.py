@@ -752,3 +752,20 @@ def test_coverage_dedups_same_day_events():
 
     out = _coverage_deltas_apply(_days_df([1, 1, 1], [10, 10, 10]))
     assert sorted(zip(out["day_i"], out["delta"])) == [(10, 1), (17, -1)]
+
+
+# ---------------------------------------------------------------------------
+# MoM truncating division parity
+# ---------------------------------------------------------------------------
+
+def test_trunc_division_matches_duckdb_semantics():
+    import duckdb
+
+    num = np.array([-7_000_000, 7_000_000, -1], np.int64)
+    den = np.array([2, 2, 3], np.int64)
+    ours = np.sign(num) * (np.abs(num) // den)
+    theirs = [
+        duckdb.sql(f"SELECT {int(a)} // {int(b)}").fetchone()[0]
+        for a, b in zip(num, den)
+    ]
+    assert ours.tolist() == theirs
