@@ -7305,6 +7305,119 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4e (cont.): chi-square independence + feature hashing
+# =========================================================================
+
+
+def q_lang_source_chi2(sf_dir: str):
+    """Chi-square independence audit of the (lang, source) contingency
+    table — does document language depend on corpus source?  One
+    grouped exchange for the observed cells; margins and the per-cell
+    (O-E)^2/E contributions fold on the driver over the dimension-sized
+    table.  Expected counts use exact integer margin products before
+    the one double division, so both engines agree to the 6dp round."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "documents", columns=["lang", "source"])
+    c = grouped_agg(
+        ds, ["lang", "source"], {"o": ("lang", "count")}
+    ).to_pandas()
+    rt = c.groupby("lang")["o"].sum()
+    ct = c.groupby("source")["o"].sum()
+    tot = float(c["o"].sum())
+    o = c["o"].to_numpy(np.int64)
+    e = (
+        c["lang"].map(rt).to_numpy(np.int64)
+        * c["source"].map(ct).to_numpy(np.int64)
+    ) / tot
+    out = pd.DataFrame(
+        {
+            "lang": c["lang"],
+            "source": c["source"],
+            "observed": o,
+            "expected": pd.Series(e).round(6),
+            "contrib": pd.Series((o - e) ** 2 / e).round(6),
+        }
+    )
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+SQL_LANG_SOURCE_CHI2 = """
+WITH c AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, sum(o) AS rt FROM c GROUP BY 1),
+k AS (SELECT source, sum(o) AS ct FROM c GROUP BY 1),
+t AS (SELECT sum(o) AS tot FROM c)
+SELECT c.lang, c.source, CAST(o AS BIGINT) AS observed,
+       round((rt * ct) / CAST(tot AS DOUBLE), 6) AS expected,
+       round(pow(o - (rt * ct) / CAST(tot AS DOUBLE), 2)
+             / ((rt * ct) / CAST(tot AS DOUBLE)), 6) AS contrib
+FROM c JOIN r USING (lang) JOIN k USING (source) CROSS JOIN t
+"""
+
+
+_N_FEATURE_BUCKETS = 64
+
+
+def _hash_feature_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Feature-hashing vectorizer (the hashing trick, Weinberger et al.
+    2009): whitespace tokens scatter into 64 buckets by md5-low64 —
+    bit-identical to DuckDB's md5_number_lower, so the featurization is
+    SQL-verifiable.  A doc sits wholly in one row, so per-doc bucket
+    counts are block-local and final (no exchange); hashing runs once
+    per DISTINCT token per block."""
+    from bioontologykg_ray.functions.hashing import md5_low64
+
+    toks = df["text"].fillna("").str.split(" ")
+    lens = toks.str.len().to_numpy(np.int64)
+    flat = toks.explode().to_numpy(dtype=object)
+    doc = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    b = np.fromiter(
+        (md5_low64(t) % _N_FEATURE_BUCKETS for t in uniq), np.int64, len(uniq)
+    )
+    part = pd.DataFrame({"doc_id": doc, "bucket": b[inv]})
+    out = part.groupby(["doc_id", "bucket"], as_index=False).size()
+    return out.rename(columns={"size": "n"})
+
+
+def q_hashed_token_features(sf_dir: str):
+    """Sparse feature matrix via the hashing trick: per-doc counts over
+    64 md5 buckets — the fixed-width featurization step ahead of linear
+    model training.  Embarrassingly parallel (docs are row-atomic);
+    output is the sparse COO triple list."""
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        _hash_feature_partials, batch_format="pandas"
+    ).to_pandas()
+    out = out.astype({"doc_id": np.int64, "bucket": np.int64, "n": np.int64})
+    return out.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+
+
+SQL_HASHED_TOKEN_FEATURES = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT doc_id,
+       CAST(md5_number_lower(w) % 64 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM tok GROUP BY 1, 2
+"""
+
+
+QUERIES.update(
+    {
+        "lang_source_chi2": q_lang_source_chi2,
+        "hashed_token_features": q_hashed_token_features,
+    }
+)
+ORACLE.update(
+    {
+        "lang_source_chi2": SQL_LANG_SOURCE_CHI2,
+        "hashed_token_features": SQL_HASHED_TOKEN_FEATURES,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

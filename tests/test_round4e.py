@@ -769,3 +769,44 @@ def test_trunc_division_matches_duckdb_semantics():
         for a, b in zip(num, den)
     ]
     assert ours.tolist() == theirs
+
+
+# ---------------------------------------------------------------------------
+# feature hashing + chi-square cells
+# ---------------------------------------------------------------------------
+
+def test_hash_features_counts_and_buckets():
+    from bioontologykg_ray.functions.hashing import md5_low64
+    from bioontologykg_ray.pipelines.queries import _hash_feature_partials
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["cat cat dog"]})
+    out = _hash_feature_partials(df).set_index("bucket")["n"]
+    assert out.loc[md5_low64("cat") % 64] == 2
+    assert out.loc[md5_low64("dog") % 64] == 1
+
+
+def test_hash_features_doc_isolation():
+    from bioontologykg_ray.pipelines.queries import _hash_feature_partials
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["x", "x"]})
+    out = _hash_feature_partials(df)
+    assert len(out) == 2 and set(out["doc_id"]) == {1, 2}
+    assert (out["n"] == 1).all()
+
+
+def test_chi2_expected_matches_margins(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from bioontologykg_ray.pipelines.queries import q_lang_source_chi2
+
+    df = pd.DataFrame(
+        {
+            "lang": ["en", "en", "de", "de"],
+            "source": ["web", "web", "web", "book"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+    out = q_lang_source_chi2(str(tmp_path)).set_index(["lang", "source"])
+    # en/web: rt=2, ct=3, tot=4 -> expected 1.5, contrib (2-1.5)^2/1.5
+    assert out.loc[("en", "web"), "expected"] == 1.5
+    assert out.loc[("en", "web"), "contrib"] == round(0.25 / 1.5, 6)
