@@ -7418,6 +7418,188 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4e (cont.): RFM segmentation + per-language TF-IDF top terms
+# =========================================================================
+
+
+def q_user_rfm_scores(sf_dir: str):
+    """RFM customer segmentation (recency / frequency / monetary):
+    per-user last-activity day, event count and exact cent-int value
+    sum from ONE grouped exchange, then NTILE(5) quintile scores per
+    dimension over the dimension-sized user table (deterministic
+    user_id tie-break; recency quintiles order most-recent-first).
+    The standard behavioral-segmentation primitive."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def _parts(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "day_i": df["ts"].to_numpy("datetime64[us]")
+                .astype("datetime64[D]").astype(np.int64),
+                "cents": np.round(
+                    df["value"].to_numpy(np.float64) * 100
+                ).astype(np.int64),
+            }
+        )
+        return part.groupby("user_id", as_index=False).agg(
+            last_day=("day_i", "max"), n=("day_i", "size"), cents=("cents", "sum")
+        )
+
+    g = grouped_agg(
+        ds.map_batches(_parts, batch_format="pandas"),
+        ["user_id"],
+        {"last_day": ("last_day", "max"), "n_events": ("n", "sum"),
+         "cents": ("cents", "sum")},
+    ).to_pandas()
+
+    def _ntile5(keys: list[np.ndarray]) -> np.ndarray:
+        order = np.lexsort(keys[::-1])  # first key most significant
+        n = len(order)
+        m, q = n % 5, n // 5
+        big = m * (q + 1)
+        pos = np.arange(n)
+        tile = np.where(
+            pos < big, pos // (q + 1), m + (pos - big) // np.maximum(q, 1)
+        ) + 1
+        out = np.empty(n, np.int64)
+        out[order] = tile
+        return out
+
+    uid = g["user_id"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "user_id": uid,
+            # recency: most recent day first
+            "r_score": _ntile5([-g["last_day"].to_numpy(np.int64), uid]),
+            # frequency / monetary: largest first
+            "f_score": _ntile5([-g["n_events"].to_numpy(np.int64), uid]),
+            "m_score": _ntile5([-g["cents"].to_numpy(np.int64), uid]),
+        }
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_RFM_SCORES = """
+WITH u AS (
+  SELECT user_id, max(CAST(ts AS DATE)) AS last_day, count(*) AS n,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1)
+SELECT user_id,
+       CAST(ntile(5) OVER (ORDER BY last_day DESC, user_id) AS BIGINT)
+         AS r_score,
+       CAST(ntile(5) OVER (ORDER BY n DESC, user_id) AS BIGINT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY cents DESC, user_id) AS BIGINT)
+         AS m_score
+FROM u
+"""
+
+
+def q_lang_top_tfidf_terms(sf_dir: str):
+    """Per-language top-5 terms by TF-IDF (tf x ln(N/df)): language-
+    grouped term counts and corpus document frequencies from two
+    block-preaggregated exchanges; the scoring join and per-language
+    top-5 run over the aggregated dictionary.  Rank uses the ROUNDED
+    score (identical in both engines) with a term tie-break, the same
+    convention the BM25/RRF entries pin."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def _lang_tf(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        part = pd.DataFrame(
+            {
+                "lang": np.repeat(df["lang"].to_numpy(), lens),
+                "token": toks.explode().to_numpy(dtype=object),
+            }
+        )
+        return part.groupby(["lang", "token"], as_index=False).size().rename(
+            columns={"size": "tf"}
+        )
+
+    def _df_parts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        part = pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), lens),
+                "token": toks.explode().to_numpy(dtype=object),
+            }
+        ).drop_duplicates()
+        out = part.groupby("token", as_index=False).size()
+        return out.rename(columns={"size": "df"})
+
+    tf = grouped_agg(
+        ds.map_batches(_lang_tf, batch_format="pandas"),
+        ["lang", "token"], {"tf": ("tf", "sum")},
+    ).to_pandas()
+    dfreq = grouped_agg(
+        ds.map_batches(_df_parts, batch_format="pandas"),
+        ["token"], {"df": ("df", "sum")},
+    ).to_pandas()
+    n_docs = float(_rp(sf_dir, "documents", columns=["doc_id"]).count())
+    m = tf.merge(dfreq, on="token")
+    score = pd.Series(
+        m["tf"].to_numpy(np.float64)
+        * np.log(n_docs / m["df"].to_numpy(np.float64))
+    ).round(6)
+    m = m.assign(tfidf=score)
+    m = m.sort_values(
+        ["lang", "tfidf", "token"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    top = m.groupby("lang", as_index=False).head(5)
+    out = pd.DataFrame(
+        {
+            "lang": top["lang"].to_numpy(),
+            "token": top["token"].to_numpy(),
+            "tf": top["tf"].to_numpy(np.int64),
+            "tfidf": top["tfidf"].to_numpy(np.float64),
+        }
+    )
+    return out.sort_values(["lang", "token"]).reset_index(drop=True)
+
+
+SQL_LANG_TOP_TFIDF_TERMS = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents),
+tf AS (SELECT lang, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (
+  SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+s AS (
+  SELECT lang, w AS token, tf,
+         round(tf * ln(nd / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY lang ORDER BY tfidf DESC, token) AS rk
+  FROM s)
+SELECT lang, token, CAST(tf AS BIGINT) AS tf, tfidf
+FROM r WHERE rk <= 5
+"""
+
+
+QUERIES.update(
+    {
+        "user_rfm_scores": q_user_rfm_scores,
+        "lang_top_tfidf_terms": q_lang_top_tfidf_terms,
+    }
+)
+ORACLE.update(
+    {
+        "user_rfm_scores": SQL_USER_RFM_SCORES,
+        "lang_top_tfidf_terms": SQL_LANG_TOP_TFIDF_TERMS,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

@@ -810,3 +810,38 @@ def test_chi2_expected_matches_margins(tmp_path):
     # en/web: rt=2, ct=3, tot=4 -> expected 1.5, contrib (2-1.5)^2/1.5
     assert out.loc[("en", "web"), "expected"] == 1.5
     assert out.loc[("en", "web"), "contrib"] == round(0.25 / 1.5, 6)
+
+
+# ---------------------------------------------------------------------------
+# RFM quintiles
+# ---------------------------------------------------------------------------
+
+def test_rfm_ntile_front_loads_like_sql():
+    from bioontologykg_ray.pipelines.queries import q_user_rfm_scores  # noqa: F401
+    # ntile semantics already covered end-to-end by conformance; here we
+    # pin the helper shape indirectly through a tiny synthetic parquet
+    # in test_rfm_tiny below.
+
+
+def test_rfm_tiny(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from bioontologykg_ray.pipelines.queries import q_user_rfm_scores
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-10", "2024-01-02", "2024-01-05", "2024-01-01"]
+            ),
+            "value": [10.0, 5.0, 100.0, 1.0],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+    out = q_user_rfm_scores(str(tmp_path)).set_index("user_id")
+    # user 1: most recent + most frequent + mid monetary
+    assert out.loc[1, "r_score"] == 1 and out.loc[1, "f_score"] == 1
+    # user 2: highest monetary
+    assert out.loc[2, "m_score"] == 1
+    # user 3: least recent, least valuable
+    assert out.loc[3, "r_score"] == 3 and out.loc[3, "m_score"] == 3
