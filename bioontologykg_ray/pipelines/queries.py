@@ -7600,6 +7600,120 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4e (cont.): group-size distribution quantiles + 3-way set algebra
+# =========================================================================
+
+
+def q_orders_per_cust_quantiles(sf_dir: str):
+    """Distribution-of-group-sizes profile: exact p50/p90/p99 of the
+    per-customer order count — the skew diagnostic that decides salting
+    and partition sizing.  Double aggregation: exchange 1 counts per
+    customer, exchange 2 histograms the counts (bounded cardinality);
+    the rank-rule pick (value at row ceil(q*n) of the sorted counts)
+    runs over the tiny histogram."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "orders", columns=["o_custkey"])
+    per = grouped_agg(ds, ["o_custkey"], {"n": ("o_custkey", "count")})
+    hist = grouped_agg(per, ["n"], {"m": ("n", "count")}).to_pandas()
+    hist = hist.sort_values("n").reset_index(drop=True)
+    vals = hist["n"].to_numpy(np.int64)
+    cum = hist["m"].to_numpy(np.int64).cumsum()
+    t = int(cum[-1])
+
+    def pick(q: float) -> int:
+        r = int(np.ceil(q * t))
+        return int(vals[int(np.searchsorted(cum, r, side="left"))])
+
+    return pd.DataFrame(
+        {
+            "n_customers": [np.int64(t)],
+            "p50": [np.int64(pick(0.5))],
+            "p90": [np.int64(pick(0.9))],
+            "p99": [np.int64(pick(0.99))],
+        }
+    )
+
+
+SQL_ORDERS_PER_CUST_QUANTILES = """
+WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+o AS (SELECT n, row_number() OVER (ORDER BY n) AS r,
+             count(*) OVER () AS t
+      FROM c)
+SELECT CAST(max(t) AS BIGINT) AS n_customers,
+       CAST(max(CASE WHEN r = CAST(ceil(0.50 * t) AS BIGINT) THEN n END)
+            AS BIGINT) AS p50,
+       CAST(max(CASE WHEN r = CAST(ceil(0.90 * t) AS BIGINT) THEN n END)
+            AS BIGINT) AS p90,
+       CAST(max(CASE WHEN r = CAST(ceil(0.99 * t) AS BIGINT) THEN n END)
+            AS BIGINT) AS p99
+FROM o
+"""
+
+
+def q_engaged_non_purchasers(sf_dir: str):
+    """Three-way set algebra ((signup INTERSECT click) EXCEPT purchase):
+    the retargeting audience — engaged users who never bought.  One
+    pushdown-filtered read, per-row one-hot flags, one grouped max
+    exchange, dimension-sized filter; completes the UNION / INTERSECT /
+    EXCEPT family."""
+    import pyarrow.dataset as pads
+
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(
+        sf_dir, "events", columns=["user_id", "event_type"],
+        filter=pads.field("event_type").isin(["signup", "click", "purchase"]),
+    )
+
+    def _flags(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["event_type"].to_numpy()
+        part = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "s": (t == "signup").astype(np.int64),
+                "c": (t == "click").astype(np.int64),
+                "p": (t == "purchase").astype(np.int64),
+            }
+        )
+        return part.groupby("user_id", as_index=False).max()
+
+    g = grouped_agg(
+        ds.map_batches(_flags, batch_format="pandas"),
+        ["user_id"],
+        {"s": ("s", "max"), "c": ("c", "max"), "p": ("p", "max")},
+    ).to_pandas()
+    sel = g[(g["s"] > 0) & (g["c"] > 0) & (g["p"] == 0)]
+    return (
+        pd.DataFrame({"user_id": sel["user_id"].astype(np.int64)})
+        .sort_values("user_id").reset_index(drop=True)
+    )
+
+
+SQL_ENGAGED_NON_PURCHASERS = """
+(SELECT user_id FROM events WHERE event_type = 'signup'
+ INTERSECT
+ SELECT user_id FROM events WHERE event_type = 'click')
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+QUERIES.update(
+    {
+        "orders_per_cust_quantiles": q_orders_per_cust_quantiles,
+        "engaged_non_purchasers": q_engaged_non_purchasers,
+    }
+)
+ORACLE.update(
+    {
+        "orders_per_cust_quantiles": SQL_ORDERS_PER_CUST_QUANTILES,
+        "engaged_non_purchasers": SQL_ENGAGED_NON_PURCHASERS,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

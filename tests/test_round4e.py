@@ -845,3 +845,41 @@ def test_rfm_tiny(tmp_path):
     assert out.loc[2, "m_score"] == 1
     # user 3: least recent, least valuable
     assert out.loc[3, "r_score"] == 3 and out.loc[3, "m_score"] == 3
+
+
+# ---------------------------------------------------------------------------
+# group-size quantile rank rule + set algebra
+# ---------------------------------------------------------------------------
+
+def test_group_size_quantiles_tiny(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from bioontologykg_ray.pipelines.queries import q_orders_per_cust_quantiles
+
+    # per-customer counts: [1, 1, 2, 4] -> p50 = 2nd smallest = 1,
+    # p90 = ceil(3.6)=4th = 4, p99 = 4th = 4
+    df = pd.DataFrame({"o_custkey": [1, 2, 3, 3, 4, 4, 4, 4]})
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "orders.parquet")
+    out = q_orders_per_cust_quantiles(str(tmp_path)).iloc[0]
+    assert out["n_customers"] == 4
+    assert out["p50"] == 1 and out["p90"] == 4 and out["p99"] == 4
+
+
+def test_engaged_non_purchasers_tiny(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from bioontologykg_ray.pipelines.queries import q_engaged_non_purchasers
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "event_type": [
+                "signup", "click", "purchase",   # user 1: bought -> out
+                "signup", "click",               # user 2: engaged, no buy
+                "signup",                        # user 3: no click -> out
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+    out = q_engaged_non_purchasers(str(tmp_path))
+    assert out["user_id"].tolist() == [2]
