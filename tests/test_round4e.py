@@ -883,3 +883,55 @@ def test_engaged_non_purchasers_tiny(tmp_path):
     pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
     out = q_engaged_non_purchasers(str(tmp_path))
     assert out["user_id"].tolist() == [2]
+
+
+# ---------------------------------------------------------------------------
+# debounce + k-means assignment kernels
+# ---------------------------------------------------------------------------
+
+def test_debounce_collapses_fast_repeats():
+    from bioontologykg_ray.pipelines.queries import _debounce_partials
+
+    df = _ev(
+        [1, 2, 3, 4],
+        [7, 7, 7, 7],
+        [
+            "2024-01-01 10:00:00.000000",
+            "2024-01-01 10:00:00.500000",   # 0.5 s later: debounced
+            "2024-01-01 10:00:02.000000",   # 1.5 s after prev: kept
+            "2024-01-01 10:00:02.500000",   # 0.5 s later: debounced
+        ],
+    )
+    df["event_type"] = ["click"] * 4
+    out = _debounce_partials(df).set_index("event_type")
+    assert out.loc["click", "n_raw"] == 4
+    assert out.loc["click", "n_debounced"] == 2
+
+
+def test_debounce_type_streams_independent():
+    from bioontologykg_ray.pipelines.queries import _debounce_partials
+
+    df = _ev([1, 2], [7, 7], ["2024-01-01 10:00:00.000000"] * 2)
+    df["event_type"] = ["click", "view"]
+    out = _debounce_partials(df)
+    assert (out["n_debounced"] == 1).all() and len(out) == 2
+
+
+def test_kmeans_assignment_tiny(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from bioontologykg_ray.pipelines.queries import q_kmeans_assign_counts
+
+    # 8 seed vectors on the unit axes x0..x7; two extra vectors near
+    # seed 0 and seed 3
+    vecs = [np.eye(8, dtype=np.float32)[i] for i in range(8)]
+    vecs.append(np.array([0.9] + [0.0] * 7, np.float32))
+    vecs.append((np.eye(8, dtype=np.float32)[3] * 1.1).astype(np.float32))
+    df = pd.DataFrame(
+        {"vec_id": range(10), "embedding": [list(v) for v in vecs]}
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "embeddings.parquet")
+    out = q_kmeans_assign_counts(str(tmp_path)).set_index("centroid_id")
+    assert out.loc[0, "n_vecs"] == 2
+    assert out.loc[3, "n_vecs"] == 2
+    assert out["n_vecs"].sum() == 10
