@@ -7874,6 +7874,162 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4e (cont.): Benford audit + fact-to-fact ship-delay join
+# =========================================================================
+
+
+def _benford_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """First-significant-digit partial counts of the cent-int values —
+    string-based digit extraction (log10 is inexact at powers of ten);
+    zero values carry no leading digit and drop."""
+    cents = np.round(df["value"].to_numpy(np.float64) * 100).astype(np.int64)
+    cents = cents[cents > 0]
+    digit = (
+        pd.Series(cents).astype(str).str[0].astype(np.int64)
+        if len(cents)
+        else pd.Series(dtype=np.int64)
+    )
+    part = pd.DataFrame({"digit": digit, "one": 1})
+    return part.groupby("digit", as_index=False).sum().rename(
+        columns={"one": "n"}
+    )
+
+
+def q_value_benford_digits(sf_dir: str):
+    """Benford's-law audit of the event value column (the fraud /
+    synthetic-data smell test): observed first-significant-digit
+    distribution vs the log10(1+1/d) expectation.  Per-block partials
+    make the exchange <= 9 rows per block; shares ship as exact integer
+    ppm, expectations as the identical rounded double in both
+    engines."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "events", columns=["value"])
+    g = grouped_agg(
+        ds.map_batches(_benford_partials, batch_format="pandas"),
+        ["digit"], {"n": ("n", "sum")},
+    ).to_pandas()
+    g = g.sort_values("digit").reset_index(drop=True)
+    tot = int(g["n"].sum())
+    d = g["digit"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "digit": d,
+            "n": g["n"].astype(np.int64),
+            "observed_ppm": (g["n"].to_numpy(np.int64) * 1_000_000) // tot,
+            "benford_expected": pd.Series(np.log10(1.0 + 1.0 / d)).round(6),
+        }
+    )
+
+
+SQL_VALUE_BENFORD_DIGITS = """
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit
+  FROM events WHERE round(value * 100) > 0),
+g AS (SELECT digit, count(*) AS n FROM c GROUP BY 1),
+t AS (SELECT sum(n) AS tot FROM g)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // tot AS BIGINT) AS observed_ppm,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_expected
+FROM g CROSS JOIN t
+"""
+
+
+def q_ship_delay_by_priority(sf_dir: str):
+    """Fact-to-fact metric: days from order date to each lineitem's
+    ship date, aggregated per order priority.  Both sides are
+    corpus-sized, so the stitch is the partitioned hash join
+    (bucketed co-group — no broadcast); per-priority day sums stay
+    exact integers, the mean divides once at the end."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+    from bioontologykg_ray.stages.joins import hash_join
+
+    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                            "o_orderpriority", "o_orderdate"])
+    items = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def _okeyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["o_orderkey"].to_numpy(np.int64),
+                "o_orderpriority": df["o_orderpriority"].to_numpy(),
+                "oday": df["o_orderdate"].to_numpy("datetime64[us]")
+                .astype("datetime64[D]").astype(np.int64),
+            }
+        )
+
+    def _lkeyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["l_orderkey"].to_numpy(np.int64),
+                "sday": df["l_shipdate"].to_numpy("datetime64[us]")
+                .astype("datetime64[D]").astype(np.int64),
+            }
+        )
+
+    joined = hash_join(
+        orders.map_batches(_okeyed, batch_format="pandas"),
+        items.map_batches(_lkeyed, batch_format="pandas"),
+        on="key",
+    )
+
+    def _delay_parts(df: pd.DataFrame) -> pd.DataFrame:
+        delay = df["sday"].to_numpy(np.int64) - df["oday"].to_numpy(np.int64)
+        part = pd.DataFrame(
+            {"o_orderpriority": df["o_orderpriority"].to_numpy(),
+             "one": 1, "s": delay, "mx": delay}
+        )
+        return part.groupby("o_orderpriority", as_index=False).agg(
+            one=("one", "sum"), s=("s", "sum"), mx=("mx", "max")
+        )
+
+    g = grouped_agg(
+        joined.map_batches(_delay_parts, batch_format="pandas"),
+        ["o_orderpriority"],
+        {"n_items": ("one", "sum"), "s": ("s", "sum"), "max_delay": ("mx", "max")},
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "o_orderpriority": g["o_orderpriority"],
+            "n_items": g["n_items"].astype(np.int64),
+            "avg_delay_days": g["s"].to_numpy(np.int64)
+            / g["n_items"].to_numpy(np.int64),
+            "max_delay_days": g["max_delay"].astype(np.int64),
+        }
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_SHIP_DELAY_BY_PRIORITY = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(datediff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE))) AS DOUBLE)
+       / count(*) AS avg_delay_days,
+       CAST(max(datediff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE))) AS BIGINT)
+         AS max_delay_days
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES.update(
+    {
+        "value_benford_digits": q_value_benford_digits,
+        "ship_delay_by_priority": q_ship_delay_by_priority,
+    }
+)
+ORACLE.update(
+    {
+        "value_benford_digits": SQL_VALUE_BENFORD_DIGITS,
+        "ship_delay_by_priority": SQL_SHIP_DELAY_BY_PRIORITY,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

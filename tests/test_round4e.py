@@ -935,3 +935,19 @@ def test_kmeans_assignment_tiny(tmp_path):
     assert out.loc[0, "n_vecs"] == 2
     assert out.loc[3, "n_vecs"] == 2
     assert out["n_vecs"].sum() == 10
+
+
+# ---------------------------------------------------------------------------
+# Benford digit extraction
+# ---------------------------------------------------------------------------
+
+def test_benford_digit_extraction_and_zero_drop():
+    from bioontologykg_ray.pipelines.queries import _benford_partials
+
+    df = pd.DataFrame({"value": [0.00, 1.23, 9.87, 0.05, 123.45]})
+    out = _benford_partials(df).set_index("digit")["n"]
+    # cents: 0 (dropped), 123 -> 1, 987 -> 9, 5 -> 5, 12345 -> 1
+    assert out.loc[1] == 2
+    assert out.loc[9] == 1
+    assert out.loc[5] == 1
+    assert out.sum() == 4
