@@ -5450,13 +5450,14 @@ _STREAK_EMPTY = pd.DataFrame(
 
 
 def _streak_apply(df: pd.DataFrame) -> pd.DataFrame:
-    """Gaps-and-islands over complete user groups: distinct active days
-    per user, island id = day - rank (constant within a consecutive
-    run), longest island per user.  All pandas-groupby vectorized."""
+    """Gaps-and-islands over complete user groups of (user_id, day_i)
+    rows: island id = day - rank (constant within a consecutive run),
+    longest island per user.  Re-dedups across block fragments (the
+    per-block dedup in the map stage cannot see across blocks)."""
     if df.empty:
         return _STREAK_EMPTY.copy()
     d = (
-        _event_days(df, keep_user=True)
+        df[["user_id", "day_i"]]
         .drop_duplicates(["user_id", "day_i"])
         .sort_values(["user_id", "day_i"])
     )
@@ -5470,12 +5471,17 @@ def _streak_apply(df: pd.DataFrame) -> pd.DataFrame:
 def q_user_longest_streak(sf_dir: str):
     """Longest consecutive-day activity streak per user — the classic
     gaps-and-islands pattern (day minus dense rank is constant within
-    a run).  One keyed exchange for complete user groups; per-user
-    output is dimension-sized."""
+    a run).  Block-local (user, day) dedup shrinks the one keyed
+    exchange to near-dimension size; per-user output is
+    dimension-sized."""
     from bioontologykg_ray.stages.agg import sorted_group_apply
 
     ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
-    out = sorted_group_apply(ds, "user_id", _streak_apply, _STREAK_EMPTY).to_pandas()
+    days = ds.map_batches(
+        lambda df: _event_days(df, True).drop_duplicates(),
+        batch_format="pandas",
+    )
+    out = sorted_group_apply(days, "user_id", _streak_apply, _STREAK_EMPTY).to_pandas()
     out = out.astype({"user_id": np.int64, "longest_streak": np.int64})
     return out.sort_values("user_id").reset_index(drop=True)
 
@@ -5868,9 +5874,11 @@ def q_event_type_cooccurrence(sf_dir: str):
     from bioontologykg_ray.stages.agg import grouped_agg, sorted_group_apply
 
     ds = _rp(sf_dir, "events", columns=["user_id", "event_type"])
+    # materialized: three consumers below (pairs, supports, n_users)
+    # must not each re-run the corpus-sized count exchange
     distinct = grouped_agg(
         ds, ["user_id", "event_type"], {"c": ("event_type", "count")}
-    )
+    ).materialize()
     pairs = sorted_group_apply(distinct, "user_id", _type_pairs_apply, _PAIR_EMPTY)
     both = grouped_agg(
         pairs, ["type_a", "type_b"], {"both_users": ("user_id", "count")}
@@ -6874,8 +6882,9 @@ def _aa_wedge_apply(df: pd.DataFrame) -> pd.DataFrame:
     if df.empty:
         return _AA_EMPTY.copy()
     d = df[["v", "u"]]
-    deg = d.groupby("v")["u"].transform("size")
-    d = d.assign(w=1.0 / np.log(deg.to_numpy(np.float64)))
+    deg = d.groupby("v")["u"].transform("size").to_numpy(np.int64)
+    d = d[deg > 1]  # degree-1 centers emit no pairs; also keeps ln > 0
+    d = d.assign(w=1.0 / np.log(deg[deg > 1].astype(np.float64)))
     m = d.merge(d[["v", "u"]], on="v")
     m = m[m["u_x"] < m["u_y"]]
     return pd.DataFrame(
@@ -7058,7 +7067,12 @@ def q_rolling_7d_active_users(sf_dir: str):
     from bioontologykg_ray.stages.agg import grouped_agg, sorted_group_apply
 
     ds = _rp(sf_dir, "events", columns=["user_id", "ts"])
-    days = ds.map_batches(lambda df: _event_days(df, True), batch_format="pandas")
+    # block-local (user, day) dedup BEFORE the exchange: the sort ships
+    # near-dimension-sized rows instead of one row per event
+    days = ds.map_batches(
+        lambda df: _event_days(df, True).drop_duplicates(),
+        batch_format="pandas",
+    )
     deltas = sorted_group_apply(
         days, "user_id", _coverage_deltas_apply, _COVER_EMPTY
     )
@@ -7755,10 +7769,11 @@ def q_debounced_event_counts(sf_dir: str):
     """Debounce dedup (the telemetry-ingest preprocessing rule): repeats
     of the same (user, type) within 1 s of the previous surviving row
     collapse; per-type raw vs surviving counts quantify the noise.
-    NOTE the chain rule — survival depends on the previous SURVIVOR,
-    not the previous raw row — which the simple gap flag implements
-    correctly only because a <=1s-gap run collapses to its head; both
-    engines apply the identical previous-RAW-row rule for exactness."""
+    Rule: a row survives when its gap to the previous RAW row of its
+    (user, type) stream exceeds 1 s — so a chain of sub-threshold gaps
+    collapses entirely to its head even when it spans more than 1 s in
+    total (the lag-based rule both engines apply identically; a
+    previous-SURVIVOR rule would need a sequential scan instead)."""
     from bioontologykg_ray.stages.agg import grouped_agg, sorted_group_apply
 
     ds = _rp(sf_dir, "events", columns=["user_id", "event_id", "event_type", "ts"])
@@ -7808,14 +7823,17 @@ def q_kmeans_assign_counts(sf_dir: str):
     ).to_pandas().sort_values("vec_id")
     cent = np.stack(seeds_df["embedding"].to_numpy()).astype(np.float64)
 
+    seed_ids = seeds_df["vec_id"].to_numpy(np.int64)
+
     def _assign(df: pd.DataFrame) -> pd.DataFrame:
         x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        # squared distances via the expanded form would lose the exact
-        # per-dim differences; keep the direct (x - c)^2 sums
         d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        best = d2.argmin(axis=1)  # argmin takes the FIRST (min id) on ties
+        # assign on the ROUNDED distance (the cross-engine boundary
+        # convention): engine summation-order ulps must not flip an
+        # argmin; argmin takes the FIRST (min seed id) on rounded ties
+        best = np.round(d2, 6).argmin(axis=1)
         part = pd.DataFrame(
-            {"centroid_id": best.astype(np.int64),
+            {"centroid_id": seed_ids[best],  # actual vec_id, not position
              "one": 1,
              "inertia": d2[np.arange(len(best)), best]}
         )
@@ -7849,7 +7867,8 @@ d AS (
   GROUP BY 1, 2),
 a AS (
   SELECT vec_id, cid, d2,
-         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         row_number() OVER (
+             PARTITION BY vec_id ORDER BY round(d2, 6), cid) AS rk
   FROM d)
 SELECT CAST(cid AS BIGINT) AS centroid_id,
        CAST(count(*) AS BIGINT) AS n_vecs,
@@ -7945,8 +7964,8 @@ def q_ship_delay_by_priority(sf_dir: str):
     from bioontologykg_ray.stages.agg import grouped_agg
     from bioontologykg_ray.stages.joins import hash_join
 
-    orders = _rp(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
-                                            "o_orderpriority", "o_orderdate"])
+    orders = _rp(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
     items = _rp(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
 
     def _okeyed(df: pd.DataFrame) -> pd.DataFrame:

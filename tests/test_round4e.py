@@ -171,11 +171,21 @@ def test_band_partials_exact_cent_sums():
 # gaps-and-islands longest streak
 # ---------------------------------------------------------------------------
 
+def _streak_days(users, ts):
+    from bioontologykg_ray.pipelines.queries import _event_days
+
+    return _event_days(
+        pd.DataFrame(
+            {"user_id": np.asarray(users, np.int64), "ts": pd.to_datetime(ts)}
+        ),
+        keep_user=True,
+    )
+
+
 def test_streak_counts_consecutive_days():
     from bioontologykg_ray.pipelines.queries import _streak_apply
 
-    df = _ev(
-        [1, 2, 3, 4, 5],
+    df = _streak_days(
         [7, 7, 7, 7, 7],
         ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-10", "2024-01-11"],
     )
@@ -186,8 +196,9 @@ def test_streak_counts_consecutive_days():
 def test_streak_same_day_events_collapse():
     from bioontologykg_ray.pipelines.queries import _streak_apply
 
-    df = _ev(
-        [1, 2, 3],
+    # same-day duplicates survive the per-block dedup only across block
+    # fragments; the apply re-dedups them
+    df = _streak_days(
         [9, 9, 9],
         ["2024-01-01 08:00", "2024-01-01 20:00", "2024-01-02 00:00"],
     )
@@ -198,11 +209,7 @@ def test_streak_same_day_events_collapse():
 def test_streak_multiple_users_independent():
     from bioontologykg_ray.pipelines.queries import _streak_apply
 
-    df = _ev(
-        [1, 2, 3],
-        [1, 2, 2],
-        ["2024-01-01", "2024-01-05", "2024-01-06"],
-    )
+    df = _streak_days([1, 2, 2], ["2024-01-01", "2024-01-05", "2024-01-06"])
     out = _streak_apply(df).set_index("user_id")["longest_streak"]
     assert out.loc[1] == 1 and out.loc[2] == 2
 
@@ -815,13 +822,6 @@ def test_chi2_expected_matches_margins(tmp_path):
 # ---------------------------------------------------------------------------
 # RFM quintiles
 # ---------------------------------------------------------------------------
-
-def test_rfm_ntile_front_loads_like_sql():
-    from bioontologykg_ray.pipelines.queries import q_user_rfm_scores  # noqa: F401
-    # ntile semantics already covered end-to-end by conformance; here we
-    # pin the helper shape indirectly through a tiny synthetic parquet
-    # in test_rfm_tiny below.
-
 
 def test_rfm_tiny(tmp_path):
     import pyarrow as pa
