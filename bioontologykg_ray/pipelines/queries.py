@@ -8049,6 +8049,102 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4e (cont.): multi-grain time rollup + UNPIVOT reshape
+# =========================================================================
+
+
+def q_events_time_rollup(sf_dir: str):
+    """Day / ISO-week / month event counts from ONE corpus exchange:
+    the finest (daily) grain is the only distributed aggregation; the
+    week and month grains fold the dimension-sized day table on the
+    driver (both are exact day-aggregable partitions).  Long output
+    (grain, bucket, n) — the multi-resolution dashboard feed."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "events", columns=["ts"])
+    days = ds.map_batches(lambda df: _event_days(df, False), batch_format="pandas")
+    per_day = grouped_agg(days, ["day_i"], {"n": ("day_i", "count")}).to_pandas()
+    di = per_day["day_i"].to_numpy(np.int64)
+    n = per_day["n"].to_numpy(np.int64)
+    # epoch day 0 = Thursday -> isodow-1 = (day_i + 3) % 7; Monday anchor
+    week_start = di - ((di + 3) % 7)
+    month = di.astype("datetime64[D]").astype("datetime64[M]").astype("datetime64[D]")
+    frames = [
+        pd.DataFrame({"grain": "day", "bucket": _day_str(di), "n": n}),
+        pd.DataFrame({"grain": "week", "bucket": week_start, "n": n})
+        .groupby(["grain", "bucket"], as_index=False).sum()
+        .assign(bucket=lambda d: _day_str(d["bucket"].to_numpy(np.int64))),
+        pd.DataFrame({"grain": "month", "bucket": month.astype(str), "n": n})
+        .groupby(["grain", "bucket"], as_index=False).sum(),
+    ]
+    out = pd.concat(frames, ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["grain", "bucket"]).reset_index(drop=True)
+
+
+SQL_EVENTS_TIME_ROLLUP = """
+SELECT 'day' AS grain, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'week', strftime(date_trunc('week', CAST(ts AS DATE)), '%Y-%m-%d'),
+       CAST(count(*) AS BIGINT)
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'month', strftime(date_trunc('month', CAST(ts AS DATE)), '%Y-%m-%d'),
+       CAST(count(*) AS BIGINT)
+FROM events GROUP BY 2
+"""
+
+
+def q_order_status_unpivot(sf_dir: str):
+    """UNPIVOT (wide -> long, the inverse of order_status_pivot):
+    the per-(priority, status) matrix rebuilt as long rows by melting
+    the pivoted frame — proving the reshape round-trip.  The pivot
+    itself is the existing one-exchange operator; the melt is a
+    dimension-sized driver transform."""
+    wide = QUERIES["order_status_pivot"](sf_dir)
+    if not isinstance(wide, pd.DataFrame):
+        wide = wide.to_pandas()
+    col2status = {"n_open": "O", "n_fulfilled": "F", "n_pending": "P"}
+    long = wide.melt(
+        id_vars=["year"], value_vars=list(col2status),
+        var_name="col", value_name="n",
+    )
+    long["o_orderstatus"] = long["col"].map(col2status)
+    long = long[long["n"] > 0]
+    out = pd.DataFrame(
+        {
+            "year": long["year"].astype(np.int64),
+            "o_orderstatus": long["o_orderstatus"],
+            "n": long["n"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["year", "o_orderstatus"]).reset_index(drop=True)
+
+
+SQL_ORDER_STATUS_UNPIVOT = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS year, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1, 2
+"""
+
+
+QUERIES.update(
+    {
+        "events_time_rollup": q_events_time_rollup,
+        "order_status_unpivot": q_order_status_unpivot,
+    }
+)
+ORACLE.update(
+    {
+        "events_time_rollup": SQL_EVENTS_TIME_ROLLUP,
+        "order_status_unpivot": SQL_ORDER_STATUS_UNPIVOT,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

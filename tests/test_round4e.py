@@ -951,3 +951,17 @@ def test_benford_digit_extraction_and_zero_drop():
     assert out.loc[9] == 1
     assert out.loc[5] == 1
     assert out.sum() == 4
+
+
+# ---------------------------------------------------------------------------
+# multi-grain rollup week anchor
+# ---------------------------------------------------------------------------
+
+def test_week_anchor_is_monday():
+    # 2024-01-03 was a Wednesday; its ISO week starts Monday 2024-01-01
+    di = np.array(["2024-01-03"], dtype="datetime64[D]").astype(np.int64)
+    ws = di - ((di + 3) % 7)
+    assert ws.astype("datetime64[D]").astype(str).tolist() == ["2024-01-01"]
+    # a Monday anchors to itself
+    di = np.array(["2024-01-01"], dtype="datetime64[D]").astype(np.int64)
+    assert (di - ((di + 3) % 7)).tolist() == di.tolist()
