@@ -8145,6 +8145,102 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4e (cont.): LOCF gap-fill imputation
+# =========================================================================
+
+
+_LOCF_EMPTY = pd.DataFrame(
+    {
+        "user_id": pd.Series(dtype=np.int64),
+        "day_i": pd.Series(dtype=np.int64),
+        "locf_cents": pd.Series(dtype=np.int64),
+    }
+)
+
+
+def _locf_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """Last-observation-carried-forward over complete user groups:
+    per-user daily cent sums on the user's own [first, last] day spine,
+    missing days repeating the previous observed value.  The fill is a
+    vectorized repeat of observed values by run length — no Python
+    per-day loop."""
+    if df.empty:
+        return _LOCF_EMPTY.copy()
+    day = (
+        df["ts"].to_numpy("datetime64[us]").astype("datetime64[D]")
+        .astype(np.int64)
+    )
+    cents = np.round(df["value"].to_numpy(np.float64) * 100).astype(np.int64)
+    obs = (
+        pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64), "day_i": day,
+             "cents": cents}
+        )
+        .groupby(["user_id", "day_i"], as_index=False)["cents"].sum()
+        .sort_values(["user_id", "day_i"])
+    )
+    uid = obs["user_id"].to_numpy(np.int64)
+    d = obs["day_i"].to_numpy(np.int64)
+    c = obs["cents"].to_numpy(np.int64)
+    # run length of each observation = days until the user's next one
+    last_of_user = np.r_[uid[1:] != uid[:-1], True]
+    nxt = np.r_[d[1:], 0]
+    runs = np.where(last_of_user, 1, nxt - d)
+    out_uid = np.repeat(uid, runs)
+    out_val = np.repeat(c, runs)
+    starts = np.repeat(d, runs)
+    # offset within each run: global arange minus each run's start index
+    run_starts = np.repeat(np.cumsum(np.r_[0, runs[:-1]]), runs)
+    out_day = starts + (np.arange(runs.sum()) - run_starts)
+    return pd.DataFrame(
+        {"user_id": out_uid, "day_i": out_day, "locf_cents": out_val}
+    )
+
+
+def q_user_daily_value_locf(sf_dir: str):
+    """Time-series imputation: each user's daily value total on a
+    continuous per-user day spine, gaps filled by
+    last-observation-carried-forward — the standard LOCF step before
+    feature windows.  One keyed exchange for complete user groups; the
+    fill expands runs vectorized.  The oracle replays it with a
+    generate_series spine and DuckDB's ASOF JOIN — the as-of oracle
+    form of the same semantics."""
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = sorted_group_apply(ds, "user_id", _locf_apply, _LOCF_EMPTY).to_pandas()
+    res = pd.DataFrame(
+        {
+            "user_id": out["user_id"].astype(np.int64),
+            "day": _day_str(out["day_i"].to_numpy(np.int64)),
+            "locf_value": out["locf_cents"].to_numpy(np.int64) / 100.0,
+        }
+    )
+    return res.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+SQL_USER_DAILY_VALUE_LOCF = """
+WITH s AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2),
+b AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM s GROUP BY 1),
+sp AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM b)
+SELECT sp.user_id, strftime(sp.d, '%Y-%m-%d') AS day,
+       CAST(s.cents AS DOUBLE) / 100.0 AS locf_value
+FROM sp ASOF JOIN s
+  ON sp.user_id = s.user_id AND sp.d >= s.d
+"""
+
+
+QUERIES.update({"user_daily_value_locf": q_user_daily_value_locf})
+ORACLE.update({"user_daily_value_locf": SQL_USER_DAILY_VALUE_LOCF})
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

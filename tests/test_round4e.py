@@ -965,3 +965,30 @@ def test_week_anchor_is_monday():
     # a Monday anchors to itself
     di = np.array(["2024-01-01"], dtype="datetime64[D]").astype(np.int64)
     assert (di - ((di + 3) % 7)).tolist() == di.tolist()
+
+
+# ---------------------------------------------------------------------------
+# LOCF run expansion
+# ---------------------------------------------------------------------------
+
+def test_locf_fills_gaps_with_previous_value():
+    from bioontologykg_ray.pipelines.queries import _locf_apply
+
+    df = _ev([1, 2], [7, 7], ["2024-01-01", "2024-01-04"])
+    df["value"] = [10.00, 2.50]
+    out = _locf_apply(df).sort_values("day_i")
+    # days 1,2,3 carry 1000 cents; day 4 carries 250
+    assert out["locf_cents"].tolist() == [1000, 1000, 1000, 250]
+    assert len(out) == 4
+
+
+def test_locf_sums_same_day_and_respects_user_boundaries():
+    from bioontologykg_ray.pipelines.queries import _locf_apply
+
+    df = _ev([1, 2, 3], [7, 7, 9], ["2024-01-01", "2024-01-01", "2024-01-05"])
+    df["value"] = [1.00, 2.00, 9.00]
+    out = _locf_apply(df)
+    u7 = out[out["user_id"] == 7]
+    # same-day values sum; single-day users emit exactly one row
+    assert u7["locf_cents"].tolist() == [300]
+    assert out[out["user_id"] == 9]["locf_cents"].tolist() == [900]
