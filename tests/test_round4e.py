@@ -992,3 +992,23 @@ def test_locf_sums_same_day_and_respects_user_boundaries():
     # same-day values sum; single-day users emit exactly one row
     assert u7["locf_cents"].tolist() == [300]
     assert out[out["user_id"] == 9]["locf_cents"].tolist() == [900]
+
+
+# ---------------------------------------------------------------------------
+# registry invariants
+# ---------------------------------------------------------------------------
+
+def test_registry_oracle_coverage_invariant():
+    """Every queries() entry either carries an exact DuckDB oracle or is
+    one of the documented rows-only (approximate / model-output)
+    entries — no silent oracle gaps."""
+    from bioontologykg_ray.pipelines.queries import ORACLE, QUERIES
+
+    ROWS_ONLY = {
+        "ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivf_indexed",
+        "ann_topk_filtered_indexed", "doc_embeddings",
+    }
+    missing = set(QUERIES) - set(ORACLE)
+    assert missing == ROWS_ONLY
+    # and no orphan oracles for queries that do not exist
+    assert set(ORACLE) <= set(QUERIES)
