@@ -8295,6 +8295,133 @@ ORACLE.update({"lang_token_fertility": SQL_LANG_TOKEN_FERTILITY})
 
 
 # =========================================================================
+# round-4e (cont.): robust anomaly days + value concentration
+# =========================================================================
+
+
+def q_anomalous_event_days(sf_dir: str):
+    """Robust time-series anomaly detection: days whose event count
+    deviates more than 3 MADs from the median daily count (median/MAD,
+    not mean/stddev — a single spike must not drag its own threshold).
+    One corpus exchange for daily counts; median, MAD and the flags run
+    over the dimension-sized day table.  Integer counts make every
+    comparison exact: the MAD of integers is integer-or-half, so the
+    3-MAD fence is a rational both engines evaluate identically."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "events", columns=["ts"])
+    days = ds.map_batches(lambda df: _event_days(df, False), batch_format="pandas")
+    per = grouped_agg(days, ["day_i"], {"n": ("day_i", "count")}).to_pandas()
+    n = per["n"].to_numpy(np.int64).astype(np.float64)
+
+    def _median(v: np.ndarray) -> float:
+        s = np.sort(v)
+        m = len(s)
+        return float((s[(m - 1) // 2] + s[m // 2]) / 2.0)
+
+    med = _median(n)
+    mad = _median(np.abs(n - med))
+    # doubled comparison keeps the fence exact when mad is a half-int
+    dev2 = np.abs(n - med) * 2.0
+    flag = dev2 > 6.0 * mad
+    out = pd.DataFrame(
+        {
+            "day": _day_str(per["day_i"].to_numpy(np.int64)),
+            "n_events": per["n"].astype(np.int64),
+            "is_anomaly": flag,
+        }
+    )
+    return out.sort_values("day").reset_index(drop=True)
+
+
+SQL_ANOMALOUS_EVENT_DAYS = """
+WITH c AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1),
+m AS (SELECT median(n) AS med FROM c),
+a AS (SELECT median(abs(n - med)) AS mad FROM c CROSS JOIN m)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n_events,
+       abs(n - med) * 2.0 > 6.0 * mad AS is_anomaly
+FROM c CROSS JOIN m CROSS JOIN a
+"""
+
+
+def q_value_concentration_8020(sf_dir: str):
+    """Value-concentration (80/20) audit: the smallest user set whose
+    summed value covers >= 80% of the total, by descending per-user
+    value with user_id tie-break.  One grouped cent-int exchange; the
+    cumulative scan runs over the dimension-sized user table.  The
+    coverage test multiplies exact integers (5*cum >= 4*total) — no
+    floating-point boundary anywhere."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "value"])
+
+    def _parts(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "cents": np.round(
+                    df["value"].to_numpy(np.float64) * 100
+                ).astype(np.int64),
+            }
+        )
+        return part.groupby("user_id", as_index=False).sum()
+
+    g = grouped_agg(
+        ds.map_batches(_parts, batch_format="pandas"),
+        ["user_id"], {"cents": ("cents", "sum")},
+    ).to_pandas()
+    g = g.sort_values(
+        ["cents", "user_id"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    cents = g["cents"].to_numpy(np.int64)
+    cum = np.cumsum(cents)
+    total = int(cum[-1])
+    k = int(np.argmax(5 * cum >= 4 * total)) + 1  # first covering prefix
+    return pd.DataFrame(
+        {
+            "n_users": [np.int64(len(g))],
+            "n_users_80pct": [np.int64(k)],
+            "top_share_ppm": [np.int64((int(cum[k - 1]) * 1_000_000) // total)],
+        }
+    )
+
+
+SQL_VALUE_CONCENTRATION_8020 = """
+WITH u AS (
+  SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1),
+o AS (
+  SELECT cents,
+         sum(cents) OVER (ORDER BY cents DESC, user_id
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cents) OVER () AS total,
+         row_number() OVER (ORDER BY cents DESC, user_id) AS r
+  FROM u),
+k AS (SELECT min(r) AS k FROM o WHERE 5 * cum >= 4 * total)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(max(k.k) AS BIGINT) AS n_users_80pct,
+       CAST(max(CASE WHEN r = k.k THEN cum END) * 1000000
+            // max(total) AS BIGINT) AS top_share_ppm
+FROM o CROSS JOIN k
+"""
+
+
+QUERIES.update(
+    {
+        "anomalous_event_days": q_anomalous_event_days,
+        "value_concentration_8020": q_value_concentration_8020,
+    }
+)
+ORACLE.update(
+    {
+        "anomalous_event_days": SQL_ANOMALOUS_EVENT_DAYS,
+        "value_concentration_8020": SQL_VALUE_CONCENTRATION_8020,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

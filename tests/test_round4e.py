@@ -1012,3 +1012,40 @@ def test_registry_oracle_coverage_invariant():
     assert missing == ROWS_ONLY
     # and no orphan oracles for queries that do not exist
     assert set(ORACLE) <= set(QUERIES)
+
+
+# ---------------------------------------------------------------------------
+# anomaly fence + 80/20 concentration
+# ---------------------------------------------------------------------------
+
+def test_anomaly_fence_tiny(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from bioontologykg_ray.pipelines.queries import q_anomalous_event_days
+
+    # six quiet days of 10 events, one day of 100: the spike is > 3 MADs
+    ts = []
+    for d in range(1, 7):
+        ts += [f"2024-01-0{d} 10:00"] * 10
+    ts += ["2024-01-07 10:00"] * 100
+    df = pd.DataFrame({"ts": pd.to_datetime(ts)})
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+    out = q_anomalous_event_days(str(tmp_path)).set_index("day")
+    assert bool(out.loc["2024-01-07", "is_anomaly"])
+    assert not out.loc["2024-01-01", "is_anomaly"]
+
+
+def test_concentration_8020_tiny(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from bioontologykg_ray.pipelines.queries import q_value_concentration_8020
+
+    # values 80, 10, 10: user 1 alone covers exactly 80%
+    df = pd.DataFrame(
+        {"user_id": [1, 2, 3], "value": [80.00, 10.00, 10.00]}
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+    out = q_value_concentration_8020(str(tmp_path)).iloc[0]
+    assert out["n_users"] == 3
+    assert out["n_users_80pct"] == 1
+    assert out["top_share_ppm"] == 800000
