@@ -1049,3 +1049,39 @@ def test_concentration_8020_tiny(tmp_path):
     assert out["n_users"] == 3
     assert out["n_users_80pct"] == 1
     assert out["top_share_ppm"] == 800000
+
+
+# ---------------------------------------------------------------------------
+# Welch t + autocorrelation closed forms
+# ---------------------------------------------------------------------------
+
+def test_welch_t_zero_for_identical_halves(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from bioontologykg_ray.pipelines.queries import q_value_halves_ttest
+
+    ts = (["2024-01-01 10:00"] * 4 + ["2024-01-01 11:00"] * 0
+          + ["2024-01-05 10:00"] * 4)
+    vals = [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0]
+    df = pd.DataFrame({"ts": pd.to_datetime(ts), "value": vals})
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+    out = q_value_halves_ttest(str(tmp_path)).iloc[0]
+    assert out["mean_before"] == out["mean_after"] == 2.5
+    assert out["welch_t"] == 0.0
+    assert out["n_before"] == 4 and out["n_after"] == 4
+
+
+def test_autocorr_alternating_series_is_negative(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from bioontologykg_ray.pipelines.queries import q_events_autocorr_lag1
+
+    # counts 2,1,2,1,2,1 -> strong negative lag-1 autocorrelation
+    ts = []
+    for d in range(1, 7):
+        ts += [f"2024-01-0{d} 09:00"] * (2 if d % 2 else 1)
+    df = pd.DataFrame({"ts": pd.to_datetime(ts)})
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+    out = q_events_autocorr_lag1(str(tmp_path)).iloc[0]
+    assert out["n_days"] == 6
+    assert out["autocorr_lag1"] < -0.9
