@@ -8456,11 +8456,10 @@ def q_value_halves_ttest(sf_dir: str):
     # reach half the corpus (rank-rule over the bounded day histogram)
     cnt = per_day["n"].to_numpy(np.int64)
     cum = np.cumsum(cnt)
-    split = int(
-        per_day["day_i"].to_numpy(np.int64)[
-            int(np.searchsorted(cum, (cum[-1] + 1) // 2, side="left"))
-        ]
-    )
+    # clamp to the 2nd distinct day so the 'before' side is never empty
+    # even when the first day alone holds half the event mass
+    idx = max(1, int(np.searchsorted(cum, (cum[-1] + 1) // 2, side="left")))
+    split = int(per_day["day_i"].to_numpy(np.int64)[idx])
     early = per_day[per_day["day_i"] < split]
     late = per_day[per_day["day_i"] >= split]
 
@@ -8491,7 +8490,8 @@ WITH d AS (
   SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1),
 o AS (SELECT d, sum(n) OVER (ORDER BY d) AS cum, sum(n) OVER () AS tot
       FROM d),
-sp AS (SELECT min(d) AS split FROM o WHERE cum >= (tot + 1) // 2),
+sp AS (SELECT min(d) AS split FROM o
+       WHERE cum >= (tot + 1) // 2 AND d > (SELECT min(d) FROM d)),
 s AS (
   SELECT CAST(ts AS DATE) >= split AS late,
          CAST(count(*) AS DOUBLE) AS n, sum(value) AS sx,
