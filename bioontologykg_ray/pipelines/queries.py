@@ -8573,6 +8573,308 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4f: SCD interval compression + interval overlap join + CUSUM
+# changepoint scan + referential-integrity audit
+# =========================================================================
+
+
+_STATUS_EMPTY = pd.DataFrame(
+    {
+        "user_id": pd.Series(dtype=np.int64),
+        "event_type": pd.Series(dtype=object),
+        "valid_from": pd.Series(dtype="datetime64[us]"),
+        "valid_to": pd.Series(dtype="datetime64[us]"),
+        "n_events": pd.Series(dtype=np.int64),
+    }
+)
+
+
+def _status_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """Run-length-encode (user, event_type) over time: consecutive
+    same-type events collapse to one validity interval.  Vectorized
+    across all complete user groups in the frame (change flags +
+    cumsum island ids — no per-group Python)."""
+    if df.empty:
+        return _STATUS_EMPTY.copy()
+    d = df.sort_values(["user_id", "ts", "event_id"])
+    u = d["user_id"].to_numpy(np.int64)
+    et = d["event_type"].to_numpy()
+    chg = np.ones(len(d), dtype=bool)
+    chg[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+    d = d.assign(__grp=np.cumsum(chg))
+    g = d.groupby("__grp", as_index=False).agg(
+        user_id=("user_id", "first"),
+        event_type=("event_type", "first"),
+        valid_from=("ts", "min"),
+        valid_to=("ts", "max"),
+        n_events=("ts", "count"),
+    )
+    g["n_events"] = g["n_events"].astype(np.int64)
+    return g[["user_id", "event_type", "valid_from", "valid_to", "n_events"]]
+
+
+def q_user_status_intervals(sf_dir: str):
+    """SCD-Type-2-style dimension compression: each user's event
+    stream collapses to validity intervals — one row per consecutive
+    run of the same event_type (valid_from/valid_to = first/last event
+    ts of the run).  The snapshot-building primitive for slowly
+    changing attributes; one keyed exchange, run-length encoding
+    vectorized inside complete user groups."""
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    ds = _rp(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+    out = sorted_group_apply(ds, "user_id", _status_apply, _STATUS_EMPTY).to_pandas()
+    out = out.astype({"user_id": np.int64, "n_events": np.int64})
+    return out.sort_values(["user_id", "valid_from"]).reset_index(drop=True)
+
+
+SQL_USER_STATUS_INTERVALS = """
+WITH x AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events),
+g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM x)
+SELECT user_id, event_type,
+       min(ts) AS valid_from, max(ts) AS valid_to,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, event_type, grp
+"""
+
+
+_OVERLAP_EMPTY = pd.DataFrame(
+    {
+        "o_custkey": pd.Series(dtype=np.int64),
+        "n_overlap_pairs": pd.Series(dtype=np.int64),
+    }
+)
+
+
+def _overlap_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """Sweep over (cust, day)-sorted rows: for equal-length 7-day
+    windows, a pair overlaps iff |start diff| < 7, so the pair count
+    at row i is the number of later same-customer rows starting
+    within 7 days — one searchsorted over a packed (cust<<24|day)
+    key, no per-group loop."""
+    if df.empty:
+        return _OVERLAP_EMPTY.copy()
+    d = df.sort_values(["o_custkey", "day_i"])
+    cust = d["o_custkey"].to_numpy(np.int64)
+    day = d["day_i"].to_numpy(np.int64)
+    key = (cust << np.int64(24)) | day  # epoch days << 2^24: no carry
+    idx = np.searchsorted(key, key + np.int64(7), side="left")
+    cnt = idx - np.arange(len(key), dtype=np.int64) - 1
+    per = pd.DataFrame({"o_custkey": cust, "n_overlap_pairs": cnt})
+    out = per.groupby("o_custkey", as_index=False)["n_overlap_pairs"].sum()
+    return out[out["n_overlap_pairs"] > 0].astype(np.int64)
+
+
+def q_order_window_overlaps(sf_dir: str):
+    """Interval self-overlap join: per customer, the number of order
+    pairs whose 7-day fulfillment windows [orderdate, orderdate+7d)
+    overlap — the room-scheduling/conflict-detection pattern.  The
+    quadratic self-join is replaced by a per-customer sorted sweep
+    (fixed-length intervals ⇒ overlap = start distance < 7), one keyed
+    exchange total."""
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    ds = _rp(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    days = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].to_numpy(np.int64),
+                "day_i": df["o_orderdate"].to_numpy("datetime64[us]")
+                .astype("datetime64[D]").astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    out = sorted_group_apply(days, "o_custkey", _overlap_apply, _OVERLAP_EMPTY)
+    out = out.to_pandas().astype(np.int64)
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+SQL_ORDER_WINDOW_OVERLAPS = """
+SELECT a.o_custkey,
+       CAST(count(*) AS BIGINT) AS n_overlap_pairs
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                   CAST(b.o_orderdate AS DATE))) < 7
+GROUP BY a.o_custkey
+"""
+
+
+def q_cusum_peak_day(sf_dir: str):
+    """CUSUM changepoint scan per event_type: the day where the
+    cumulative deviation of daily value mass from the type's overall
+    mean peaks — the classic level-shift detector.  All comparisons
+    are exact integers: with S_k/C_k the cumulative cent-sum/count and
+    T/N the totals, the deviation S_k − C_k·(T/N) is scaled by N to
+    D_k = N·S_k − C_k·T ∈ ℤ, so the argmax needs no float tolerance.
+    One keyed exchange for the (type, day) partials; the scan runs on
+    the dimension-sized day table."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "day_i": df["ts"].to_numpy("datetime64[us]")
+                .astype("datetime64[D]").astype(np.int64),
+                "cents": np.round(df["value"].to_numpy(np.float64) * 100.0)
+                .astype(np.int64),
+            }
+        )
+
+    per = grouped_agg(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["event_type", "day_i"],
+        {"s": ("cents", "sum"), "c": ("cents", "count")},
+    ).to_pandas()
+    per = per.sort_values(["event_type", "day_i"]).reset_index(drop=True)
+    g = per.groupby("event_type")
+    s_cum = g["s"].cumsum().to_numpy(np.int64)
+    c_cum = g["c"].cumsum().to_numpy(np.int64)
+    tot = g["s"].transform("sum").to_numpy(np.int64)
+    n = g["c"].transform("sum").to_numpy(np.int64)
+    per["cusum_dev"] = n * s_cum - c_cum * tot
+    per["__abs"] = per["cusum_dev"].abs()
+    per = per.sort_values(
+        ["event_type", "__abs", "day_i"], ascending=[True, False, True]
+    )
+    peak = per.groupby("event_type", as_index=False).head(1)
+    out = pd.DataFrame(
+        {
+            "event_type": peak["event_type"].to_numpy(),
+            "peak_day": _day_str(peak["day_i"].to_numpy(np.int64)),
+            "cusum_dev": peak["cusum_dev"].astype(np.int64),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_CUSUM_PEAK_DAY = """
+WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+t AS (SELECT event_type, sum(s) AS tot, sum(c) AS n FROM d GROUP BY event_type),
+k AS (SELECT event_type, day,
+             sum(s) OVER (PARTITION BY event_type ORDER BY day) AS s_cum,
+             sum(c) OVER (PARTITION BY event_type ORDER BY day) AS c_cum
+      FROM d),
+dev AS (SELECT k.event_type, k.day,
+               CAST(t.n * k.s_cum - k.c_cum * t.tot AS BIGINT) AS cusum_dev
+        FROM k JOIN t ON t.event_type = k.event_type)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS peak_day, cusum_dev
+FROM dev
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY abs(cusum_dev) DESC, day) = 1
+"""
+
+
+def q_fk_orphan_audit(sf_dir: str):
+    """Referential-integrity audit across the star schema's seven FK
+    relations: per relation, total fact rows and orphan rows (FK value
+    absent from the referenced table).  Dimension-sided relations
+    probe a broadcast key set (bounded — nation/region/part/customer/
+    supplier are dimensions); the fact-to-fact relation
+    lineitem→orders goes through the bloom-pushdown semi-join so
+    neither side is ever collected."""
+    from bioontologykg_ray.stages.joins import anti_join, bloom_semi_join
+
+    rows = []
+
+    def _dim_keys(table: str, col: str) -> set:
+        return set(
+            _rp(sf_dir, table, columns=[col]).to_pandas()[col].to_numpy(np.int64)
+        )
+
+    broadcast_rels = [
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    for name, fact, fk, dim, pk in broadcast_rels:
+        fact_ds = _rp(sf_dir, fact, columns=[fk])
+        n = fact_ds.count()
+        orphans = anti_join(fact_ds, _dim_keys(dim, pk), fk).count()
+        rows.append((name, n, orphans))
+
+    li = _rp(sf_dir, "lineitem", columns=["l_orderkey"])
+    n = li.count()
+    matched = bloom_semi_join(
+        li, "l_orderkey",
+        _rp(sf_dir, "orders", columns=["o_orderkey"]), "o_orderkey",
+    ).count()
+    rows.append(("lineitem->orders", n, n - matched))
+
+    out = pd.DataFrame(rows, columns=["relation", "n_rows", "n_orphans"])
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_orphans"] = out["n_orphans"].astype(np.int64)
+    return out.sort_values("relation").reset_index(drop=True)
+
+
+SQL_FK_ORPHAN_AUDIT = """
+SELECT 'customer->nation' AS relation, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'lineitem->part', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+UNION ALL
+SELECT 'nation->region', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+UNION ALL
+SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'supplier->nation', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'lineitem->orders', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+QUERIES.update(
+    {
+        "user_status_intervals": q_user_status_intervals,
+        "order_window_overlaps": q_order_window_overlaps,
+        "cusum_peak_day": q_cusum_peak_day,
+        "fk_orphan_audit": q_fk_orphan_audit,
+    }
+)
+ORACLE.update(
+    {
+        "user_status_intervals": SQL_USER_STATUS_INTERVALS,
+        "order_window_overlaps": SQL_ORDER_WINDOW_OVERLAPS,
+        "cusum_peak_day": SQL_CUSUM_PEAK_DAY,
+        "fk_orphan_audit": SQL_FK_ORPHAN_AUDIT,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of
