@@ -8875,6 +8875,326 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4f (cont.): lexical diversity + two-sample distribution tests
+# + embedding-label LOO evaluation
+# =========================================================================
+
+
+def q_lang_lexical_diversity(sf_dir: str):
+    """Lexical-diversity profile per language: type-token ratio and the
+    Simpson repeat-probability numerator Σc·(c−1) — the corpus-quality
+    signals for vocabulary collapse (template/boilerplate text scores a
+    tiny TTR and a huge Simpson mass).  Per-block token counts shrink
+    the first exchange to the block vocabulary; the (lang, token)
+    exchange is vocabulary-sized, the lang rollup dimension-sized.  All
+    outputs are exact integers except the TTR, which both engines form
+    by the same int÷int double division."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "documents", columns=["lang", "text"])
+
+    def _tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"lang": df["lang"].to_numpy(), "t": df["text"].fillna("").str.split(" ")}
+        ).explode("t")
+        out = d.groupby(["lang", "t"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    counts = grouped_agg(
+        ds.map_batches(_tok_counts, batch_format="pandas"),
+        ["lang", "t"], {"n": ("n", "sum")},
+    )
+
+    def _lang_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        d = pd.DataFrame(
+            {"lang": df["lang"].to_numpy(), "tok": n, "typ": 1, "simp": n * (n - 1)}
+        )
+        return d.groupby("lang", as_index=False).sum()
+
+    g = grouped_agg(
+        counts.map_batches(_lang_partial, batch_format="pandas"),
+        ["lang"],
+        {"tok": ("tok", "sum"), "typ": ("typ", "sum"), "simp": ("simp", "sum")},
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "lang": g["lang"],
+            "n_tokens": g["tok"].astype(np.int64),
+            "n_types": g["typ"].astype(np.int64),
+            "simpson_num": g["simp"].astype(np.int64),
+            "ttr": g["typ"].to_numpy(np.int64) / g["tok"].to_numpy(np.int64),
+        }
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_LANG_LEXICAL_DIVERSITY = """
+WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+c AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY lang, t)
+SELECT lang,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(n * (n - 1)) AS BIGINT) AS simpson_num,
+       CAST(count(*) AS DOUBLE) / sum(n) AS ttr
+FROM c GROUP BY lang
+"""
+
+
+def _ks_pairs(counts: pd.DataFrame) -> pd.DataFrame:
+    """All-pairs two-sample KS over per-(source, value) counts.  The
+    statistic is kept exact: with i/j the cumulative counts and n/m the
+    totals, n·m·|F_a − F_b| = |i·m − j·n| ∈ ℤ, so the max needs no
+    float tolerance; ks_d is derived from the integer afterwards."""
+    sources = np.sort(counts["source"].unique())
+    values = np.sort(counts["n_chars"].unique())
+    mat = np.zeros((len(sources), len(values)), np.int64)
+    si = {s: k for k, s in enumerate(sources)}
+    vi = {v: k for k, v in enumerate(values)}
+    for s, v, n in counts.itertuples(index=False):
+        mat[si[s], vi[v]] = n
+    cum = mat.cumsum(axis=1)
+    m = cum[:, -1]
+    rows = []
+    for a in range(len(sources)):
+        for b in range(a + 1, len(sources)):
+            d_num = int(np.abs(cum[a] * m[b] - cum[b] * m[a]).max())
+            rows.append(
+                (
+                    sources[a], sources[b], int(m[a]), int(m[b]), d_num,
+                    d_num / (int(m[a]) * int(m[b])),
+                )
+            )
+    return pd.DataFrame(
+        rows, columns=["source_a", "source_b", "n_a", "n_b", "d_num", "ks_d"]
+    )
+
+
+def q_source_len_ks(sf_dir: str):
+    """Pairwise two-sample Kolmogorov–Smirnov test between every pair
+    of document sources on the length distribution — the distribution-
+    drift audit for mixed-source corpora.  One dimension-sized exchange
+    builds the (source, n_chars) histogram (the bounded-histogram
+    pattern); ECDFs and the pairwise max-gap scan run on that table.
+    The KS numerator is cross-multiplied to an exact integer."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "documents", columns=["source", "n_chars"])
+    counts = grouped_agg(
+        ds, ["source", "n_chars"], {"n": ("n_chars", "count")}
+    ).to_pandas()
+    out = _ks_pairs(counts[["source", "n_chars", "n"]])
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+SQL_SOURCE_LEN_KS = """
+WITH c AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY source, n_chars),
+t AS (SELECT source, CAST(sum(n) AS BIGINT) AS m FROM c GROUP BY source),
+v AS (SELECT DISTINCT n_chars FROM documents),
+grid AS (SELECT t.source, t.m, v.n_chars, coalesce(c.n, 0) AS n
+         FROM t CROSS JOIN v
+         LEFT JOIN c ON c.source = t.source AND c.n_chars = v.n_chars),
+cum AS (SELECT source, m, n_chars,
+               CAST(sum(n) OVER (PARTITION BY source ORDER BY n_chars)
+                    AS BIGINT) AS i
+        FROM grid)
+SELECT a.source AS source_a, b.source AS source_b,
+       a.m AS n_a, b.m AS n_b,
+       CAST(max(abs(a.i * b.m - b.i * a.m)) AS BIGINT) AS d_num,
+       CAST(max(abs(a.i * b.m - b.i * a.m)) AS DOUBLE) / (a.m * b.m) AS ks_d
+FROM cum a JOIN cum b ON a.n_chars = b.n_chars AND a.source < b.source
+GROUP BY a.source, b.source, a.m, b.m
+"""
+
+
+_MWU_A, _MWU_B = "click", "purchase"
+
+
+def _mwu_from_counts(na: np.ndarray, nb: np.ndarray) -> tuple:
+    """Doubled Mann-Whitney U from aligned per-value counts: with the
+    tie correction U = Σ_a (#b below) + ½Σ_a (#b equal), 2U is the
+    integer Σ_v na(v)·(2·cumb_less(v) + nb(v))."""
+    nb_less = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    na_less = np.concatenate(([0], np.cumsum(na)[:-1]))
+    u2_a = int((na * (2 * nb_less + nb)).sum())
+    u2_b = int((nb * (2 * na_less + na)).sum())
+    return u2_a, u2_b
+
+
+def q_value_mannwhitney_u(sf_dir: str):
+    """Mann–Whitney U rank-sum test between click and purchase event
+    values — the nonparametric companion to the Welch t entry
+    (``value_halves_ttest``).  Values quantize to cents, one bounded
+    exchange builds the per-(type, cents) histogram, and the doubled
+    statistic 2U (exact even under ties, where U takes half-steps) is
+    computed from cumulative counts: the identity
+    u2_a + u2_b = 2·n_a·n_b is a built-in cross-check."""
+    import pyarrow.dataset as pads
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(
+        sf_dir, "events", columns=["event_type", "value"],
+        filter=pads.field("event_type").isin([_MWU_A, _MWU_B]),
+    )
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "c": np.round(df["value"].to_numpy(np.float64) * 100.0)
+                .astype(np.int64),
+            }
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["event_type", "c"], {"n": ("c", "count")},
+    ).to_pandas()
+    values = np.sort(counts["c"].unique())
+    piv = counts.pivot_table(
+        index="c", columns="event_type", values="n", fill_value=0
+    ).reindex(values, fill_value=0)
+    na = piv.get(_MWU_A, pd.Series(0, index=values)).to_numpy(np.int64)
+    nb = piv.get(_MWU_B, pd.Series(0, index=values)).to_numpy(np.int64)
+    u2_a, u2_b = _mwu_from_counts(na, nb)
+    return pd.DataFrame(
+        {
+            "type_a": [_MWU_A],
+            "type_b": [_MWU_B],
+            "n_a": np.array([na.sum()], np.int64),
+            "n_b": np.array([nb.sum()], np.int64),
+            "u2_a": np.array([u2_a], np.int64),
+            "u2_b": np.array([u2_b], np.int64),
+        }
+    )
+
+
+SQL_VALUE_MANNWHITNEY_U = """
+WITH x AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+           FROM events WHERE event_type IN ('click', 'purchase')),
+ca AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM x
+       WHERE event_type = 'click' GROUP BY c),
+cb AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM x
+       WHERE event_type = 'purchase' GROUP BY c),
+v AS (SELECT DISTINCT c FROM x),
+g AS (SELECT v.c, coalesce(ca.n, 0) AS na, coalesce(cb.n, 0) AS nb
+      FROM v LEFT JOIN ca ON ca.c = v.c LEFT JOIN cb ON cb.c = v.c),
+w AS (SELECT c, na, nb,
+             coalesce(sum(nb) OVER (ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS nb_less,
+             coalesce(sum(na) OVER (ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS na_less
+      FROM g)
+SELECT 'click' AS type_a, 'purchase' AS type_b,
+       CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+       CAST(sum(na * (2 * nb_less + nb)) AS BIGINT) AS u2_a,
+       CAST(sum(nb * (2 * na_less + na)) AS BIGINT) AS u2_b
+FROM w
+"""
+
+
+class _LooKnnScorer:
+    """Actor-pool stage: holds the broadcast (ids, labels, L2-normalized
+    corpus matrix) and scores each batch against it — nearest OTHER
+    vector by cosine, first-max argmax = smallest vec_id tiebreak."""
+
+    def __init__(self, corpus_ref):
+        self.ids, self.labels, self.mat = ray.get(corpus_ref)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "label": pd.Series(dtype=np.int64),
+                    "n": pd.Series(dtype=np.int64),
+                    "n_correct": pd.Series(dtype=np.int64),
+                }
+            )
+        q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        sims = q @ self.mat.T
+        pos = np.searchsorted(self.ids, df["vec_id"].to_numpy(np.int64))
+        sims[np.arange(len(df)), pos] = -np.inf  # exclude self
+        pred = self.labels[np.argmax(sims, axis=1)]
+        true = df["label"].to_numpy(np.int64)
+        part = pd.DataFrame(
+            {"label": true, "n": 1, "n_correct": (pred == true).astype(np.int64)}
+        )
+        return part.groupby("label", as_index=False).sum()
+
+
+def q_knn_loo_accuracy(sf_dir: str):
+    """Embedding-quality evaluation: leave-one-out 1-NN label accuracy
+    over the embedding table (per true label: row count and how many
+    rows' nearest OTHER vector shares the label).  The corpus side is
+    broadcast once (``ray.put``) and every batch scores against it
+    vectorized — the brute-force evaluation path; at real corpus scale
+    the same scorer runs against a bounded evaluation sample or the
+    persisted IVF index (``ann_topk_ivf_indexed``).  Ties break to the
+    smallest vec_id in both engines (numpy first-max over a vec_id-
+    sorted corpus = SQL ORDER BY cos DESC, vec_id)."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "embeddings")
+    corpus = ds.to_pandas().sort_values("vec_id")
+    ids = corpus["vec_id"].to_numpy(np.int64)
+    labels = corpus["label"].to_numpy(np.int64)
+    mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids, labels, mat))
+
+    parts = ds.map_batches(
+        _LooKnnScorer,
+        fn_constructor_args=(ref,),
+        batch_format="pandas",
+        concurrency=_clamp(4),
+    )
+    out = grouped_agg(
+        parts, ["label"], {"n": ("n", "sum"), "n_correct": ("n_correct", "sum")}
+    ).to_pandas()
+    out = out.astype({"label": np.int64, "n": np.int64, "n_correct": np.int64})
+    return out.sort_values("label").reset_index(drop=True)
+
+
+SQL_KNN_LOO_ACCURACY = """
+WITH nn AS (
+  SELECT q.vec_id, q.label AS true_label, v.label AS pred_label,
+         row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(v.embedding AS DOUBLE[])) DESC,
+                      v.vec_id) AS rn
+  FROM embeddings q JOIN embeddings v ON v.vec_id != q.vec_id)
+SELECT CAST(true_label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM nn WHERE rn = 1 GROUP BY true_label
+"""
+
+
+QUERIES.update(
+    {
+        "lang_lexical_diversity": q_lang_lexical_diversity,
+        "source_len_ks": q_source_len_ks,
+        "value_mannwhitney_u": q_value_mannwhitney_u,
+        "knn_loo_accuracy": q_knn_loo_accuracy,
+    }
+)
+ORACLE.update(
+    {
+        "lang_lexical_diversity": SQL_LANG_LEXICAL_DIVERSITY,
+        "source_len_ks": SQL_SOURCE_LEN_KS,
+        "value_mannwhitney_u": SQL_VALUE_MANNWHITNEY_U,
+        "knn_loo_accuracy": SQL_KNN_LOO_ACCURACY,
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

@@ -147,3 +147,81 @@ def test_cusum_scaled_deviation_matches_float_cusum():
     assert np.allclose(d_int.astype(float), d_float)
     # and the final cumulative deviation is exactly zero
     assert d_int[-1] == 0
+
+
+# ---------------------------------------------------------------------------
+# pairwise KS statistic (exact integer numerator)
+# ---------------------------------------------------------------------------
+
+def test_ks_pairs_matches_bruteforce_ecdf():
+    from bioontologykg_ray.pipelines.queries import _ks_pairs
+
+    rng = np.random.RandomState(3)
+    rows = []
+    samples = {}
+    for s in ["a", "b", "c"]:
+        vals = rng.randint(0, 15, rng.randint(5, 40))
+        samples[s] = vals
+        u, c = np.unique(vals, return_counts=True)
+        rows += [(s, int(v), int(n)) for v, n in zip(u, c)]
+    counts = pd.DataFrame(rows, columns=["source", "n_chars", "n"])
+    out = _ks_pairs(counts).set_index(["source_a", "source_b"])
+
+    grid = np.unique(np.concatenate(list(samples.values())))
+    for a, b in [("a", "b"), ("a", "c"), ("b", "c")]:
+        xa, xb = np.sort(samples[a]), np.sort(samples[b])
+        fa = np.searchsorted(xa, grid, side="right") / len(xa)
+        fb = np.searchsorted(xb, grid, side="right") / len(xb)
+        d = np.abs(fa - fb).max()
+        row = out.loc[(a, b)]
+        assert row["n_a"] == len(xa) and row["n_b"] == len(xb)
+        assert abs(row["ks_d"] - d) < 1e-12
+        assert row["d_num"] == round(d * len(xa) * len(xb))
+
+
+def test_ks_identical_distributions_give_zero():
+    from bioontologykg_ray.pipelines.queries import _ks_pairs
+
+    counts = pd.DataFrame(
+        {"source": ["a", "a", "b", "b"], "n_chars": [1, 2, 1, 2], "n": [3, 5, 3, 5]}
+    )
+    out = _ks_pairs(counts)
+    assert out["d_num"].tolist() == [0]
+    assert out["ks_d"].tolist() == [0.0]
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney doubled U
+# ---------------------------------------------------------------------------
+
+def _mwu_brute(a, b):
+    # 2U_a = 2*#(b<a pairs) + #(b==a pairs)
+    a = np.asarray(a)[:, None]
+    b = np.asarray(b)[None, :]
+    return int(2 * (b < a).sum() + (b == a).sum())
+
+
+def test_mwu_matches_bruteforce_with_ties():
+    from bioontologykg_ray.pipelines.queries import _mwu_from_counts
+
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 10, 37)
+    b = rng.randint(2, 12, 53)
+    values = np.unique(np.concatenate([a, b]))
+    na = np.array([(a == v).sum() for v in values], np.int64)
+    nb = np.array([(b == v).sum() for v in values], np.int64)
+    u2_a, u2_b = _mwu_from_counts(na, nb)
+    assert u2_a == _mwu_brute(a, b)
+    assert u2_b == _mwu_brute(b, a)
+    assert u2_a + u2_b == 2 * len(a) * len(b)
+
+
+def test_mwu_disjoint_supports():
+    from bioontologykg_ray.pipelines.queries import _mwu_from_counts
+
+    # all of b above all of a -> U_a = 0, U_b = n_a*n_b
+    na = np.array([2, 3, 0, 0], np.int64)
+    nb = np.array([0, 0, 4, 1], np.int64)
+    u2_a, u2_b = _mwu_from_counts(na, nb)
+    assert u2_b == 0 or u2_a == 0
+    assert u2_a + u2_b == 2 * 5 * 5
