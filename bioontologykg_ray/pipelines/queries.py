@@ -9195,6 +9195,260 @@ ORACLE.update(
 
 
 # =========================================================================
+# round-4f (cont.): Gini inequality scan + k-fold assignment +
+# per-dimension embedding audit + mergeable quantile sketch
+# =========================================================================
+
+
+def q_customer_spend_gini(sf_dir: str):
+    """Gini coefficient of per-customer total spend — the canonical
+    inequality/skew audit (companion to the 80/20 concentration entry).
+    Per-customer cent totals come from one keyed exchange; the global
+    rank each total needs is assigned by the distributed prefix-sum
+    scan (O(#blocks) driver state, never O(#rows)) over a packed
+    (cents, custkey) order key, so Σ rank·x never materializes the
+    table anywhere.  gini = (2·Σ rank·x − (n+1)·Σx) / (n·Σx), every
+    term an exact integer (per-block partials accumulate in python
+    ints — the SQL side's HUGEINT); the final division is the only
+    float."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+    from bioontologykg_ray.stages.scan import prefix_sum
+
+    ds = _rp(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].to_numpy(np.int64),
+                "cents": np.round(df["o_totalprice"].to_numpy(np.float64) * 100.0)
+                .astype(np.int64),
+            }
+        )
+
+    spend = grouped_agg(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["o_custkey"], {"cents": ("cents", "sum")},
+    )
+
+    def _orderkey(df: pd.DataFrame) -> pd.DataFrame:
+        # cents << 21 | custkey: unique composite order (custkey < 2^21
+        # at every test scale; documented packing contract)
+        df = df.copy()
+        df["__ord"] = (df["cents"].to_numpy(np.int64) << np.int64(21)) | df[
+            "o_custkey"
+        ].to_numpy(np.int64)
+        df["__one"] = np.int64(1)
+        return df
+
+    ranked = prefix_sum(
+        spend.map_batches(_orderkey, batch_format="pandas"), "__ord", "__one",
+        out_col="rank",
+    )
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"rx": pd.Series(dtype=object), "x": pd.Series(dtype=object),
+                 "n": pd.Series(dtype=np.int64)}
+            )
+        r = df["rank"].to_numpy(np.int64).astype(object)
+        x = df["cents"].to_numpy(np.int64).astype(object)
+        return pd.DataFrame({"rx": [(r * x).sum()], "x": [x.sum()], "n": [len(df)]})
+
+    parts = ranked.map_batches(
+        _partials, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    rx = int(parts["rx"].sum())
+    tot = int(parts["x"].sum())
+    n = int(parts["n"].sum())
+    num = 2 * rx - (n + 1) * tot
+    den = n * tot
+    return pd.DataFrame(
+        {
+            "n_customers": np.array([n], np.int64),
+            "total_cents": np.array([tot], np.int64),
+            "gini_num": np.array([num], np.int64),
+            "gini_den": np.array([den], np.int64),
+            "gini": [float(num) / float(den)],
+        }
+    )
+
+
+SQL_CUSTOMER_SPEND_GINI = """
+WITH s AS (SELECT o_custkey,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM orders GROUP BY o_custkey),
+r AS (SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS rn
+      FROM s)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(2 * sum(rn * cents) - (count(*) + 1) * sum(cents) AS BIGINT)
+         AS gini_num,
+       CAST(count(*) * sum(cents) AS BIGINT) AS gini_den,
+       CAST(CAST(2 * sum(rn * cents) - (count(*) + 1) * sum(cents) AS BIGINT)
+            AS DOUBLE)
+         / CAST(CAST(count(*) * sum(cents) AS BIGINT) AS DOUBLE) AS gini
+FROM r
+"""
+
+
+def q_kfold_doc_counts(sf_dir: str):
+    """Deterministic 5-fold cross-validation assignment: fold =
+    md5-low64("fold:" + doc_id) % 5, purpose-salted so folds are
+    independent of the split/sample hash decisions, stable under
+    reshard/append (same contract as ``train_val_split``).  Reports the
+    stratification balance per (fold, lang) — the audit a CV harness
+    runs before trusting the folds."""
+    from bioontologykg_ray.functions.hashing import md5_low64
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        f = np.fromiter(
+            (md5_low64("fold:" + str(i)) % 5 for i in df["doc_id"]),
+            dtype=np.int64, count=len(df),
+        )
+        return pd.DataFrame(
+            {"fold": f, "lang": df["lang"].to_numpy(),
+             "n_chars": df["n_chars"].to_numpy(np.int64)}
+        )
+
+    out = grouped_agg(
+        ds.map_batches(assign, batch_format="pandas"),
+        ["fold", "lang"],
+        {"n_docs": ("n_chars", "count"), "total_chars": ("n_chars", "sum")},
+    ).to_pandas()
+    out = out.astype(
+        {"fold": np.int64, "n_docs": np.int64, "total_chars": np.int64}
+    )
+    return out.sort_values(["fold", "lang"]).reset_index(drop=True)
+
+
+SQL_KFOLD_DOC_COUNTS = """
+WITH b AS (
+  SELECT lang, n_chars,
+         CAST(md5_number_lower('fold:' || CAST(doc_id AS VARCHAR)) % 5
+              AS BIGINT) AS fold
+  FROM documents)
+SELECT fold, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY fold, lang
+"""
+
+
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension feature audit of the embedding column: min, max
+    and mean of every coordinate — the drift/debug table a feature
+    store keeps per embedding version (dead dims, scale blowups).
+    Per-block partials are one row per dimension (sum/min/max over the
+    block matrix), so the exchange is dimension-count-sized.  min/max
+    compare exactly; the mean is rounded to 6 dp on both sides (the
+    two engines sum doubles in different orders — ~1e-13 apart on this
+    data, far inside the rounding guard)."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "embeddings", columns=["embedding"])
+
+    def _parts(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"dim": pd.Series(dtype=np.int64),
+                 "s": pd.Series(dtype=np.float64),
+                 "c": pd.Series(dtype=np.int64),
+                 "mn": pd.Series(dtype=np.float64),
+                 "mx": pd.Series(dtype=np.float64)}
+            )
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d = m.shape[1]
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, d + 1, dtype=np.int64),
+                "s": m.sum(axis=0),
+                "c": np.full(d, len(m), np.int64),
+                "mn": m.min(axis=0),
+                "mx": m.max(axis=0),
+            }
+        )
+
+    g = grouped_agg(
+        ds.map_batches(_parts, batch_format="pandas"),
+        ["dim"],
+        {"s": ("s", "sum"), "c": ("c", "sum"),
+         "mn": ("mn", "min"), "mx": ("mx", "max")},
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "dim": g["dim"].astype(np.int64),
+            "n": g["c"].astype(np.int64),
+            "dim_min": g["mn"].to_numpy(np.float64),
+            "dim_max": g["mx"].to_numpy(np.float64),
+            "dim_mean": np.round(
+                g["s"].to_numpy(np.float64) / g["c"].to_numpy(np.float64), 6
+            ),
+        }
+    )
+    return out.sort_values("dim").reset_index(drop=True)
+
+
+SQL_EMBEDDING_DIM_STATS = """
+WITH e AS (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+                  unnest(range(1, len(embedding) + 1)) AS dim
+           FROM embeddings)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       min(v) AS dim_min,
+       max(v) AS dim_max,
+       round(avg(v), 6) AS dim_mean
+FROM e GROUP BY dim
+"""
+
+
+_QSKETCH_QS = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def q_value_quantile_sketch(sf_dir: str):
+    """Mergeable quantile sketch over event values (the third sketch
+    family next to HLL and count-min): each block ships a ≤256-row
+    deterministic equi-depth summary, summaries merge by concatenation
+    (O(#blocks·k) driver table, never O(#rows)), and the global rank
+    error is bounded by N/(2k) ≈ 0.2 % — approximate by design →
+    rows-only check; the error bound itself is pytest-pinned against
+    exact quantiles."""
+    from bioontologykg_ray.stages.sketch import (
+        quantile_summary_partial,
+        quantile_summary_query,
+    )
+
+    ds = _rp(sf_dir, "events", columns=["value"])
+    summaries = ds.map_batches(
+        lambda df: quantile_summary_partial(df["value"], k=256),
+        batch_format="pandas", batch_size=None,
+    ).to_pandas()
+    return quantile_summary_query(summaries, _QSKETCH_QS)
+
+
+QUERIES.update(
+    {
+        "customer_spend_gini": q_customer_spend_gini,
+        "kfold_doc_counts": q_kfold_doc_counts,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "value_quantile_sketch": q_value_quantile_sketch,
+    }
+)
+ORACLE.update(
+    {
+        "customer_spend_gini": SQL_CUSTOMER_SPEND_GINI,
+        "kfold_doc_counts": SQL_KFOLD_DOC_COUNTS,
+        "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
+        # value_quantile_sketch: approximate by design — no SQL oracle
+    }
+)
+
+
+# =========================================================================
 # driver-window ordering (round-3 verdict item #1)
 #
 # The driver's correctness gate evaluates only the FIRST 50 entries of

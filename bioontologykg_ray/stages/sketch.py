@@ -194,3 +194,55 @@ def cms_estimate(
         v = int(hit[0]) if len(hit) else 0
         est = v if est is None else min(est, v)
     return int(est)
+
+
+# ---------------------------------------------------------------------------
+# mergeable equi-depth quantile summary (deterministic)
+# ---------------------------------------------------------------------------
+
+_QSUMMARY_EMPTY = pd.DataFrame(
+    {
+        "q_value": pd.Series(dtype=np.float64),
+        "q_weight": pd.Series(dtype=np.float64),
+    }
+)
+
+
+def quantile_summary_partial(values: pd.Series, k: int = 256) -> pd.DataFrame:
+    """Per-block equi-depth quantile summary: sort the block's values
+    and emit ``m = min(k, n)`` pivots at the midpoints of m equal-mass
+    strata, each carrying weight n/m.  Deterministic (no sampling), and
+    the block's summary mis-ranks any threshold by at most n/(2k) rows
+    (half a stratum).  Summaries merge by CONCATENATION — weights add —
+    so the merged rank error is additive: ≤ N/(2k) total, independent
+    of block count or merge order (the mergeability property KLL/GK
+    sketches trade determinism for; this is the deterministic
+    equi-depth variant).  One bounded row-set per block: ≤ k rows
+    regardless of block size."""
+    v = values.to_numpy(np.float64)
+    v = np.sort(v[~np.isnan(v)])
+    n = len(v)
+    if n == 0:
+        return _QSUMMARY_EMPTY.copy()
+    m = min(int(k), n)
+    idx = np.minimum(((np.arange(m) + 0.5) * n / m).astype(np.int64), n - 1)
+    return pd.DataFrame(
+        {"q_value": v[idx], "q_weight": np.full(m, n / m, np.float64)}
+    )
+
+
+def quantile_summary_query(
+    summary: pd.DataFrame, qs: "list[float]"
+) -> pd.DataFrame:
+    """Evaluate quantiles from a merged (q_value, q_weight) summary:
+    sort by value, walk cumulative weight, return the first pivot whose
+    cumulative mass reaches q·W (lower quantile convention)."""
+    if summary.empty:
+        return pd.DataFrame({"q": qs, "value": [np.nan] * len(qs)})
+    s = summary.sort_values("q_value")
+    vals = s["q_value"].to_numpy(np.float64)
+    cum = s["q_weight"].to_numpy(np.float64).cumsum()
+    total = cum[-1]
+    pos = np.searchsorted(cum, np.asarray(qs, np.float64) * total, side="left")
+    pos = np.minimum(pos, len(vals) - 1)
+    return pd.DataFrame({"q": np.asarray(qs, np.float64), "value": vals[pos]})

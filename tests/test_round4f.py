@@ -225,3 +225,94 @@ def test_mwu_disjoint_supports():
     u2_a, u2_b = _mwu_from_counts(na, nb)
     assert u2_b == 0 or u2_a == 0
     assert u2_a + u2_b == 2 * 5 * 5
+
+
+# ---------------------------------------------------------------------------
+# mergeable equi-depth quantile summary
+# ---------------------------------------------------------------------------
+
+def test_quantile_sketch_rank_error_within_bound():
+    from bioontologykg_ray.stages.sketch import (
+        quantile_summary_partial,
+        quantile_summary_query,
+    )
+
+    rng = np.random.RandomState(5)
+    # adversarial mix: heavy ties + lognormal tail, split into uneven blocks
+    data = np.concatenate(
+        [np.full(3000, 7.0), rng.lognormal(0, 2, 5000), rng.uniform(0, 1, 2000)]
+    )
+    rng.shuffle(data)
+    blocks = np.array_split(data, [1234, 2000, 6500, 9000])
+    k = 256
+    merged = pd.concat(
+        [quantile_summary_partial(pd.Series(b), k=k) for b in blocks],
+        ignore_index=True,
+    )
+    n = len(data)
+    assert len(merged) <= len(blocks) * k
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    est = quantile_summary_query(merged, qs)
+    s = np.sort(data)
+    for q, v in zip(est["q"], est["value"]):
+        # rank error: distance from the target rank q*n to the pivot's
+        # rank interval [lo, hi] (a tie-run containing the target is exact)
+        lo = np.searchsorted(s, v, side="left")
+        hi = np.searchsorted(s, v, side="right")
+        err = max(0.0, lo - q * n, q * n - hi)
+        assert err <= n / (2 * k) + len(blocks), (q, err)
+
+
+def test_quantile_sketch_exact_when_blocks_small():
+    from bioontologykg_ray.stages.sketch import (
+        quantile_summary_partial,
+        quantile_summary_query,
+    )
+
+    # blocks smaller than k keep every value at weight 1 -> exact medians
+    vals = pd.Series(np.arange(100, dtype=np.float64))
+    summ = quantile_summary_partial(vals, k=256)
+    assert len(summ) == 100
+    assert (summ["q_weight"] == 1.0).all()
+    out = quantile_summary_query(summ, [0.5])
+    assert abs(out["value"].iloc[0] - 49.0) <= 1.0
+
+
+def test_quantile_sketch_empty_and_nan():
+    from bioontologykg_ray.stages.sketch import (
+        _QSUMMARY_EMPTY,
+        quantile_summary_partial,
+        quantile_summary_query,
+    )
+
+    assert quantile_summary_partial(pd.Series([], dtype=float)).empty
+    assert quantile_summary_partial(pd.Series([np.nan, np.nan])).empty
+    out = quantile_summary_query(_QSUMMARY_EMPTY.copy(), [0.5])
+    assert np.isnan(out["value"].iloc[0])
+
+
+# ---------------------------------------------------------------------------
+# Gini identity
+# ---------------------------------------------------------------------------
+
+def test_gini_formula_matches_mean_absolute_difference():
+    # gini = sum_ij |xi - xj| / (2 n sum x) must equal the rank formula.
+    rng = np.random.RandomState(13)
+    x = rng.randint(1, 1000, 200).astype(np.int64)
+    xs = np.sort(x)
+    n = len(xs)
+    rank = np.arange(1, n + 1, dtype=np.int64)
+    num = 2 * int((rank * xs).sum()) - (n + 1) * int(xs.sum())
+    den = n * int(xs.sum())
+    mad = np.abs(x[:, None] - x[None, :]).sum()
+    assert num / den == mad / (2 * n * x.sum())
+
+
+def test_gini_extremes():
+    # all-equal -> 0; one-holder -> (n-1)/n
+    xs = np.full(10, 5, np.int64)
+    rank = np.arange(1, 11, dtype=np.int64)
+    assert 2 * (rank * xs).sum() - 11 * xs.sum() == 0
+    xs = np.zeros(10, np.int64); xs[-1] = 100
+    num = 2 * int((rank * xs).sum()) - 11 * int(xs.sum())
+    assert num / (10 * xs.sum()) == 9 / 10
