@@ -1007,6 +1007,7 @@ def test_registry_oracle_coverage_invariant():
     ROWS_ONLY = {
         "ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivf_indexed",
         "ann_topk_filtered_indexed", "doc_embeddings",
+        "value_quantile_sketch",
     }
     missing = set(QUERIES) - set(ORACLE)
     assert missing == ROWS_ONLY
