@@ -2946,6 +2946,10 @@ def oracle_for_sf(sf: float) -> dict:
         d["kg_neighbor_jaccard"] = _sql_kg_neighbor_jaccard(sf)
     if "kg_adamic_adar" in d:  # registered later in the module
         d["kg_adamic_adar"] = _sql_kg_adamic_adar(sf)
+    if "kg_negative_samples" in d:  # registered later in the module
+        d["kg_negative_samples"] = _sql_kg_negative_samples(sf)
+    if "kg_triple_split" in d:  # registered later in the module
+        d["kg_triple_split"] = _sql_kg_triple_split(sf)
     d["tool_usage_stats"] = _sql_tool_usage(sf)
     d["kg_linked_unambiguous"] = _sql_kg_linked_unambiguous(sf)
     d["import_nodes"] = _sql_import_nodes(sf)
@@ -9444,6 +9448,420 @@ ORACLE.update(
         "kfold_doc_counts": SQL_KFOLD_DOC_COUNTS,
         "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
         # value_quantile_sketch: approximate by design — no SQL oracle
+    }
+)
+
+
+# =========================================================================
+# round-4g: SemDeDup cluster-blocked semantic dedup, source frequency
+# capping, temperature-scaled mixing weights, KG negative sampling,
+# entity-coverage-aware KG triple split
+# =========================================================================
+
+
+_SEMDEDUP_TAU = 0.3
+_SEMDEDUP_SEEDS = 8  # same deterministic seed convention as kmeans_assign
+
+
+def q_semdedup_survivors(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) end-to-end: k-means-cluster the
+    embedding corpus (one assignment step against the broadcast seed
+    centroids — the tested ``kmeans_assign_counts`` E-step, rounded-d2
+    argmin with min-seed-id ties), find near-duplicate pairs ONLY
+    within a cluster (cosine ≥ τ, the cluster standing in for the
+    coarse quantizer cell at scale — candidate generation never goes
+    quadratic in the corpus), connect the duplicate graph with the
+    SAME union-find the flagship uses, and keep the min vec_id per
+    component.  Complements ``embedding_neardup`` (given-label
+    blocking) and ``fuzzy_dedup_survivors`` (MinHash text blocking):
+    this is the semantic-space variant a 100-TB curation run uses when
+    no labels exist.  Output: every surviving vec_id."""
+    import pyarrow.dataset as pads
+
+    from bioontologykg_ray.stages.canonicalize import connected_components
+    from bioontologykg_ray.stages.joins import hash_join
+
+    emb = _rp(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    seeds_df = _rp(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < _SEMDEDUP_SEEDS,
+    ).to_pandas().sort_values("vec_id")
+    cent = np.stack(seeds_df["embedding"].to_numpy()).astype(np.float64)
+    seed_ids = seeds_df["vec_id"].to_numpy(np.int64)
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype=np.int64),
+                 "embedding": pd.Series(dtype=object),
+                 "cluster": pd.Series(dtype=np.int64)}
+            )
+        x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        best = np.round(d2, 6).argmin(axis=1)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy(np.int64),
+             "embedding": df["embedding"].to_numpy(),
+             "cluster": seed_ids[best]}
+        )
+
+    clustered = emb.map_batches(_assign, batch_format="pandas")
+    pairs = ND.embedding_neardup_pairs(
+        clustered, tau=_SEMDEDUP_TAU, block_col="cluster"
+    )
+
+    def as_edges(df: pd.DataFrame) -> pd.DataFrame:
+        # zero-pad so lexicographic min-root == numeric min vec_id
+        return pd.DataFrame({
+            "a": df["vec_a"].astype(str).str.zfill(12),
+            "b": df["vec_b"].astype(str).str.zfill(12)})
+
+    labels = connected_components(
+        pairs.map_batches(as_edges, batch_format="pandas"))
+    removed = labels.filter(expr="node != root").map_batches(
+        lambda df: pd.DataFrame({"vec_id": df["node"].astype(np.int64)}),
+        batch_format="pandas",
+    )
+    survivors = hash_join(
+        emb.select_columns(["vec_id"]), removed, on="vec_id",
+        how="left_anti",
+    )
+    return survivors.select_columns(["vec_id"])
+
+
+SQL_SEMDEDUP_SURVIVORS = f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+c AS (SELECT vec_id AS cid, i, x AS cx FROM v WHERE vec_id < {_SEMDEDUP_SEEDS}),
+d AS (SELECT v.vec_id, c.cid, sum(pow(v.x - c.cx, 2)) AS d2
+      FROM v JOIN c USING (i) GROUP BY 1, 2),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY round(d2, 6), cid) AS rk
+    FROM d) WHERE rk = 1),
+p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM embeddings x JOIN asg ax ON ax.vec_id = x.vec_id
+  JOIN asg ay ON ay.cid = ax.cid
+  JOIN embeddings y ON y.vec_id = ay.vec_id AND x.vec_id < y.vec_id
+  WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                     CAST(y.embedding AS DOUBLE[])), 6)
+        >= {_SEMDEDUP_TAU}),
+und AS (SELECT DISTINCT a, b FROM
+        (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p)),
+nodes_g AS (SELECT DISTINCT node FROM
+            (SELECT a AS node FROM und UNION ALL SELECT b FROM und)),
+reach(node, r) AS (
+  SELECT node, node FROM nodes_g
+  UNION
+  SELECT reach.node, und.b FROM reach JOIN und ON reach.r = und.a),
+lbl AS (SELECT node, min(r) AS root FROM reach GROUP BY node),
+removed AS (SELECT node AS vec_id FROM lbl WHERE node != root)
+SELECT e.vec_id FROM embeddings e ANTI JOIN removed USING (vec_id)
+"""
+
+
+_SOURCE_CAP_N = 15
+
+_CAP_EMPTY = pd.DataFrame(
+    {
+        "doc_id": pd.Series(dtype=np.int64),
+        "source": pd.Series(dtype=object),
+    }
+)
+
+
+def _cap_apply(df: pd.DataFrame) -> pd.DataFrame:
+    if df.empty:
+        return _CAP_EMPTY.copy()
+    d = df.sort_values(["source", "__cap_h", "doc_id"], kind="mergesort")
+    return d.groupby("source", sort=False).head(_SOURCE_CAP_N)[
+        ["doc_id", "source"]
+    ].reset_index(drop=True)
+
+
+def q_source_capped_docs(sf_dir: str):
+    """Per-source frequency capping (the C4/CCNet host-cap curation
+    step): keep at most N documents per source, chosen by a
+    purpose-salted stable hash order (md5-low64("cap:"+doc_id), doc_id
+    tie-break) — deterministic under reshard/append and independent of
+    the split/sample/fold hash decisions, same contract as
+    ``train_val_split``.  One keyed exchange (hash-sorted complete
+    source groups); the per-group head is vectorized across all groups
+    in a block."""
+    from bioontologykg_ray.functions.hashing import md5_low64
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def _salt(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (md5_low64("cap:" + str(i)) for i in df["doc_id"]),
+            dtype=np.uint64, count=len(df),
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64),
+             "source": df["source"].to_numpy(), "__cap_h": h}
+        )
+
+    out = sorted_group_apply(
+        ds.map_batches(_salt, batch_format="pandas"),
+        "source", _cap_apply, _CAP_EMPTY, hash_sort=True,
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+SQL_SOURCE_CAPPED_DOCS = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5_number_lower('cap:' || CAST(doc_id AS VARCHAR)),
+                      doc_id) AS rn
+  FROM documents)
+WHERE rn <= {_SOURCE_CAP_N}
+"""
+
+
+def q_source_mix_weights(sf_dir: str):
+    """Temperature-scaled data-mixing weights per source (α = 0.5, the
+    sqrt-smoothing of mT5/multilingual-sampling fame): weight_s =
+    √chars_s / Σ_t √chars_t — the manifest a training launcher feeds
+    its sampler so small sources are up-weighted without exploding
+    epochs.  One dimension-sized exchange; each √ is rounded to 6 dp
+    before the (tiny, source-count-sized) normalization so both
+    engines sum identical addends."""
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    ds = _rp(sf_dir, "documents", columns=["source", "n_chars"])
+    g = grouped_agg(
+        ds, ["source"],
+        {"n_docs": ("n_chars", "count"), "total_chars": ("n_chars", "sum")},
+    ).to_pandas().sort_values("source").reset_index(drop=True)
+    s = np.round(np.sqrt(g["total_chars"].to_numpy(np.int64).astype(np.float64)), 6)
+    out = pd.DataFrame(
+        {
+            "source": g["source"],
+            "n_docs": g["n_docs"].astype(np.int64),
+            "total_chars": g["total_chars"].astype(np.int64),
+            "mix_weight": np.round(s / s.sum(), 9),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_SOURCE_MIX_WEIGHTS = """
+WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                  round(sqrt(sum(n_chars)), 6) AS rt
+           FROM documents GROUP BY source)
+SELECT source, n_docs, total_chars,
+       round(rt / (SELECT sum(rt) FROM s), 9) AS mix_weight
+FROM s
+"""
+
+
+_NEG_K = 2
+
+
+def q_kg_negative_samples(sf_dir: str):
+    """Deterministic filtered negative sampling over the flagship's
+    canonical edges — the training-pair generator every KG-embedding
+    run (TransE et al.) needs: each positive (src, pred, dst) yields
+    K=2 corrupted tails, tail = sorted-node-table[md5-low64
+    ("neg:src:pred:dst:k") mod |nodes|].  'Filtered' semantics: a
+    corruption that reproduces the positive's own tail OR any other
+    true edge is dropped (the Bordes et al. convention), enforced by a
+    partitioned anti-join against the edge set — never a driver-side
+    membership scan.  The node table is dimension-sized by
+    construction, so the broadcast id array is bounded."""
+    from bioontologykg_ray.functions.hashing import md5_low64
+    from bioontologykg_ray.stages.joins import hash_join
+
+    res = _kg_results(sf_dir)
+    edges = res["edges"][["src", "predicate", "dst"]]
+    node_ids = np.sort(res["nodes"]["node_id"].to_numpy())
+    n_nodes = len(node_ids)
+    eds = rd.from_pandas(edges)
+
+    def _gen(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"src": pd.Series(dtype=object),
+                 "predicate": pd.Series(dtype=object),
+                 "dst": pd.Series(dtype=object),
+                 "k": pd.Series(dtype=np.int64),
+                 "neg_dst": pd.Series(dtype=object),
+                 "__key": pd.Series(dtype=object)}
+            )
+        src = df["src"].to_numpy()
+        pred = df["predicate"].to_numpy()
+        dst = df["dst"].to_numpy()
+        idx = np.fromiter(
+            (
+                md5_low64(f"neg:{s}:{p}:{d}:{k}") % n_nodes
+                for s, p, d in zip(src, pred, dst)
+                for k in range(_NEG_K)
+            ),
+            dtype=np.int64, count=len(df) * _NEG_K,
+        )
+        rep = np.repeat(np.arange(len(df)), _NEG_K)
+        out = pd.DataFrame(
+            {
+                "src": src[rep],
+                "predicate": pred[rep],
+                "dst": dst[rep],
+                "k": np.tile(np.arange(_NEG_K, dtype=np.int64), len(df)),
+                "neg_dst": node_ids[idx],
+            }
+        )
+        out = out[out["neg_dst"] != out["dst"]].reset_index(drop=True)
+        out["__key"] = out["src"] + "\x1f" + out["predicate"] + "\x1f" + out["neg_dst"]
+        return out
+
+    def _true_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"__key": df["src"] + "\x1f" + df["predicate"] + "\x1f" + df["dst"]}
+        )
+
+    gen = eds.map_batches(_gen, batch_format="pandas")
+    filtered = hash_join(
+        gen, eds.map_batches(_true_keys, batch_format="pandas"),
+        on="__key", how="left_anti",
+    ).to_pandas()
+    out = filtered[["src", "predicate", "dst", "k", "neg_dst"]].copy()
+    out["k"] = out["k"].astype(np.int64)
+    return out.sort_values(
+        ["src", "predicate", "dst", "k"]
+    ).reset_index(drop=True)
+
+
+def _sql_kg_negative_samples(sf: float) -> str:
+    return _sql_kg_prefix(sf) + f""",
+neg_nidx AS (SELECT node_id,
+                row_number() OVER (ORDER BY node_id) - 1 AS idx
+         FROM nodes),
+neg_gen AS (
+  SELECT e.src, e.predicate, e.dst, k.k,
+         CAST(md5_number_lower('neg:' || e.src || ':' || e.predicate
+                               || ':' || e.dst || ':' || CAST(k.k AS VARCHAR))
+              % (SELECT count(*) FROM nodes) AS BIGINT) AS idx
+  FROM edges e CROSS JOIN (SELECT unnest(range({_NEG_K})) AS k) k),
+neg_cand AS (
+  SELECT g.src, g.predicate, g.dst, g.k, ni.node_id AS neg_dst
+  FROM neg_gen g JOIN neg_nidx ni USING (idx)
+  WHERE ni.node_id != g.dst)
+SELECT src, predicate, dst, CAST(k AS BIGINT) AS k, neg_dst
+FROM neg_cand c
+WHERE NOT EXISTS (SELECT 1 FROM edges t
+                  WHERE t.src = c.src AND t.predicate = c.predicate
+                    AND t.dst = c.neg_dst)
+"""
+
+
+def q_kg_triple_split(sf_dir: str):
+    """Entity-coverage-aware train/valid/test split of the canonical
+    edge table — the benchmark-prep step for KG-embedding training
+    (FB15k-style): triples hash-assign to test (bucket 0), valid (1)
+    or train (2-9) by purpose-salted md5, then any valid/test triple
+    mentioning an entity UNSEEN in train demotes to train (an
+    embedding model cannot score an entity it never trained on).  The
+    train-entity set is node-table-bounded (dimension-sized broadcast);
+    both passes over the edges are distributed."""
+    from bioontologykg_ray.functions.hashing import md5_low64
+    from bioontologykg_ray.stages.agg import grouped_agg
+
+    res = _kg_results(sf_dir)
+    eds = rd.from_pandas(res["edges"][["src", "predicate", "dst"]])
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.fromiter(
+            (
+                md5_low64(f"split:{s}:{p}:{d}") % 10
+                for s, p, d in zip(df["src"], df["predicate"], df["dst"])
+            ),
+            dtype=np.int64, count=len(df),
+        )
+        out = df[["src", "dst"]].copy()
+        out["b"] = b
+        return out
+
+    bucketed = bucketed_mat = eds.map_batches(
+        _bucket, batch_format="pandas"
+    ).materialize()  # two consumers below must see one assignment pass
+    train_nodes = bucketed_mat.filter(expr="b >= 2")
+
+    def _ents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.unique(np.concatenate([df["src"].to_numpy(),
+                                               df["dst"].to_numpy()]))}
+        )
+
+    # distinct train entities: node-table-bounded by construction
+    ents = set(
+        train_nodes.map_batches(_ents, batch_format="pandas")
+        .to_pandas()["node"]
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["b"].to_numpy(np.int64)
+        seen = df["src"].isin(ents).to_numpy() & df["dst"].isin(ents).to_numpy()
+        split = np.where(
+            b >= 2, "train",
+            np.where(~seen, "train", np.where(b == 0, "test", "valid")),
+        )
+        part = pd.DataFrame({"split": split, "one": np.int64(1)})
+        return part.groupby("split", as_index=False).sum()
+
+    g = grouped_agg(
+        bucketed.map_batches(_final, batch_format="pandas"),
+        ["split"], {"n_triples": ("one", "sum")},
+    ).to_pandas()
+    g["n_triples"] = g["n_triples"].astype(np.int64)
+    return g.sort_values("split").reset_index(drop=True)
+
+
+def _sql_kg_triple_split(sf: float) -> str:
+    return _sql_kg_prefix(sf) + """,
+sp AS (SELECT src, predicate, dst,
+              CAST(md5_number_lower('split:' || src || ':' || predicate
+                                    || ':' || dst) % 10 AS BIGINT) AS b
+       FROM edges),
+tr_ent AS (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM sp WHERE b >= 2
+            UNION ALL SELECT dst FROM sp WHERE b >= 2)),
+fin AS (SELECT CASE
+            WHEN b >= 2 THEN 'train'
+            WHEN src IN (SELECT node FROM tr_ent)
+                 AND dst IN (SELECT node FROM tr_ent)
+            THEN CASE WHEN b = 0 THEN 'test' ELSE 'valid' END
+            ELSE 'train' END AS split
+        FROM sp)
+SELECT split, CAST(count(*) AS BIGINT) AS n_triples FROM fin GROUP BY split
+"""
+
+
+QUERIES.update(
+    {
+        "semdedup_survivors": q_semdedup_survivors,
+        "source_capped_docs": q_source_capped_docs,
+        "source_mix_weights": q_source_mix_weights,
+        "kg_negative_samples": q_kg_negative_samples,
+        "kg_triple_split": q_kg_triple_split,
+    }
+)
+ORACLE.update(
+    {
+        "semdedup_survivors": SQL_SEMDEDUP_SURVIVORS,
+        "source_capped_docs": SQL_SOURCE_CAPPED_DOCS,
+        "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
+        "kg_negative_samples": _sql_kg_negative_samples(0.01),
+        "kg_triple_split": _sql_kg_triple_split(0.01),
     }
 )
 

@@ -1,0 +1,220 @@
+"""Round-4 continuation (g): SemDeDup cluster-blocked semantic dedup,
+source frequency capping, temperature mixing weights, KG negative
+sampling + entity-coverage triple split."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# source frequency capping
+# ---------------------------------------------------------------------------
+
+def test_cap_apply_keeps_at_most_n_per_source_by_hash_order():
+    from bioontologykg_ray.pipelines.queries import _SOURCE_CAP_N, _cap_apply
+
+    # one source with 3*N docs, hash column descending so the kept set
+    # is exactly the N SMALLEST hashes (doc_id tiebreak inside)
+    n = 3 * _SOURCE_CAP_N
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": ["s"] * n,
+            "__cap_h": np.arange(n, 0, -1).astype(np.uint64),
+        }
+    )
+    out = _cap_apply(df)
+    assert len(out) == _SOURCE_CAP_N
+    # descending hash means the largest doc_ids carry the smallest hashes
+    assert sorted(out["doc_id"]) == sorted(
+        range(n - _SOURCE_CAP_N, n)
+    )
+
+
+def test_cap_apply_hash_ties_break_by_doc_id():
+    from bioontologykg_ray.pipelines.queries import _SOURCE_CAP_N, _cap_apply
+
+    n = _SOURCE_CAP_N + 5
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64)[::-1].copy(),
+            "source": ["s"] * n,
+            "__cap_h": np.zeros(n, np.uint64),  # all tied
+        }
+    )
+    out = _cap_apply(df)
+    assert sorted(out["doc_id"]) == list(range(_SOURCE_CAP_N))
+
+
+def test_source_capped_docs_cap_holds_and_is_deterministic():
+    from bioontologykg_ray.pipelines.queries import (
+        _SOURCE_CAP_N,
+        q_source_capped_docs,
+    )
+
+    a = q_source_capped_docs(SF)
+    b = q_source_capped_docs(SF)
+    pd.testing.assert_frame_equal(a, b)
+    per = a.groupby("source").size()
+    assert (per <= _SOURCE_CAP_N).all()
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixing weights
+# ---------------------------------------------------------------------------
+
+def test_mix_weights_sum_to_one_and_upweight_small_sources():
+    from bioontologykg_ray.pipelines.queries import q_source_mix_weights
+
+    out = q_source_mix_weights(SF)
+    assert abs(out["mix_weight"].sum() - 1.0) < 1e-6
+    # sqrt smoothing: weight share must exceed the raw char share for
+    # the smallest source and fall below it for the largest
+    share = out["total_chars"] / out["total_chars"].sum()
+    i_min, i_max = share.idxmin(), share.idxmax()
+    if share[i_min] < share[i_max]:  # only meaningful when sizes differ
+        assert out["mix_weight"][i_min] > share[i_min]
+        assert out["mix_weight"][i_max] < share[i_max]
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+def test_semdedup_survivors_subset_and_minid_kept():
+    from bioontologykg_ray.pipelines.queries import q_semdedup_survivors
+
+    out = q_semdedup_survivors(SF).to_pandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id"])
+    all_ids = set(emb["vec_id"].to_numpy(np.int64))
+    kept = set(out["vec_id"].to_numpy(np.int64))
+    assert kept <= all_ids
+    assert len(kept) < len(all_ids)  # tau=0.3 dedups something on this corpus
+    # survivors are unique
+    assert len(out) == len(kept)
+
+
+def test_semdedup_removed_each_have_a_kept_near_neighbor_in_cluster():
+    """Every removed vector must be connected (within its cluster, at
+    cosine >= tau) to its component's kept min-id representative via
+    the duplicate graph — spot-check the component-root contract by
+    recomputing the pair graph brute-force."""
+    from bioontologykg_ray.pipelines.queries import (
+        _SEMDEDUP_SEEDS,
+        _SEMDEDUP_TAU,
+        q_semdedup_survivors,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    seeds = np.argsort(ids)[np.isin(np.sort(ids), np.arange(_SEMDEDUP_SEEDS))]
+    cent = M[np.argsort(ids)][: _SEMDEDUP_SEEDS]
+    d2 = ((M[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    cl = np.round(d2, 6).argmin(axis=1)
+    nrm = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = np.round(nrm @ nrm.T, 6)
+    adj = (C >= _SEMDEDUP_TAU) & (cl[:, None] == cl[None, :])
+    np.fill_diagonal(adj, False)
+
+    # union-find brute force
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    r, c = np.nonzero(adj)
+    for i, j in zip(ids[r], ids[c]):
+        a, b = find(int(i)), find(int(j))
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    roots = {}
+    for i in ids:
+        roots.setdefault(find(int(i)), []).append(int(i))
+    expected_survivors = sorted(min(v) for v in roots.values())
+
+    out = q_semdedup_survivors(SF).to_pandas()
+    assert sorted(out["vec_id"].tolist()) == expected_survivors
+    del seeds  # seeds indirection only documents the id convention
+
+
+# ---------------------------------------------------------------------------
+# KG negative sampling + triple split
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def kg(request):
+    from bioontologykg_ray.pipelines.queries import _kg_results
+
+    return _kg_results(SF)
+
+
+def test_kg_negative_samples_filtered_and_deterministic(kg):
+    from bioontologykg_ray.functions.hashing import md5_low64
+    from bioontologykg_ray.pipelines.queries import (
+        _NEG_K,
+        q_kg_negative_samples,
+    )
+
+    out = q_kg_negative_samples(SF)
+    edges = kg["edges"]
+    true_set = set(zip(edges["src"], edges["predicate"], edges["dst"]))
+    # every emitted negative is NOT a true edge and differs from its own tail
+    assert not any(
+        (s, p, n) in true_set
+        for s, p, n in zip(out["src"], out["predicate"], out["neg_dst"])
+    )
+    assert (out["neg_dst"] != out["dst"]).all()
+    # every negative's tail is exactly the hash-indexed node
+    node_ids = np.sort(kg["nodes"]["node_id"].to_numpy())
+    n = len(node_ids)
+    for row in out.head(50).itertuples(index=False):
+        idx = md5_low64(
+            f"neg:{row.src}:{row.predicate}:{row.dst}:{row.k}"
+        ) % n
+        assert node_ids[idx] == row.neg_dst
+    assert set(out["k"]) <= set(range(_NEG_K))
+    # at most K negatives per positive
+    per = out.groupby(["src", "predicate", "dst"]).size()
+    assert (per <= _NEG_K).all()
+
+
+def test_kg_triple_split_counts_and_coverage(kg):
+    from bioontologykg_ray.functions.hashing import md5_low64
+    from bioontologykg_ray.pipelines.queries import q_kg_triple_split
+
+    out = q_kg_triple_split(SF)
+    edges = kg["edges"]
+    assert out["n_triples"].sum() == len(edges)
+    assert set(out["split"]) <= {"train", "valid", "test"}
+
+    # brute-force replay: bucket, train entities, demotion
+    b = np.fromiter(
+        (
+            md5_low64(f"split:{s}:{p}:{d}") % 10
+            for s, p, d in zip(edges["src"], edges["predicate"], edges["dst"])
+        ),
+        dtype=np.int64, count=len(edges),
+    )
+    train = b >= 2
+    ents = set(edges["src"][train]) | set(edges["dst"][train])
+    seen = edges["src"].isin(ents).to_numpy() & edges["dst"].isin(ents).to_numpy()
+    split = np.where(
+        train, "train",
+        np.where(~seen, "train", np.where(b == 0, "test", "valid")),
+    )
+    expect = pd.Series(split).value_counts().to_dict()
+    got = dict(zip(out["split"], out["n_triples"]))
+    assert got == expect
+    # the coverage invariant itself: every valid/test entity is in train
+    final_train_ents = ents  # demotion only ADDS triples to train
+    for sp in ("valid", "test"):
+        mask = split == sp
+        assert set(edges["src"][mask]) <= final_train_ents
+        assert set(edges["dst"][mask]) <= final_train_ents
