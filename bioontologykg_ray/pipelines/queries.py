@@ -2950,6 +2950,8 @@ def oracle_for_sf(sf: float) -> dict:
         d["kg_negative_samples"] = _sql_kg_negative_samples(sf)
     if "kg_triple_split" in d:  # registered later in the module
         d["kg_triple_split"] = _sql_kg_triple_split(sf)
+    if "kg_relation_cardinality" in d:  # registered later in the module
+        d["kg_relation_cardinality"] = _sql_kg_relation_cardinality(sf)
     d["tool_usage_stats"] = _sql_tool_usage(sf)
     d["kg_linked_unambiguous"] = _sql_kg_linked_unambiguous(sf)
     d["import_nodes"] = _sql_import_nodes(sf)
@@ -9862,6 +9864,320 @@ ORACLE.update(
         "source_mix_weights": SQL_SOURCE_MIX_WEIGHTS,
         "kg_negative_samples": _sql_kg_negative_samples(0.01),
         "kg_triple_split": _sql_kg_triple_split(0.01),
+    }
+)
+
+
+# =========================================================================
+# round-4h: relation cardinality typing (KGE prep), corpus unigram-LM
+# surprisal quality scoring, per-source token-distribution KL drift
+# =========================================================================
+
+
+def _cardinality_labels(n: np.ndarray, heads: np.ndarray, tails: np.ndarray):
+    """Integer-exact TransE-style relation typing: avg multiplicity is
+    tested against 1.5 as 2*n >= 3*count, so no float ratio exists to
+    disagree with the SQL oracle's CASE."""
+    one_n = 2 * n >= 3 * heads  # avg tails-per-head >= 1.5
+    n_one = 2 * n >= 3 * tails  # avg heads-per-tail >= 1.5
+    return np.where(
+        one_n & n_one, "N-N",
+        np.where(one_n, "1-N", np.where(n_one, "N-1", "1-1")),
+    )
+
+
+def q_kg_relation_cardinality(sf_dir: str):
+    """Classify each canonical predicate as 1-1 / 1-N / N-1 / N-N from
+    its head/tail multiplicity — the standard KG-embedding prep step
+    (Bordes et al. 2013 TransE evaluation protocol; the reference's
+    relationship inventory `cql/schema/schema_definitions.cql` is the
+    analogous typed-relationship contract).  The classification is
+    INTEGER-EXACT: tails-per-head >= 1.5 is tested as
+    2*n_triples >= 3*n_heads, so no float ratio crosses the oracle
+    boundary.  Distinct head/tail counts run as two chained
+    `grouped_count` exchanges (dedup on (predicate, endpoint), then a
+    predicate-sized combine) — nothing corpus-derived on the driver."""
+    edges = _kg_results(sf_dir)["edges"][["src", "predicate", "dst"]]
+    ds = rd.from_pandas(edges)
+    n_t = grouped_count(
+        ds.select_columns(["predicate"]), ["predicate"], out_col="n_triples"
+    ).to_pandas()
+    heads = grouped_count(
+        grouped_count(
+            ds.select_columns(["predicate", "src"]),
+            ["predicate", "src"], out_col="_c",
+        ).select_columns(["predicate"]),
+        ["predicate"], out_col="n_heads",
+    ).to_pandas()
+    tails = grouped_count(
+        grouped_count(
+            ds.select_columns(["predicate", "dst"]),
+            ["predicate", "dst"], out_col="_c",
+        ).select_columns(["predicate"]),
+        ["predicate"], out_col="n_tails",
+    ).to_pandas()
+    g = n_t.merge(heads, on="predicate").merge(tails, on="predicate")
+    g["cardinality"] = _cardinality_labels(
+        g["n_triples"].to_numpy(np.int64),
+        g["n_heads"].to_numpy(np.int64),
+        g["n_tails"].to_numpy(np.int64),
+    )
+    g = g.astype(
+        {"n_triples": np.int64, "n_heads": np.int64, "n_tails": np.int64}
+    )
+    return g.sort_values("predicate").reset_index(drop=True)
+
+
+def _sql_kg_relation_cardinality(sf: float) -> str:
+    return _sql_kg_prefix(sf) + """,
+rc AS (SELECT predicate, CAST(count(*) AS BIGINT) AS n_triples,
+              CAST(count(DISTINCT src) AS BIGINT) AS n_heads,
+              CAST(count(DISTINCT dst) AS BIGINT) AS n_tails
+       FROM edges GROUP BY predicate)
+SELECT predicate, n_triples, n_heads, n_tails,
+       CASE WHEN 2*n_triples >= 3*n_heads AND 2*n_triples >= 3*n_tails
+            THEN 'N-N'
+            WHEN 2*n_triples >= 3*n_heads THEN '1-N'
+            WHEN 2*n_triples >= 3*n_tails THEN 'N-1'
+            ELSE '1-1' END AS cardinality
+FROM rc
+"""
+
+
+def _tf_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """Batch-local (doc_id, token, tf, n_tokens) term-frequency rows —
+    a document sits wholly in one row, so per-doc tf is globally
+    correct without an exchange (same contract as doc_token_freq)."""
+    if not len(df):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype=np.int64),
+                "token": pd.Series(dtype=object),
+                "tf": pd.Series(dtype=np.int64),
+                "n_tokens": pd.Series(dtype=np.int64),
+            }
+        )
+    toks = df["text"].fillna("").str.split(" ")
+    n_tok = toks.str.len().to_numpy()
+    ex = toks.explode()
+    base = pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy()[
+                np.repeat(np.arange(len(df)), n_tok)
+            ],
+            "token": ex.to_numpy(dtype=object),
+            "n_tokens": np.repeat(n_tok, n_tok).astype(np.int64),
+        }
+    )
+    g = base.groupby(["doc_id", "token"], as_index=False).agg(
+        tf=("n_tokens", "size"), n_tokens=("n_tokens", "first")
+    )
+    g["tf"] = g["tf"].astype(np.int64)
+    return g
+
+
+def q_doc_unigram_surprisal(sf_dir: str):
+    """Per-document mean token surprisal under the corpus's own unigram
+    LM — the CCNet/Wenzek-et-al-2020 'LM perplexity' quality signal with
+    the external model replaced by the corpus itself (hermetic, no model
+    download): mean_t -log2(cnt_t / N) = log2(N) - (Σ tf·log2 cnt_t)/n.
+    High = rare-token-heavy (noise or novelty), low = boilerplate.
+    Shape: batch-local tf pairs → vocabulary-sized corpus count
+    exchange (materialized ONCE — it is consumed by both the global-N
+    sum and the attach) → counts ride the keyed `cogroup_attach` back
+    onto the tf stream → one per-doc grouped float sum.  Round-6
+    absorbs summation-order ulps (the repo-wide convention)."""
+    import pyarrow as _pa
+
+    from bioontologykg_ray.stages.joins import cogroup_attach
+
+    ds = _rp(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ds.map_batches(_tf_pairs, batch_format="pandas")
+    cnt = grouped_agg(
+        pairs.select_columns(["token", "tf"]), ["token"], {"cnt": ("tf", "sum")}
+    ).materialize()  # vocabulary-sized; two consumers below
+    n_total = int(cnt.sum("cnt"))
+
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype=np.int64),
+            "n_tokens": pd.Series(dtype=np.int64),
+            "w": pd.Series(dtype=np.float64),
+        }
+    )
+    joined = cogroup_attach(
+        pairs, "token",
+        {"doc_id": _pa.int64(), "tf": _pa.int64(), "n_tokens": _pa.int64()},
+        cnt, "token",
+        {"cnt": _pa.int64()},
+        fills={"doc_id": -1, "tf": -1, "n_tokens": -1, "cnt": -1},
+        post=lambda m: pd.DataFrame(
+            {
+                "doc_id": m["doc_id"].to_numpy(np.int64),
+                "n_tokens": m["n_tokens"].to_numpy(np.int64),
+                "w": m["tf"].to_numpy(np.float64)
+                * np.log2(m["cnt"].to_numpy(np.float64)),
+            }
+        ) if len(m) else empty,
+        empty_out=empty,
+        key_type=_pa.string(),
+    )
+    per_doc = grouped_agg(
+        joined, ["doc_id"],
+        {"s": ("w", "sum"), "n_tokens": ("n_tokens", "max")},
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "doc_id": per_doc["doc_id"].astype(np.int64),
+            "n_tokens": per_doc["n_tokens"].astype(np.int64),
+            "mean_surprisal": (
+                np.log2(float(n_total))
+                - per_doc["s"] / per_doc["n_tokens"]
+            ).round(6),
+        }
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_UNIGRAM_SURPRISAL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+cnt AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY token),
+nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cnt),
+tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens
+        FROM tf GROUP BY doc_id)
+SELECT t.doc_id, tot.n_tokens,
+       round(log2(CAST(nn.n AS DOUBLE))
+             - sum(t.tf * log2(CAST(c.cnt AS DOUBLE))) / tot.n_tokens,
+             6) AS mean_surprisal
+FROM tf t JOIN cnt c USING (token) JOIN tot USING (doc_id) CROSS JOIN nn
+GROUP BY t.doc_id, tot.n_tokens, nn.n
+"""
+
+
+def q_source_token_kl(sf_dir: str):
+    """Per-source unigram-distribution drift: KL(P_source || P_corpus)
+    in bits over whitespace tokens — the mixture-health audit a 100-TB
+    curation run uses to spot a source whose token distribution has
+    drifted from the corpus (cf. the Pile's per-component analyses).
+    Identity used: KL = (Σ_t c_st·(log2 c_st − log2 c_t))/N_s
+    + log2 N − log2 N_s, so the exchange moves only per-(source, token)
+    counts (vocab×sources-sized), never raw text.  Corpus counts ride
+    the keyed `cogroup_attach` onto the per-source count stream; the
+    final combine is sources-sized."""
+    import pyarrow as _pa
+
+    from bioontologykg_ray.stages.joins import cogroup_attach
+
+    ds = _rp(sf_dir, "documents", columns=["source", "text"])
+
+    def _stf(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "source": pd.Series(dtype=object),
+                    "token": pd.Series(dtype=object),
+                    "c_st": pd.Series(dtype=np.int64),
+                }
+            )
+        toks = df["text"].fillna("").str.split(" ")
+        n_tok = toks.str.len().to_numpy()
+        base = pd.DataFrame(
+            {
+                "source": df["source"].to_numpy(dtype=object)[
+                    np.repeat(np.arange(len(df)), n_tok)
+                ],
+                "token": toks.explode().to_numpy(dtype=object),
+            }
+        )
+        return base.groupby(["source", "token"], as_index=False).size().rename(
+            columns={"size": "c_st"}
+        )
+
+    scnt = grouped_agg(
+        ds.map_batches(_stf, batch_format="pandas"),
+        ["source", "token"], {"c_st": ("c_st", "sum")},
+    ).materialize()  # vocab×sources-sized; three consumers below
+    ccnt = grouped_agg(
+        scnt, ["token"], {"c_t": ("c_st", "sum")}
+    ).materialize()  # vocabulary-sized; attach + global-N sum
+    n_total = int(ccnt.sum("c_t"))
+    n_s = grouped_agg(scnt, ["source"], {"n_s": ("c_st", "sum")}).to_pandas()
+
+    empty = pd.DataFrame(
+        {
+            "source": pd.Series(dtype=object),
+            "w": pd.Series(dtype=np.float64),
+        }
+    )
+    joined = cogroup_attach(
+        scnt, "token",
+        {"source": _pa.string(), "c_st": _pa.int64()},
+        ccnt, "token",
+        {"c_t": _pa.int64()},
+        fills={"source": "", "c_st": -1, "c_t": -1},
+        post=lambda m: pd.DataFrame(
+            {
+                "source": m["source"].to_numpy(dtype=object),
+                "w": m["c_st"].to_numpy(np.float64)
+                * (
+                    np.log2(m["c_st"].to_numpy(np.float64))
+                    - np.log2(m["c_t"].to_numpy(np.float64))
+                ),
+            }
+        ) if len(m) else empty,
+        empty_out=empty,
+        key_type=_pa.string(),
+    )
+    s = grouped_agg(joined, ["source"], {"s": ("w", "sum")}).to_pandas()
+    g = s.merge(n_s, on="source")
+    out = pd.DataFrame(
+        {
+            "source": g["source"],
+            "n_tokens": g["n_s"].astype(np.int64),
+            "kl_bits": (
+                g["s"] / g["n_s"]
+                + np.log2(float(n_total))
+                - np.log2(g["n_s"].to_numpy(np.float64))
+            ).round(6),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_SOURCE_TOKEN_KL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+stf AS (SELECT source, token, count(*) AS c_st FROM tok GROUP BY 1, 2),
+ct AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM stf GROUP BY token),
+nn AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM ct),
+ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+       FROM stf GROUP BY source)
+SELECT s.source, ns.n_s AS n_tokens,
+       round(sum(s.c_st * (log2(CAST(s.c_st AS DOUBLE))
+                           - log2(CAST(c.c_t AS DOUBLE)))) / ns.n_s
+             + log2(CAST(nn.n AS DOUBLE)) - log2(CAST(ns.n_s AS DOUBLE)),
+             6) AS kl_bits
+FROM stf s JOIN ct c USING (token) JOIN ns USING (source) CROSS JOIN nn
+GROUP BY s.source, ns.n_s, nn.n
+"""
+
+
+QUERIES.update(
+    {
+        "kg_relation_cardinality": q_kg_relation_cardinality,
+        "doc_unigram_surprisal": q_doc_unigram_surprisal,
+        "source_token_kl": q_source_token_kl,
+    }
+)
+ORACLE.update(
+    {
+        "kg_relation_cardinality": _sql_kg_relation_cardinality(0.01),
+        "doc_unigram_surprisal": SQL_DOC_UNIGRAM_SURPRISAL,
+        "source_token_kl": SQL_SOURCE_TOKEN_KL,
     }
 )
 
