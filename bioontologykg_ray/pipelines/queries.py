@@ -2952,6 +2952,10 @@ def oracle_for_sf(sf: float) -> dict:
         d["kg_triple_split"] = _sql_kg_triple_split(sf)
     if "kg_relation_cardinality" in d:  # registered later in the module
         d["kg_relation_cardinality"] = _sql_kg_relation_cardinality(sf)
+    if "kg_relation_composition" in d:  # registered later in the module
+        d["kg_relation_composition"] = _sql_kg_relation_composition(sf)
+    if "kg_component_sizes" in d:  # registered later in the module
+        d["kg_component_sizes"] = _sql_kg_component_sizes(sf)
     d["tool_usage_stats"] = _sql_tool_usage(sf)
     d["kg_linked_unambiguous"] = _sql_kg_linked_unambiguous(sf)
     d["import_nodes"] = _sql_import_nodes(sf)
@@ -10166,11 +10170,128 @@ GROUP BY s.source, ns.n_s, nn.n
 """
 
 
+_COMP_EMPTY = pd.DataFrame(
+    {
+        "p1": pd.Series(dtype=object),
+        "p2": pd.Series(dtype=object),
+        "n": pd.Series(dtype=np.int64),
+    }
+)
+
+
+def _comp_wedge_apply(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-middle-node composition counts: paths through m with
+    (incoming p1, outgoing p2) number c_in(m,p1)·c_out(m,p2) — the
+    cross product of two predicate-count tables, never of edge rows."""
+    if df.empty:
+        return _COMP_EMPTY.copy()
+    c = df.groupby(["m", "p", "d"], as_index=False).size()
+    cin = c[c["d"] == 0].rename(columns={"p": "p1", "size": "n_in"})[
+        ["m", "p1", "n_in"]
+    ]
+    cout = c[c["d"] == 1].rename(columns={"p": "p2", "size": "n_out"})[
+        ["m", "p2", "n_out"]
+    ]
+    mm = cin.merge(cout, on="m")
+    if mm.empty:
+        return _COMP_EMPTY.copy()
+    return pd.DataFrame(
+        {
+            "p1": mm["p1"].to_numpy(dtype=object),
+            "p2": mm["p2"].to_numpy(dtype=object),
+            "n": (mm["n_in"] * mm["n_out"]).to_numpy(np.int64),
+        }
+    )
+
+
+def q_kg_relation_composition(sf_dir: str):
+    """AMIE-style relation composition profile: for every ordered
+    predicate pair (p1, p2), the number of 2-hop paths
+    src -p1-> m -p2-> dst over the DISTINCT canonical edge set (stored
+    direction; symmetric predicates are already canonicalized
+    src < dst) — the path-rule support table a KG rule miner
+    (Galárraga et al. 2013) starts from.  Shape: each edge contributes
+    an in-row and an out-row keyed by its middle-node endpoint, one
+    keyed exchange groups complete middle nodes, and the per-node
+    count-table cross product (`_comp_wedge_apply`) emits predicate
+    pairs — path counts are c_in·c_out products, so no quadratic edge
+    self-join ever materializes."""
+    from bioontologykg_ray.stages.agg import sorted_group_apply
+
+    edges = _kg_results(sf_dir)["edges"][["src", "predicate", "dst"]]
+    und = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "m": np.concatenate(
+                    [edges["dst"].to_numpy(), edges["src"].to_numpy()]
+                ),
+                "p": np.concatenate(
+                    [edges["predicate"].to_numpy(), edges["predicate"].to_numpy()]
+                ),
+                # 0 = edge comes INTO m (m is dst), 1 = edge leaves m
+                "d": np.concatenate(
+                    [
+                        np.zeros(len(edges), dtype=np.int8),
+                        np.ones(len(edges), dtype=np.int8),
+                    ]
+                ),
+            }
+        )
+    )
+    wedges = sorted_group_apply(und, "m", _comp_wedge_apply, _COMP_EMPTY)
+    g = grouped_agg(wedges, ["p1", "p2"], {"n_paths": ("n", "sum")}).to_pandas()
+    g["n_paths"] = g["n_paths"].astype(np.int64)
+    return g.sort_values(["p1", "p2"]).reset_index(drop=True)
+
+
+def _sql_kg_relation_composition(sf: float) -> str:
+    return _sql_kg_prefix(sf) + """,
+comp AS (
+  SELECT e1.predicate AS p1, e2.predicate AS p2, count(*) AS n_paths
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+  GROUP BY 1, 2)
+SELECT p1, p2, CAST(n_paths AS BIGINT) AS n_paths FROM comp
+"""
+
+
+def q_kg_component_sizes(sf_dir: str):
+    """Connected-component size histogram over the same-as graph —
+    the canonicalization health audit (a runaway giant component means
+    the alias graph over-merged; reference parity: the consolidation
+    step of `neo4j_cancerkg_builder.py`'s same-as handling).  Two
+    chained `grouped_count` exchanges: nodes-per-root (component-count
+    sized), then components-per-size (histogram sized)."""
+    labels = _kg_results(sf_dir)["labels"][["node", "root"]]
+    ds = rd.from_pandas(labels)
+    per_root = grouped_count(
+        ds.select_columns(["root"]), ["root"], out_col="component_size"
+    )
+    hist = grouped_count(
+        per_root.select_columns(["component_size"]),
+        ["component_size"], out_col="n_components",
+    ).to_pandas()
+    hist = hist.astype(
+        {"component_size": np.int64, "n_components": np.int64}
+    )
+    return hist.sort_values("component_size").reset_index(drop=True)
+
+
+def _sql_kg_component_sizes(sf: float) -> str:
+    return _sql_kg_prefix(sf) + """,
+cs AS (SELECT root, count(*) AS component_size FROM labels GROUP BY root)
+SELECT CAST(component_size AS BIGINT) AS component_size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM cs GROUP BY component_size
+"""
+
+
 QUERIES.update(
     {
         "kg_relation_cardinality": q_kg_relation_cardinality,
         "doc_unigram_surprisal": q_doc_unigram_surprisal,
         "source_token_kl": q_source_token_kl,
+        "kg_relation_composition": q_kg_relation_composition,
+        "kg_component_sizes": q_kg_component_sizes,
     }
 )
 ORACLE.update(
@@ -10178,6 +10299,8 @@ ORACLE.update(
         "kg_relation_cardinality": _sql_kg_relation_cardinality(0.01),
         "doc_unigram_surprisal": SQL_DOC_UNIGRAM_SURPRISAL,
         "source_token_kl": SQL_SOURCE_TOKEN_KL,
+        "kg_relation_composition": _sql_kg_relation_composition(0.01),
+        "kg_component_sizes": _sql_kg_component_sizes(0.01),
     }
 )
 

@@ -113,3 +113,70 @@ def test_source_token_kl_disjoint_sources(ray_session, tmp_path):
     out = q_source_token_kl(d).set_index("source")
     assert out.loc["s1", "kl_bits"] == 1.0
     assert out.loc["s2", "kl_bits"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# relation composition + component sizes
+# ---------------------------------------------------------------------------
+
+def test_comp_wedge_apply_cross_product_counts():
+    from bioontologykg_ray.pipelines.queries import _comp_wedge_apply
+
+    # middle m: 2 incoming A, 1 incoming B, 3 outgoing C
+    df = pd.DataFrame(
+        {
+            "m": ["m"] * 6,
+            "p": ["A", "A", "B", "C", "C", "C"],
+            "d": np.array([0, 0, 0, 1, 1, 1], dtype=np.int8),
+        }
+    )
+    out = _comp_wedge_apply(df).set_index(["p1", "p2"])
+    assert out.loc[("A", "C"), "n"] == 6  # 2 * 3
+    assert out.loc[("B", "C"), "n"] == 3  # 1 * 3
+    assert len(out) == 2  # no out-only/in-only pairs
+
+
+def test_comp_wedge_apply_in_only_middle_emits_nothing():
+    from bioontologykg_ray.pipelines.queries import _comp_wedge_apply
+
+    df = pd.DataFrame(
+        {"m": ["m", "m"], "p": ["A", "B"], "d": np.array([0, 0], dtype=np.int8)}
+    )
+    assert _comp_wedge_apply(df).empty
+
+
+def test_kg_relation_composition_matches_naive_self_join(ray_session):
+    from bioontologykg_ray.pipelines.queries import (
+        _kg_results, q_kg_relation_composition,
+    )
+
+    out = q_kg_relation_composition("/root/testdata/sf0.001")
+    e = _kg_results("/root/testdata/sf0.001")["edges"][
+        ["src", "predicate", "dst"]
+    ]
+    naive = (
+        e.merge(e, left_on="dst", right_on="src", suffixes=("_1", "_2"))
+        .groupby(["predicate_1", "predicate_2"], as_index=False)
+        .size()
+        .rename(
+            columns={"predicate_1": "p1", "predicate_2": "p2", "size": "n_paths"}
+        )
+        .sort_values(["p1", "p2"])
+        .reset_index(drop=True)
+    )
+    naive["n_paths"] = naive["n_paths"].astype(np.int64)
+    pd.testing.assert_frame_equal(out, naive)
+
+
+def test_kg_component_sizes_mass_balance(ray_session):
+    from bioontologykg_ray.pipelines.queries import (
+        _kg_results, q_kg_component_sizes,
+    )
+
+    out = q_kg_component_sizes("/root/testdata/sf0.001")
+    labels = _kg_results("/root/testdata/sf0.001")["labels"]
+    # total node mass across the histogram equals the label table
+    assert int((out["component_size"] * out["n_components"]).sum()) == len(labels)
+    # every same-as component has at least 2 members (an isolated node
+    # never enters the labels table)
+    assert (out["component_size"] >= 2).all()
