@@ -214,13 +214,19 @@ def test_redact_pii_rules_and_order():
             {"text": "no pii here, just 3.14 and v1.2.3"},
         ]
     )
-    out = redact_pii(ds).to_pandas()
-    assert out.loc[0, "clean_text"] == "mail <EMAIL> and c@<IP> now"
-    assert (out.loc[0, ["n_email", "n_phone", "n_ipv4"]] == [1, 0, 1]).all()
-    assert out.loc[1, "clean_text"] == "call <PHONE> or <PHONE> from <IP>"
-    assert (out.loc[1, ["n_email", "n_phone", "n_ipv4"]] == [0, 2, 1]).all()
-    assert out.loc[2, "clean_text"] == "no pii here, just 3.14 and v1.2.3"
-    assert (out.loc[2, ["n_email", "n_phone", "n_ipv4"]] == [0, 0, 0]).all()
+    # index by input text: Ray Data does not guarantee block order
+    # (execution_options.preserve_order defaults off), so positional
+    # .loc asserts were flaky
+    out = redact_pii(ds).to_pandas().set_index("text")
+    r = out.loc["mail a.b@x.io and c@1.2.3.4 now"]
+    assert r["clean_text"] == "mail <EMAIL> and c@<IP> now"
+    assert (r[["n_email", "n_phone", "n_ipv4"]] == [1, 0, 1]).all()
+    r = out.loc["call 555-123-4567 or 555-000-1111 from 10.0.0.1"]
+    assert r["clean_text"] == "call <PHONE> or <PHONE> from <IP>"
+    assert (r[["n_email", "n_phone", "n_ipv4"]] == [0, 2, 1]).all()
+    r = out.loc["no pii here, just 3.14 and v1.2.3"]
+    assert r["clean_text"] == "no pii here, just 3.14 and v1.2.3"
+    assert (r[["n_email", "n_phone", "n_ipv4"]] == [0, 0, 0]).all()
 
 
 def test_global_shuffle_stable_under_append():

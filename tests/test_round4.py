@@ -29,7 +29,9 @@ def test_driver_window_covers_flagship_with_oracles():
         "kg_dead_letter", "kg_component_labels", "entity_degrees",
         "kg_pagerank", "import_nodes", "import_edges",
         "ann_topk_ivf_indexed", "ann_topk_filtered", "ann_topk_hybrid",
-        "image_metadata", "frame_sample_counts", "bmp_image_stats",
+        # round 5: png_image_stats (real compressed codec) replaced
+        # image_metadata (fake-decoder plumbing) in the window
+        "png_image_stats", "frame_sample_counts", "bmp_image_stats",
         "bmp_resized_stats", "wav_audio_stats", "bmv_frame_stats",
         "wav_energy_windows",
     }

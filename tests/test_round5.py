@@ -1,0 +1,128 @@
+"""Round-5 fixes: events_asof_signup driver-hash parity (VERDICT r4 #1),
+bench harness hardening hooks, and ADVICE r4 low items."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.Series:
+    """ONE shared canonicalization for both engines: sort columns by
+    name, sort rows, hash values. Representation-sensitive on purpose —
+    this is the property the driver's hash gate checks (VERDICT r4 #1:
+    rows+schema green, hash red, values identical)."""
+    cols = sorted(df.columns)
+    out = df[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    return pd.util.hash_pandas_object(out, index=False)
+
+
+def test_events_asof_signup_hash_parity_with_oracle():
+    """The round-4 board's only red row: Ray surfaced the LEFT-JOIN
+    nullable columns as pandas Int64/pd.NA, DuckDB's .df() as
+    float64/NaN; equal values, different hashes. The registry wrapper
+    now emits the oracle's exact representation — pin it with a shared
+    canonicalization over BOTH frames."""
+    import duckdb
+
+    from bioontologykg_ray.pipelines.queries import (
+        QUERIES,
+        SQL_EVENTS_ASOF_SIGNUP,
+    )
+
+    ray_df = QUERIES["events_asof_signup"](SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    )
+    sql_df = con.sql(SQL_EVENTS_ASOF_SIGNUP).df()
+    con.close()
+
+    # dtype-for-dtype identical surface, not just comparable values
+    assert dict(ray_df.dtypes.astype(str)) == dict(sql_df.dtypes.astype(str))
+    assert ray_df["right_event_id"].dtype == np.float64
+    a, b = _canon(ray_df), _canon(sql_df)
+    assert len(a) == len(b) and (a.to_numpy() == b.to_numpy()).all()
+    # NULLs still present (representation changed, semantics didn't)
+    assert ray_df["right_event_id"].isna().sum() > 0
+
+
+def test_asof_join_prior_operator_keeps_lossless_int64():
+    """The OPERATOR keeps nullable Int64 (lossless above 2^53); only the
+    registry boundary casts to the SQL surface."""
+    from bioontologykg_ray.pipelines.queries import _rp
+    from bioontologykg_ray.stages import windows as W
+
+    ds = _rp(SF, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    out = W.asof_join_prior(ds, "purchase", "signup").to_pandas()
+    assert str(out["right_event_id"].dtype) == "Int64"
+    assert str(out["right_ts_us"].dtype) == "Int64"
+
+
+# ---------------------------------------------------------------------------
+# pure-stdlib PNG codec (VERDICT r4 missing #2 / next-round #5)
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_all_filters():
+    """h >= 5 exercises every spec filter (encoder cycles y % 5);
+    assorted widths hit the bpp-boundary cases in Sub/Average/Paeth."""
+    from bioontologykg_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(42)
+    for h, w in [(1, 1), (5, 2), (6, 3), (7, 16), (9, 5), (12, 13)]:
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_png(encode_png(px)) == px).all(), (h, w)
+
+
+def test_png_is_genuinely_compressed_and_crc_checked():
+    from bioontologykg_ray.stages.multimodal import decode_png, encode_png
+
+    # constant image: deflate must beat raw size by a wide margin
+    px = np.full((16, 16, 3), 7, dtype=np.uint8)
+    buf = encode_png(px)
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+    assert len(buf) < 16 * 16 * 3 // 4
+    # a flipped payload byte must fail the chunk CRC, not decode garbage
+    bad = bytearray(buf)
+    bad[45] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+
+def test_png_rejects_unsupported_color_type():
+    from bioontologykg_ray.stages.multimodal import encode_png, decode_png
+
+    buf = bytearray(encode_png(np.zeros((2, 2, 3), dtype=np.uint8)))
+    # IHDR data starts at offset 16; color type is its 10th byte.
+    # Patch to grayscale (0) and fix the CRC so only the type check trips.
+    import zlib as _z
+    ihdr = bytearray(buf[16:29])
+    ihdr[9] = 0
+    crc = _z.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF
+    buf[16:29] = ihdr
+    buf[29:33] = crc.to_bytes(4, "big")
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(bytes(buf))
+
+
+def test_png_stats_match_generation_formula():
+    """End-to-end over the fixture: decoded-pixel stats equal the
+    closed-form recomputation the SQL oracle uses."""
+    import ray.data as rd
+
+    from bioontologykg_ray.stages.multimodal import (
+        attach_png_payload,
+        decode_png_stats,
+    )
+
+    ds = rd.from_items([{"doc_id": i} for i in [0, 1, 5, 12, 77, 200]])
+    out = decode_png_stats(attach_png_payload(ds)).to_pandas().set_index("media_id")
+    for did in [0, 1, 5, 12, 77, 200]:
+        w, h = did % 13 + 4, did % 7 + 3
+        y, x = np.mgrid[0:h, 0:w]
+        v = (x + y + did) % 256
+        r = out.loc[did]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert r["mean_pixel"] == round(float(v.mean()), 6)
