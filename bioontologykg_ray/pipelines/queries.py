@@ -59,7 +59,39 @@ def _rp(sf_dir: str, name: str, columns=None, **kw):
         full = pqt.read_schema(path).remove_metadata()
         _SCHEMA_CACHE[path] = full
     sch = pa.schema([full.field(c) for c in columns]) if columns else full
+    if "override_num_blocks" not in kw:
+        nb = _sized_block_count(path)
+        if nb is not None:
+            kw["override_num_blocks"] = nb
     return rd.read_parquet(path, columns=columns, schema=sch, **kw)
+
+
+def _sized_block_count(path: str) -> int | None:
+    """Block count ∝ DATA SIZE, not a flat cpus×2, for SMALL inputs.
+
+    Ray's read planner targets ~2 blocks per CPU regardless of bytes,
+    so a 0.6 MB table on a 32-cpu box becomes 64 ~10 KB blocks — and
+    every downstream sort/repartition exchange then pays 64×64 task
+    scheduling latency for microseconds of compute. Profiling
+    ngram_dup_pairs at sf0.1 (BASELINE.md round 5): total remote CPU
+    ~8 s but wall 6–10 s, entirely exchange-barrier latency; halving
+    block count to 16 reproduced the ~4.2 s floor. Policy: ~8 MiB of
+    estimated decompressed bytes per block, floored at cpus/2 so
+    per-batch compute still fans out, and NO override once the sized
+    count reaches Ray's own cpus×2 default — large inputs (the 100-TB
+    regime) keep Ray's planning untouched."""
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        return None
+    if ncpu <= 0:
+        return None
+    est = os.path.getsize(path) * 4  # parquet ~4x decompression
+    sized = max(1, -(-est // (8 << 20)))
+    default_blocks = ncpu * 2
+    if sized >= default_blocks:
+        return None
+    return int(max(min(default_blocks, max(sized, ncpu // 2)), 1))
 
 
 def sf_of(sf_dir: str) -> float:

@@ -150,9 +150,11 @@ def test_semdedup_removed_each_have_a_kept_near_neighbor_in_cluster():
 
 @pytest.fixture(scope="module")
 def kg(request):
-    from bioontologykg_ray.pipelines.queries import _kg_results
+    # round 5: _kg_results caches Datasets; tests take pandas at the
+    # boundary via _kg_pd (these slices are dimension-sized)
+    from bioontologykg_ray.pipelines.queries import _kg_pd
 
-    return _kg_results(SF)
+    return {"edges": _kg_pd(SF, "edges"), "nodes": _kg_pd(SF, "nodes")}
 
 
 def test_kg_negative_samples_filtered_and_deterministic(kg):

@@ -147,13 +147,11 @@ def test_comp_wedge_apply_in_only_middle_emits_nothing():
 
 def test_kg_relation_composition_matches_naive_self_join(ray_session):
     from bioontologykg_ray.pipelines.queries import (
-        _kg_results, q_kg_relation_composition,
+        _kg_pd, q_kg_relation_composition,
     )
 
     out = q_kg_relation_composition("/root/testdata/sf0.001")
-    e = _kg_results("/root/testdata/sf0.001")["edges"][
-        ["src", "predicate", "dst"]
-    ]
+    e = _kg_pd("/root/testdata/sf0.001", "edges", ["src", "predicate", "dst"])
     naive = (
         e.merge(e, left_on="dst", right_on="src", suffixes=("_1", "_2"))
         .groupby(["predicate_1", "predicate_2"], as_index=False)
@@ -170,11 +168,11 @@ def test_kg_relation_composition_matches_naive_self_join(ray_session):
 
 def test_kg_component_sizes_mass_balance(ray_session):
     from bioontologykg_ray.pipelines.queries import (
-        _kg_results, q_kg_component_sizes,
+        _kg_pd, q_kg_component_sizes,
     )
 
     out = q_kg_component_sizes("/root/testdata/sf0.001")
-    labels = _kg_results("/root/testdata/sf0.001")["labels"]
+    labels = _kg_pd("/root/testdata/sf0.001", "labels")
     # total node mass across the histogram equals the label table
     assert int((out["component_size"] * out["n_components"]).sum()) == len(labels)
     # every same-as component has at least 2 members (an isolated node
