@@ -174,54 +174,55 @@ def _pick_term(rng: random.Random, n_terms: int) -> int:
     return rng.randrange(0, n_terms)
 
 
-def make_transcripts(sf: float, seed: int = 42) -> pa.Table:
-    n_convs = n_convs_for_sf(sf)
-    n_terms = n_terms_for_sf(sf)
-    rng = random.Random(seed)
+def _emit_conv(c: int, rng: random.Random, n_terms: int, cols) -> None:
+    """Generate one conversation's turns into the six column lists.
 
-    conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
-    for c in range(n_convs):
-        conv_id = f"conv-{c:08d}"
-        n_turns = 6 + (c % 5)
-        conv_start = BASE_TS + timedelta(minutes=c)
-        for t in range(n_turns):
-            role = ("user", "assistant", "tool")[t % 3]
-            parts = [rng.choice(FILLER) for _ in range(rng.randrange(2, 6))]
-            n_facts = rng.choice((0, 1, 1, 2))
-            for _ in range(n_facts):
-                i = _pick_term(rng, n_terms)
-                j = _pick_term(rng, n_terms)
-                phrase = rng.choice(FACT_PHRASES)
-                s_surf, s_ctx = _pick_surface(rng, i, n_terms)
-                o_surf, o_ctx = _pick_surface(rng, j, n_terms)
-                sent = f"{s_surf} {phrase} {o_surf}."
-                parts.append(sent)
-                # disambiguation context tokens for ambiguous aliases
-                if s_ctx:
-                    parts.append(f"ctx-{i}")
-                if o_ctx:
-                    parts.append(f"ctx-{j}")
-                parts.append(rng.choice(FILLER))
-            # same-as chains: link term k and k+1 explicitly in text
-            if rng.random() < 0.05:
-                k = rng.randrange(0, max(1, n_terms // SAMEAS_CHAIN_EVERY)) * SAMEAS_CHAIN_EVERY
-                if k + 1 < n_terms:
-                    parts.append(f"{_term_name(k)} is the same as {_term_name(k + 1)}.")
-            # occasional obsolete-term mention → must NOT link (dead-letter)
-            if rng.random() < 0.04 and n_terms > OBSOLETE_EVERY:
-                ob = rng.randrange(1, n_terms // OBSOLETE_EVERY) * OBSOLETE_EVERY
-                parts.append(f"{_term_name(ob)} regulates {_term_name(_pick_term(rng, n_terms))}.")
-            conv_ids.append(conv_id)
-            turn_idxs.append(t)
-            roles.append(role)
-            texts.append(" ".join(parts))
-            tools.append("search" if role == "tool" else "")
-            tss.append(conv_start + timedelta(seconds=t * 30))
+    The rng call SEQUENCE here is the determinism contract: the legacy
+    whole-corpus path replays it conv-after-conv from one seed, the
+    chunked path replays it from a per-chunk seed — either way the same
+    (path, seed) always yields the same bytes."""
+    conv_ids, turn_idxs, roles, texts, tools, tss = cols
+    conv_id = f"conv-{c:08d}"
+    n_turns = 6 + (c % 5)
+    conv_start = BASE_TS + timedelta(minutes=c)
+    for t in range(n_turns):
+        role = ("user", "assistant", "tool")[t % 3]
+        parts = [rng.choice(FILLER) for _ in range(rng.randrange(2, 6))]
+        n_facts = rng.choice((0, 1, 1, 2))
+        for _ in range(n_facts):
+            i = _pick_term(rng, n_terms)
+            j = _pick_term(rng, n_terms)
+            phrase = rng.choice(FACT_PHRASES)
+            s_surf, s_ctx = _pick_surface(rng, i, n_terms)
+            o_surf, o_ctx = _pick_surface(rng, j, n_terms)
+            sent = f"{s_surf} {phrase} {o_surf}."
+            parts.append(sent)
+            # disambiguation context tokens for ambiguous aliases
+            if s_ctx:
+                parts.append(f"ctx-{i}")
+            if o_ctx:
+                parts.append(f"ctx-{j}")
+            parts.append(rng.choice(FILLER))
+        # same-as chains: link term k and k+1 explicitly in text
+        if rng.random() < 0.05:
+            k = rng.randrange(0, max(1, n_terms // SAMEAS_CHAIN_EVERY)) * SAMEAS_CHAIN_EVERY
+            if k + 1 < n_terms:
+                parts.append(f"{_term_name(k)} is the same as {_term_name(k + 1)}.")
+        # occasional obsolete-term mention → must NOT link (dead-letter)
+        if rng.random() < 0.04 and n_terms > OBSOLETE_EVERY:
+            ob = rng.randrange(1, n_terms // OBSOLETE_EVERY) * OBSOLETE_EVERY
+            parts.append(f"{_term_name(ob)} regulates {_term_name(_pick_term(rng, n_terms))}.")
+        conv_ids.append(conv_id)
+        turn_idxs.append(t)
+        roles.append(role)
+        texts.append(" ".join(parts))
+        tools.append("search" if role == "tool" else "")
+        tss.append(conv_start + timedelta(seconds=t * 30))
 
-    # shuffle rows on disk so ordering is NOT pre-sorted (FIXTURES.md F1)
-    n = len(conv_ids)
-    perm = np.random.RandomState(seed).permutation(n)
-    tbl = pa.table(
+
+def _cols_to_table(cols) -> pa.Table:
+    conv_ids, turn_idxs, roles, texts, tools, tss = cols
+    return pa.table(
         {
             "conv_id": pa.array(conv_ids, pa.string()),
             "turn_idx": pa.array(turn_idxs, pa.int32()),
@@ -233,16 +234,61 @@ def make_transcripts(sf: float, seed: int = 42) -> pa.Table:
             "ts": pa.array(tss, pa.timestamp("us")),
         }
     )
+
+
+def _shuffled(tbl: pa.Table, perm: np.ndarray) -> pa.Table:
     # chunked take: one giant take() concatenates its result into single
     # arrays, overflowing 32-bit string offsets past ~2 GB of text
     # (hit at sf16, 38.4M rows); per-chunk takes stay chunked
     CHUNK = 2_000_000
+    n = tbl.num_rows
     if n <= CHUNK:
         return tbl.take(pa.array(perm))
     pieces = [
         tbl.take(pa.array(perm[i:i + CHUNK])) for i in range(0, n, CHUNK)
     ]
     return pa.concat_tables(pieces)
+
+
+def make_transcripts(sf: float, seed: int = 42) -> pa.Table:
+    n_convs = n_convs_for_sf(sf)
+    n_terms = n_terms_for_sf(sf)
+    rng = random.Random(seed)
+
+    cols = ([], [], [], [], [], [])
+    for c in range(n_convs):
+        _emit_conv(c, rng, n_terms, cols)
+
+    # shuffle rows on disk so ordering is NOT pre-sorted (FIXTURES.md F1)
+    tbl = _cols_to_table(cols)
+    perm = np.random.RandomState(seed).permutation(tbl.num_rows)
+    return _shuffled(tbl, perm)
+
+
+def make_transcripts_chunk(sf: float, seed: int, chunk: int,
+                           n_chunks: int) -> pa.Table:
+    """One shard of the LARGE-sf corpus: convs ``c % n_chunks == chunk``.
+
+    Per-chunk rng seed → any chunk is generable independently of the
+    others (embarrassingly parallel, bounded memory), at the cost that
+    the large-sf byte stream differs from what the sequential path
+    would emit — (sf, seed, generator version) → bytes is still fully
+    deterministic, which is the actual fixture contract. Striding convs
+    by ``c % n_chunks`` (not contiguous ranges) keeps every shard's
+    conv ids and timestamps spread over the whole corpus, so shard-
+    parallel reads see no time/id locality the real pipeline could
+    exploit by accident."""
+    n_convs = n_convs_for_sf(sf)
+    n_terms = n_terms_for_sf(sf)
+    rng = random.Random(seed * 1_000_003 + chunk)
+    cols = ([], [], [], [], [], [])
+    for c in range(chunk, n_convs, n_chunks):
+        _emit_conv(c, rng, n_terms, cols)
+    tbl = _cols_to_table(cols)
+    perm = np.random.RandomState((seed * 7919 + chunk) % 2**32).permutation(
+        tbl.num_rows
+    )
+    return _shuffled(tbl, perm)
 
 
 def make_turn_ctx(tbl: pa.Table, dim: int = schemas.EMBED_DIM) -> pa.Table:
@@ -301,27 +347,82 @@ def synth_dir(sf: float, root: str = "/tmp/biokg-ray-synth") -> str:
     return os.path.join(root, f"v{GENERATOR_VERSION}-sf{sf}")
 
 
+# Above this many projected turns, ensure_synth switches from the
+# sequential whole-corpus generator to per-chunk parallel workers.
+# ~8 turns/conv average; 8M rows ≈ sf3.3. Below the threshold the
+# legacy byte stream is preserved (cached small-sf fixture dirs and
+# any test pins stay valid).
+LARGE_GEN_ROWS = 8_000_000
+_GEN_CHUNK_ROWS = 2_400_000  # ≈ sf1 per worker ≈ 1.3 GB RSS, ~30 s
+
+
+def _gen_shard(args) -> int:
+    """Spawn-pool worker: generate one chunk, write its transcript
+    shard and its turn_ctx shard. Returns the shard's row count."""
+    sf, seed, chunk, n_chunks, tdir, cdir, _dim = args
+    tbl = make_transcripts_chunk(sf, seed, chunk, n_chunks)
+    pq.write_table(tbl, os.path.join(tdir, f"part-{chunk:04d}.parquet"))
+    pq.write_table(make_turn_ctx(tbl), os.path.join(cdir, f"ctx-{chunk:04d}.parquet"))
+    return tbl.num_rows
+
+
+def _ensure_synth_chunked(d: str, sf: float, seed: int, n_chunks: int) -> None:
+    """Parallel large-sf generation: one worker per chunk (spawn
+    context — safe even if the caller already holds a Ray session),
+    each writing its own transcript shard; the small per-chunk
+    turn_ctx tables are concatenated into the single turn_ctx.parquet
+    the pipeline expects."""
+    import multiprocessing as mp
+    import shutil
+
+    tdir = os.path.join(d, "transcripts")
+    cdir = os.path.join(d, "_ctx_parts")
+    os.makedirs(tdir, exist_ok=True)
+    os.makedirs(cdir, exist_ok=True)
+    procs = min(n_chunks, max(4, (os.cpu_count() or 8) - 4))
+    jobs = [(sf, seed, c, n_chunks, tdir, cdir, schemas.EMBED_DIM)
+            for c in range(n_chunks)]
+    with mp.get_context("spawn").Pool(processes=procs) as pool:
+        pool.map(_gen_shard, jobs, chunksize=1)
+    ctx = pa.concat_tables(
+        pq.read_table(os.path.join(cdir, f))
+        for f in sorted(os.listdir(cdir))
+    )
+    pq.write_table(ctx, os.path.join(d, "turn_ctx.parquet"))
+    shutil.rmtree(cdir, ignore_errors=True)
+
+
 def ensure_synth(sf: float, seed: int = 42, root: str = "/tmp/biokg-ray-synth",
-                 n_shards: int = 8) -> str:
+                 n_shards: int = 8, force_chunked: bool = False) -> str:
     """Write (once, idempotently) the synthetic corpus for ``sf``.
 
     Transcripts are sharded into ``n_shards`` parquet files so
     ``read_parquet`` parallelizes; a _DONE marker makes this re-entrant.
+    Corpora projected past ``LARGE_GEN_ROWS`` turns are generated by
+    parallel per-chunk workers (one shard per chunk) instead of one
+    sequential pass — sf64 (153.6M turns) would otherwise take ~35 min
+    and ~80 GB driver RSS in a single process. ``force_chunked`` exists
+    for tests (exercise the chunked path at tiny sf).
     """
     d = synth_dir(sf, root)
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d
     os.makedirs(os.path.join(d, "transcripts"), exist_ok=True)
-    tbl = make_transcripts(sf, seed)
-    shard = max(1, tbl.num_rows // n_shards + 1)
-    for s in range(n_shards):
-        sl = tbl.slice(s * shard, shard)
-        if sl.num_rows == 0:
-            break
-        pq.write_table(sl, os.path.join(d, "transcripts", f"part-{s:04d}.parquet"))
+    projected = n_convs_for_sf(sf) * 8  # mean(6..10) turns per conv
+    if force_chunked or projected > LARGE_GEN_ROWS:
+        n_chunks = max(n_shards, (projected + _GEN_CHUNK_ROWS - 1) // _GEN_CHUNK_ROWS)
+        _ensure_synth_chunked(d, sf, seed, n_chunks)
+    else:
+        tbl = make_transcripts(sf, seed)
+        shard = max(1, tbl.num_rows // n_shards + 1)
+        for s in range(n_shards):
+            sl = tbl.slice(s * shard, shard)
+            if sl.num_rows == 0:
+                break
+            pq.write_table(sl, os.path.join(d, "transcripts", f"part-{s:04d}.parquet"))
+        pq.write_table(make_turn_ctx(tbl), os.path.join(d, "turn_ctx.parquet"))
     pq.write_table(make_ontology(sf, seed), os.path.join(d, "ontology_terms.parquet"))
-    pq.write_table(make_turn_ctx(tbl), os.path.join(d, "turn_ctx.parquet"))
     with open(os.path.join(d, "import_nodes.tsv"), "w") as f:
         f.write(make_import_tsv(sf))
     with open(done, "w") as f:

@@ -126,3 +126,48 @@ def test_png_stats_match_generation_formula():
         r = out.loc[did]
         assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
         assert r["mean_pixel"] == round(float(v.mean()), 6)
+
+
+def test_chunked_synth_deterministic_and_equivalent(tmp_path):
+    """Large-sf corpora are generated by parallel per-chunk workers
+    (ensure_synth routes there past LARGE_GEN_ROWS; force_chunked
+    exercises it at tiny sf). The chunked path must be (a) byte-
+    deterministic across runs, and (b) statistically the same corpus
+    the sequential path produces: identical row count, schema, conv-id
+    set and per-conv turn counts — only the rng stream (hence exact
+    texts) differs, by documented design."""
+    import glob
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from bioontologykg_ray import synth
+
+    def gen(root):
+        d = synth.ensure_synth(0.003, root=str(root), force_chunked=True)
+        h = hashlib.sha256()
+        files = sorted(glob.glob(str(root) + "/*/transcripts/*.parquet"))
+        assert len(files) >= 2  # actually sharded
+        for f in files:
+            with open(f, "rb") as fh:
+                h.update(fh.read())
+        with open(d + "/turn_ctx.parquet", "rb") as fh:
+            h.update(fh.read())
+        tbl = pa.concat_tables(pq.read_table(f) for f in files)
+        return h.hexdigest(), tbl
+
+    h1, t1 = gen(tmp_path / "a")
+    h2, _ = gen(tmp_path / "b")
+    assert h1 == h2  # byte-deterministic
+
+    leg = synth.make_transcripts(0.003)
+    assert t1.num_rows == leg.num_rows
+    assert t1.schema.equals(leg.schema)
+    # same conversations with the same turn counts, shard-striped
+    counts = lambda t: sorted(
+        zip(*pa.TableGroupBy(t, "conv_id").aggregate([("turn_idx", "count")])
+            .to_pydict().values())
+    )
+    assert counts(t1) == counts(leg)
